@@ -1,0 +1,367 @@
+"""Deduplication operators over the ``documents`` corpus: exact-hash,
+n-gram Jaccard, MinHash-LSH, SimHash.
+
+All four are expressed with built-in Column functions (md5 / arrays /
+higher-order lambdas / joins) so they run JVM-side and scale:
+
+- **exact**: one hash-aggregate on the content fingerprint — the 100 TB
+  baseline (shuffle on md5, perfectly balanced keys).
+- **n-gram Jaccard**: inverted-index self-join on shingles (never a cross
+  join) — candidate generation cost ∝ Σ posting-list², the classic
+  pre-LSH approach.
+- **MinHash-LSH**: per-seed min of md5(seed:shingle) → OR-amplified
+  banding → candidate pairs → exact-Jaccard verification.  md5 is
+  bit-identical in Spark and DuckDB, which makes even the LSH stage
+  oracle-checkable.
+- **SimHash**: 16-bit signatures from md5 nibbles with token-frequency
+  weights; near-dup pairs by Hamming distance.
+
+(The reference has only subset-dedup D1, gtfstransformerSilver.py:45;
+these are the LLM-pipeline extensions from BASELINE.json's north star.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import read_parquet_table
+from .text import TOKENS_SQL, tokens_col
+
+# --- shingles -------------------------------------------------------------
+
+#: DuckDB: distinct 3-gram word shingles per doc (1-based list indexing)
+SHINGLES_SQL = f"""
+  __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  ),
+  __sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+               AS shingle
+      FROM __toks WHERE len(toks) >= 3)
+  ),
+  __sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM __sh GROUP BY doc_id
+  )
+"""
+
+
+def shingles(df: DataFrame) -> DataFrame:
+    """Distinct 3-gram word shingles per doc: (doc_id, shingle)."""
+    toks = df.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    """
+  WITH __all AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  ),
+  __fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+    FROM __all
+  )
+  SELECT fingerprint,
+         min(doc_id) AS canonical_doc_id,
+         count(*) AS n_copies
+  FROM __fp
+  GROUP BY fingerprint
+""",
+    doc="Exact dedup: hash-groupBy on a normalized content fingerprint; "
+    "canonical row = min(doc_id). Corpus is doubled so real duplicate "
+    "groups exist to collapse.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    fp = doubled.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+JACCARD_VERIFY_SQL = """
+  __pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM __sh a JOIN __sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ),
+  __jac AS (
+    SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - shared)
+             AS jaccard
+    FROM __pairs
+    JOIN __sizes sa ON doc_a = sa.doc_id
+    JOIN __sizes sb ON doc_b = sb.doc_id
+  )
+"""
+
+
+def jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Inverted-index self-join → exact Jaccard per candidate pair."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+  WITH {SHINGLES_SQL},
+  {JACCARD_VERIFY_SQL}
+  SELECT doc_a, doc_b, shared, round(jaccard, 6) AS jaccard
+  FROM __jac WHERE jaccard >= 0.02
+""",
+    doc="3-gram-shingle Jaccard near-dup pairs via inverted-index self-join "
+    "(candidate generation without a cross join).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    jac = jaccard_pairs(shingles(docs))
+    return jac.filter(F.col("jaccard") >= 0.02).select(
+        "doc_a", "doc_b", "shared", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --- MinHash-LSH ----------------------------------------------------------
+
+N_SEEDS = 8
+
+
+@register(
+    "q_minhash_lsh",
+    f"""
+  WITH {SHINGLES_SQL},
+  __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
+  __mh AS (
+    SELECT doc_id, seed,
+           min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM __sh CROSS JOIN __seeds
+    GROUP BY doc_id, seed
+  ),
+  __cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM __mh a JOIN __mh b
+      ON a.seed = b.seed AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+  ),
+  {JACCARD_VERIFY_SQL}
+  SELECT c.doc_a, c.doc_b,
+         round(coalesce(j.jaccard, 0.0), 6) AS jaccard
+  FROM __cand c
+  LEFT JOIN __jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+""",
+    doc=f"MinHash-LSH near-dup: {N_SEEDS} md5-seeded min-hashes per doc, "
+    "OR-amplified banding (r=1) for candidates, exact-Jaccard verify. "
+    "md5 parity makes the full LSH pipeline oracle-checkable.",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    seeds = spark.range(N_SEEDS).select(F.col("id").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    a = mh.alias("a")
+    b = mh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    out = cand.join(jac, ["doc_a", "doc_b"], "left")
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    """DuckDB: 16-bit simhash from the first 4 md5 nibbles per token."""
+    nibbles = ", ".join(
+        f"strpos('0123456789abcdef', substr(md5(word), {k + 1}, 1)) - 1 AS n{k}"
+        for k in range(4)
+    )
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((n{i // 4} >> {i % 4}) & 1) = 1 THEN c ELSE -c END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+  __words AS (
+    SELECT doc_id, word, count(*) AS c FROM (
+      SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents)
+    GROUP BY doc_id, word
+  ),
+  __nib AS (SELECT doc_id, c, {nibbles} FROM __words),
+  __bits AS (SELECT doc_id, {bit_sums} FROM __nib GROUP BY doc_id),
+  __sig AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM __bits)
+"""
+
+
+@register(
+    "q_simhash",
+    f"""
+  WITH {_simhash_sql()}
+  SELECT doc_id, simhash FROM __sig
+""",
+    doc="16-bit SimHash signatures: md5-nibble bits weighted by token "
+    "frequency (LLM-ops extension).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nib = words.select(
+        "doc_id",
+        "c",
+        *[
+            (
+                F.conv(F.substring(F.md5("word"), k + 1, 1), 16, 10).cast("int")
+            ).alias(f"n{k}")
+            for k in range(4)
+        ],
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.expr(f"((n{i // 4} >> {i % 4}) & 1) = 1"), F.col("c")
+            ).otherwise(-F.col("c"))
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = nib.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@register(
+    "q_simhash_pairs",
+    f"""
+  WITH {_simhash_sql()}
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM __sig a JOIN __sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
+    doc="SimHash near-dup pairs at Hamming ≤ 2. (Self-join here; at scale "
+    "the signatures are banded into buckets first, like MinHash-LSH.)",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming,
+        )
+        .filter(F.col("hamming") <= 2)
+    )

@@ -1,0 +1,250 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- ``q_embedding_neardup`` / ``q_ann_topk`` — brute-force cosine, the
+  correctness baseline.  The dot product is a built-in higher-order
+  ``aggregate`` over ``zip_with`` — pure Catalyst expressions, no UDF.
+- ``q_ann_ivf`` — the scale path: IVF-style bucketing (assign every vector
+  to its nearest of C coarse centroids, search only the probe bucket).
+  At 100 TB the brute-force candidate set is the bucket, not the corpus,
+  and the centroid assignment is a broadcast join.
+
+Norms are precomputed per vector and the cosine is always
+``dot / (norm_a * norm_b)`` in exactly that association order on both
+engines, so values agree to the ulp and round(…, 6) is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import read_parquet_table
+
+# --- shared fragments -----------------------------------------------------
+
+#: DuckDB: embeddings with double vectors and precomputed norms
+VECS_SQL = """
+  __vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+  ),
+  __normed AS (
+    SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm
+    FROM __vecs
+  )
+"""
+
+COS_SQL = "list_dot_product(a.v, b.v) / (a.norm * b.norm)"
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential left fold, matching
+    DuckDB's list_dot_product order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    vecs = emb.select("vec_id", "label", v)
+    return vecs.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+
+def _cos(prefix_a: str = "a", prefix_b: str = "b") -> Column:
+    return dot(F.col(f"{prefix_a}.v"), F.col(f"{prefix_b}.v")) / (
+        F.col(f"{prefix_a}.norm") * F.col(f"{prefix_b}.norm")
+    )
+
+
+# --- queries --------------------------------------------------------------
+
+
+@register(
+    "q_embedding_neardup",
+    f"""
+  WITH {VECS_SQL}
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({COS_SQL}, 6) AS cosine
+  FROM __normed a JOIN __normed b ON a.vec_id < b.vec_id
+  WHERE {COS_SQL} >= 0.8
+""",
+    doc="Embedding-cosine near-duplicate pairs (brute-force self-join "
+    "baseline; the IVF variant below is the 100 TB path).",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = _cos()
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.8)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "q_ann_topk",
+    f"""
+  WITH {VECS_SQL},
+  __queries AS (SELECT * FROM __normed WHERE vec_id < 5),
+  __scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+           {COS_SQL} AS cos_raw
+    FROM __queries a JOIN __normed b ON a.vec_id <> b.vec_id
+  )
+  SELECT query_id, neighbor_id, neighbor_label, round(cos_raw, 6) AS cosine, rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM __scored)
+  WHERE rank <= 10
+""",
+    doc="Brute-force cosine top-k nearest neighbors for a query set "
+    "(broadcast the queries, scan the corpus once, per-query top-k heap).",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 5)
+    a, b = queries.alias("a"), vecs.alias("b")
+    cos = _cos()
+    scored = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("b.label").alias("neighbor_label"),
+        cos.alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+N_CENTROIDS_MOD = 50  # vec_id % 50 == 0 → 10 coarse centroids at sf0.01
+
+
+@register(
+    "q_ann_ivf",
+    f"""
+  WITH {VECS_SQL},
+  __centroids AS (
+    SELECT vec_id AS centroid_id, v, norm FROM __normed
+    WHERE vec_id % {N_CENTROIDS_MOD} = 0
+  ),
+  __assign AS (
+    SELECT vec_id, label, v, norm, centroid_id FROM (
+      SELECT a.vec_id, a.label, a.v, a.norm, b.centroid_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                        b.centroid_id) AS rn
+      FROM __normed a CROSS JOIN __centroids b)
+    WHERE rn = 1
+  ),
+  __queries AS (SELECT * FROM __assign WHERE vec_id < 5),
+  __scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {COS_SQL} AS cos_raw
+    FROM __queries a JOIN __assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  )
+  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+    FROM __scored)
+  WHERE rank <= 5
+""",
+    doc="IVF-bucketed approximate NN: nearest-centroid assignment "
+    "(broadcast centroids), then top-k within the probe bucket only — "
+    "the candidate set shrinks from |corpus| to |bucket|.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+    centroids = vecs.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos_to_centroid = dot(F.col("v"), F.col("cv")) / (
+        F.col("norm") * F.col("cnorm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("cos_c", cos_to_centroid)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "norm", "centroid_id")
+    )
+    queries = assign.filter(F.col("vec_id") < 5)
+    a, b = queries.alias("a"), assign.alias("b")
+    cos = _cos()
+    scored = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "q_label_centroid_sim",
+    f"""
+  WITH {VECS_SQL},
+  __dims AS (
+    SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM __normed
+  ),
+  __means AS (
+    SELECT label, dim, sum(val) / count(*) AS m
+    FROM __dims GROUP BY label, dim
+  )
+  SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+  FROM __means GROUP BY label
+""",
+    doc="Per-label mean-vector (centroid) norm — element-wise vector mean "
+    "across rows via posexplode, then ‖·‖₂ of the 64 per-dim means.",
+)
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+    exploded = vecs.select(
+        "label", F.posexplode("v").alias("dim", "val")
+    )
+    means = exploded.groupBy("label", "dim").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("m")
+    )
+    return means.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )

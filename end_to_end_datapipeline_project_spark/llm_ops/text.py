@@ -1,0 +1,238 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language ID, fingerprinting.
+
+Everything is built-in Column expressions (split / regexp / higher-order
+array functions) — JVM-side, whole-stage-codegen'd, no Python in the hot
+path.  At 100 TB these run as a single scan with map-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import read_parquet_table
+
+#: marker stopwords per language for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "est", "un", "dans"],
+}
+
+STOPWORDS = sorted(set(w for ws in LANG_MARKERS.values() for w in ws))
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+#: shared tokenization: lowercase, trim, split on whitespace runs
+TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def tokens_col() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+@register(
+    "q_token_count",
+    f"""
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len({TOKENS_SQL}) END AS n_tokens,
+         length(text) AS n_chars_actual
+  FROM documents
+""",
+    doc="Whitespace token counting per document (LLM-ops extension).",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(tokens_col()))
+        .alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q_text_quality",
+    f"""
+  WITH t AS (
+    SELECT doc_id, text, {TOKENS_SQL} AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_clean
+    FROM documents
+  ),
+  s AS (
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, w -> w IN ({_sql_list(STOPWORDS)})))
+             AS n_stopwords,
+           n_chars - n_clean AS n_punct
+    FROM t
+  )
+  SELECT doc_id, n_tokens, n_stopwords, n_punct,
+    round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+    round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+    round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_span,
+    round(
+      0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+      + 0.2 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 5.0, 1.0),
+      6) AS quality_score
+  FROM s
+""",
+    doc="Document quality scoring: length/stopword/punctuation signals "
+    "composed into a bounded score (LLM-ops extension).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    t = df.select(
+        "doc_id",
+        tokens_col().alias("toks"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")).alias("n_clean"),
+    )
+    s = t.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter("toks", lambda w: w.isin(STOPWORDS))).alias("n_stopwords"),
+        (F.col("n_chars") - F.col("n_clean")).alias("n_punct"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    n_stop = F.col("n_stopwords").cast("double")
+    n_punct = F.col("n_punct").cast("double")
+    n_chars = F.col("n_chars").cast("double")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        "n_punct",
+        F.round(n_stop / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(n_punct / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(n_chars / F.col("n_tokens"), 6).alias("avg_token_span"),
+        F.round(
+            0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+            + 0.3 * (1.0 - n_punct / n_chars)
+            + 0.2 * F.least(n_stop / F.col("n_tokens") * 5.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(toks, w -> w IN ({_sql_list(LANG_MARKERS[lang])})))"
+    )
+
+
+@register(
+    "q_lang_id",
+    f"""
+  WITH t AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  ),
+  h AS (
+    SELECT doc_id,
+           {_lang_hits_sql("en")} AS en_hits,
+           {_lang_hits_sql("es")} AS es_hits,
+           {_lang_hits_sql("de")} AS de_hits,
+           {_lang_hits_sql("fr")} AS fr_hits
+    FROM t
+  )
+  SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+    CASE
+      WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits
+           AND en_hits > 0 THEN 'en'
+      WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      WHEN fr_hits > 0 THEN 'fr'
+      ELSE 'unknown'
+    END AS lang_guess
+  FROM h
+""",
+    doc="Stopword-marker language ID heuristic with a deterministic "
+    "tie-break priority (LLM-ops extension).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    t = df.select("doc_id", tokens_col().alias("toks"))
+
+    def _hits(markers: list[str]):
+        # NB: single-arg lambda — a two-arg lambda would make PySpark pass
+        # the element *index* as the second argument
+        return F.size(F.filter("toks", lambda w: w.isin(markers)))
+
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    h = t.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+    )
+    en, es, de, fr = (F.col(c) for c in ["en_hits", "es_hits", "de_hits", "fr_hits"])
+    guess = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), "en")
+        .when((es >= de) & (es >= fr) & (es > 0), "es")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return h.select(
+        "doc_id", "en_hits", "es_hits", "de_hits", "fr_hits", guess.alias("lang_guess")
+    )
+
+
+@register(
+    "q_fingerprint",
+    """
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+""",
+    doc="Canonical document fingerprint: whitespace-normalized lowercase "
+    "md5 (LLM-ops extension; md5 is identical across engines).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "q_word_explode",
+    f"""
+  WITH t AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents
+  ),
+  c AS (
+    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM t GROUP BY word
+  )
+  SELECT word, n, n_docs FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, word) AS rn FROM c)
+  WHERE rn <= 20
+""",
+    doc="Explode/flatten + aggregate: corpus top-20 word frequencies "
+    "(reference P1 explode generalized to text).",
+)
+def q_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    words = df.select("doc_id", F.explode(tokens_col()).alias("word"))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n"), F.asc("word")).limit(20)

@@ -1,0 +1,512 @@
+"""Reference-parity queries transposed onto the driver's ``events`` table
+(FIXTURES.md §4 mapping: user_id≈VehicleNumber, ts≈Time, event_type≈Lines,
+value≈measure; pseudo-coordinates derived deterministically from ``value``
+so the geo operators have something to chew on).
+
+Each query is the Spark-first expression of a SURVEY.md §2 operator row,
+registered together with its DuckDB oracle SQL.  The SQL is assembled from
+the same fragments the Spark side mirrors, so the two cannot drift apart
+silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .cleanse import dedup_deterministic
+from .geo import haversine_km, haversine_sql, in_bounding_box
+from .registry import dsum, register, spark_dsum
+from .sources import read_parquet_table
+from .trajectory import TrajectoryConfig, enrich
+
+# --- shared fragments -----------------------------------------------------
+
+#: pseudo-geo derivation: deterministic double arithmetic, identical in
+#: Spark and DuckDB (multiply/subtract/floor are exact IEEE ops)
+LAT_SQL = "52.0 + (value - floor(value)) * 0.4"
+LON_SQL = "20.5 + (value * 7 - floor(value * 7))"
+
+TYPED_SQL = f"""
+  SELECT event_id, ts, user_id, event_type, value, props,
+         {LAT_SQL} AS lat,
+         {LON_SQL} AS lon,
+         CAST(ts AS DATE) AS date
+  FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+"""
+
+
+def _cleansed_sql(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float
+) -> str:
+    """typed → bounding box + non-empty type → deterministic dedup."""
+    return f"""
+  WITH __typed AS ({TYPED_SQL}),
+  __boxed AS (
+    SELECT * FROM __typed
+    WHERE lat BETWEEN {lat_min} AND {lat_max}
+      AND lon BETWEEN {lon_min} AND {lon_max}
+      AND event_type <> ''
+  ),
+  __dedup AS (
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id) AS __rn
+      FROM __boxed) WHERE __rn = 1
+  )
+"""
+
+
+ENRICH_SQL = f"""
+  __lagged AS (
+    SELECT *,
+      lag(lat) OVER w AS prev_lat,
+      lag(lon) OVER w AS prev_lon,
+      lag(ts) OVER w AS prev_time
+    FROM __src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ),
+  __dist AS (
+    SELECT *,
+      coalesce({haversine_sql("prev_lat", "prev_lon", "lat", "lon")}, 0.0)
+        AS dist_km,
+      CAST(floor(epoch(ts)) AS BIGINT)
+        - CAST(floor(epoch(prev_time)) AS BIGINT) AS diff_time_sec
+    FROM __lagged
+  ),
+  __metrics AS (
+    SELECT *,
+      dist_km / 100.0 * 30.0 AS fuel_l,
+      (dist_km / 100.0 * 30.0) * 6.5 AS cost_pln,
+      CASE WHEN diff_time_sec > 0
+           THEN dist_km / diff_time_sec * 3600.0
+           ELSE 0.0 END AS speed_kmh
+    FROM __dist
+  ),
+  __enriched AS (
+    SELECT * FROM __metrics WHERE speed_kmh <= 70.0
+  )
+"""
+
+REPORT_SQL = f"""
+  __report AS (
+    SELECT event_type,
+      {dsum("dist_km")} AS total_distance_km,
+      {dsum("cost_pln")} AS total_cost_pln,
+      round(max(dist_km), 6) AS max_segment_km,
+      count(user_id) AS data_points_count,
+      {dsum("speed_kmh")} / count(user_id) AS avg_speed,
+      round(max(speed_kmh), 6) AS max_recorded_speed,
+      count(DISTINCT user_id) AS unique_vehicles_count,
+      {dsum("dist_km")} / count(DISTINCT user_id) AS avg_dist_per_vehicle
+    FROM __enriched
+    GROUP BY event_type
+  ),
+  __report2 AS (
+    SELECT *,
+      total_cost_pln / nullif(total_distance_km, 0.0) AS cost_of_1km
+    FROM __report
+  )
+"""
+
+
+# --- Spark-side shared builders ------------------------------------------
+
+EVENTS_TRAJ = TrajectoryConfig(key="user_id", time="ts", lat="lat", lon="lon")
+
+
+def events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    return (
+        df.dropna(how="any")
+        .withColumn("lat", F.lit(52.0) + (F.col("value") - F.floor("value")) * 0.4)
+        .withColumn(
+            "lon",
+            F.lit(20.5) + (F.col("value") * 7 - F.floor(F.col("value") * 7)),
+        )
+        .withColumn("date", F.to_date("ts"))
+    )
+
+
+def events_cleansed(
+    spark: SparkSession,
+    sf_dir: str,
+    lat_min: float = 52.0,
+    lat_max: float = 52.4,
+    lon_min: float = 20.5,
+    lon_max: float = 21.5,
+) -> DataFrame:
+    df = events_typed(spark, sf_dir)
+    df = df.filter(
+        in_bounding_box(F.col("lat"), F.col("lon"), lat_min, lat_max, lon_min, lon_max)
+    ).filter(F.col("event_type") != "")
+    return dedup_deterministic(df, keys=["user_id", "ts"], tiebreak=["event_id"])
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich(events_cleansed(spark, sf_dir), EVENTS_TRAJ)
+
+
+def events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact version of reports.daily_report for oracle parity."""
+    enr = events_enriched(spark, sf_dir)
+    agg = enr.groupBy("event_type").agg(
+        spark_dsum(F.col("dist_km")).alias("total_distance_km"),
+        spark_dsum(F.col("cost_pln")).alias("total_cost_pln"),
+        F.round(F.max("dist_km"), 6).alias("max_segment_km"),
+        F.count("user_id").alias("data_points_count"),
+        (spark_dsum(F.col("speed_kmh")) / F.count("user_id")).alias("avg_speed"),
+        F.round(F.max("speed_kmh"), 6).alias("max_recorded_speed"),
+        F.count_distinct("user_id").alias("unique_vehicles_count"),
+        (spark_dsum(F.col("dist_km")) / F.count_distinct("user_id")).alias(
+            "avg_dist_per_vehicle"
+        ),
+    )
+    return agg.withColumn(
+        "cost_of_1km",
+        F.col("total_cost_pln") / F.nullif(F.col("total_distance_km"), F.lit(0.0)),
+    )
+
+
+# --- queries --------------------------------------------------------------
+
+
+@register(
+    "q_silver_cleanse",
+    f"""
+  {_cleansed_sql(52.05, 52.35, 20.6, 21.4)}
+  SELECT event_id, user_id, event_type, ts, value,
+         round(lat, 6) AS lat, round(lon, 6) AS lon
+  FROM __dedup
+  WHERE date = DATE '2024-01-15'
+""",
+    doc="Silver pipeline parity: dropna+box+date+nonempty+deterministic dedup "
+    "(reference gtfstransformerSilver.py:27-56; ops P3-P6, D1, F2).",
+)
+def q_silver_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_cleansed(spark, sf_dir, 52.05, 52.35, 20.6, 21.4)
+    df = df.filter(F.col("date") == F.lit("2024-01-15").cast("date"))
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )
+
+
+@register(
+    "q_dedup",
+    f"""
+  WITH __typed AS ({TYPED_SQL}),
+  __doubled AS (
+    SELECT event_id, ts, user_id, value FROM __typed
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id, ts, user_id, value + 1.0 AS value
+    FROM __typed
+  )
+  SELECT event_id, ts, user_id, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, ts ORDER BY event_id) AS __rn
+    FROM __doubled) WHERE __rn = 1
+""",
+    doc="Deterministic-survivor dedup under real key collisions (reference D1 "
+    "done right: row_number()=1 under a total order, not dropDuplicates).",
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = events_typed(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    doubled = base.unionAll(
+        base.select(
+            (F.col("event_id") + 10000000).alias("event_id"),
+            "ts",
+            "user_id",
+            (F.col("value") + 1.0).alias("value"),
+        )
+    )
+    return dedup_deterministic(doubled, keys=["user_id", "ts"], tiebreak=["event_id"]).select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+
+@register(
+    "q_lag_enrich",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL}
+  SELECT event_id, user_id, event_type, ts, prev_time,
+         round(dist_km, 6) AS dist_km,
+         round(fuel_l, 6) AS fuel_l,
+         round(cost_pln, 6) AS cost_pln,
+         diff_time_sec,
+         round(speed_kmh, 6) AS speed_kmh
+  FROM __enriched
+""",
+    doc="Trajectory lag-window enrichment (reference W1-W2, F3-F7, P7: "
+    "gtfsGold.py:36-85): lag×3 → haversine → fuel/cost → Δt → speed → cutoff.",
+)
+def q_lag_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enr = events_enriched(spark, sf_dir)
+    return enr.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "prev_time",
+        F.round("dist_km", 6).alias("dist_km"),
+        F.round("fuel_l", 6).alias("fuel_l"),
+        F.round("cost_pln", 6).alias("cost_pln"),
+        "diff_time_sec",
+        F.round("speed_kmh", 6).alias("speed_kmh"),
+    )
+
+
+@register(
+    "q_daily_report",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  {REPORT_SQL}
+  SELECT * FROM __report2
+""",
+    doc="Per-group fleet report, 8 aggregates + nullif-guarded post-agg "
+    "(reference A1-A2/O2: gtfsGold.py:89-108). Decimal-exact sums.",
+)
+def q_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_report(spark, sf_dir)
+
+
+@register(
+    "q_topk_report",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  {REPORT_SQL}
+  SELECT event_type, total_cost_pln, total_distance_km FROM __report2
+  ORDER BY total_cost_pln DESC, event_type LIMIT 3
+""",
+    doc="Top-k over the report (reference O3/O4) — TakeOrderedAndProject, "
+    "never a global sort.",
+)
+def q_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = events_report(spark, sf_dir)
+    return (
+        rep.select("event_type", "total_cost_pln", "total_distance_km")
+        .orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+@register(
+    "q_drilldown_top_vehicle",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  {REPORT_SQL},
+  __top_line AS (
+    SELECT event_type FROM __report2
+    ORDER BY total_cost_pln DESC, event_type LIMIT 1
+  ),
+  __line_src AS (
+    SELECT d.* FROM __dedup d
+    WHERE d.event_type IN (SELECT event_type FROM __top_line)
+  ),
+  __l2 AS (
+    SELECT *,
+      lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
+      lag(ts) OVER w AS p_time
+    FROM __line_src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ),
+  __l3 AS (
+    SELECT *,
+      coalesce({haversine_sql("p_lat", "p_lon", "lat", "lon")}, 0.0) AS dist_km,
+      CAST(floor(epoch(ts)) AS BIGINT)
+        - CAST(floor(epoch(p_time)) AS BIGINT) AS diff_time_sec
+    FROM __l2
+  ),
+  __l4 AS (
+    SELECT *,
+      CASE WHEN diff_time_sec > 0
+           THEN dist_km / diff_time_sec * 3600.0
+           ELSE 0.0 END AS speed_kmh
+    FROM __l3
+  ),
+  __l5 AS (SELECT * FROM __l4 WHERE speed_kmh <= 70.0),
+  __per_vehicle AS (
+    SELECT user_id, {dsum("dist_km")} AS total_v_dist
+    FROM __l5 GROUP BY user_id
+  ),
+  __top_vehicle AS (
+    SELECT user_id FROM __per_vehicle
+    ORDER BY total_v_dist DESC, user_id LIMIT 1
+  )
+  SELECT event_id, user_id, event_type, ts,
+         round(dist_km, 6) AS dist_km, diff_time_sec,
+         round(speed_kmh, 6) AS speed_kmh
+  FROM __l5
+  WHERE user_id IN (SELECT user_id FROM __top_vehicle)
+""",
+    doc="Two-level top-1 drill-down (reference P8/A3/O3: gtfsGold.py:110-134) "
+    "re-expressed as broadcast semi-joins instead of driver .first() hand-offs.",
+)
+def q_drilldown_top_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleansed = events_cleansed(spark, sf_dir)
+    report = events_report(spark, sf_dir)
+    top_line = (
+        report.orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
+        .limit(1)
+        .select("event_type")
+    )
+    line_rows = cleansed.join(F.broadcast(top_line), "event_type", "left_semi")
+    enr = enrich(line_rows, EVENTS_TRAJ)
+    per_vehicle = enr.groupBy("user_id").agg(
+        spark_dsum(F.col("dist_km")).alias("total_v_dist")
+    )
+    top_vehicle = (
+        per_vehicle.orderBy(F.desc("total_v_dist"), F.asc("user_id"))
+        .limit(1)
+        .select("user_id")
+    )
+    out = enr.join(F.broadcast(top_vehicle), "user_id", "left_semi")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round("dist_km", 6).alias("dist_km"),
+        "diff_time_sec",
+        F.round("speed_kmh", 6).alias("speed_kmh"),
+    )
+
+
+@register(
+    "q_haversine",
+    f"""
+  WITH __typed AS ({TYPED_SQL})
+  SELECT event_id,
+         round({haversine_sql("52.2297", "21.0122", "lat", "lon")}, 6)
+           AS dist_from_centrum_km
+  FROM __typed
+""",
+    doc="Haversine as a pure Column expression (reference F3: gtfsGold.py:23-34) "
+    "— stays in whole-stage codegen, no UDF.",
+)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_typed(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.round(
+            haversine_km(F.lit(52.2297), F.lit(21.0122), F.col("lat"), F.col("lon")),
+            6,
+        ).alias("dist_from_centrum_km"),
+    )
+
+
+@register(
+    "q_dq_null_probe",
+    """
+  SELECT count(*) AS total_rows,
+         CAST(sum(CASE WHEN event_type IS NULL OR user_id IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS null_key_rows
+  FROM events
+""",
+    doc="Data-quality null probe (reference P9/A4: gtfsGold.py:17-21).",
+)
+def q_dq_null_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNull() | F.col("user_id").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("null_key_rows"),
+    )
+
+
+@register(
+    "q_json_extract",
+    """
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+  FROM events
+""",
+    doc="JSON field extraction from the props payload column (engine surface "
+    "beyond the reference; schema-on-read analog of its declared-schema parse).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+  WITH __lagged AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  ),
+  __flag AS (
+    SELECT *,
+      CASE WHEN prev_ts IS NULL
+             OR CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600
+           THEN 1 ELSE 0 END AS new_session
+    FROM __lagged
+  ),
+  __sess AS (
+    SELECT *,
+      sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM __flag
+  )
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         min(ts) AS session_start,
+         max(ts) AS session_end
+  FROM __sess
+  GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (lag + cumulative-sum session ids) — the "
+    "batch equivalent of a session window; extension beyond the reference.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (
+        df.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 3600
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,412 @@
+"""General relational surface: joins, set ops, grouping sets, pivot,
+ranking/frame windows (SURVEY.md §2.4 — "the engine's general join surface
+comes from Spark"; exercised TPC-H-style on the driver's star schema).
+
+Scale notes (100 TB):
+
+- Dimension joins (region/nation/customer/supplier/part) are broadcast —
+  Catalyst picks it below the threshold; we hint explicitly so the plan is
+  stable when stats are missing.  Fact-fact joins (orders⋈lineitem) shuffle
+  on the join key; AQE handles skew splitting.
+- Aggregates use decimal-cast sums (exact ⇒ oracle-stable ⇒ also immune to
+  partial-aggregation reordering at 1000-way parallelism).
+- Top-k queries are sort+limit ⇒ TakeOrderedAndProject, O(k) per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import dsum, register, spark_dsum
+from .sources import read_parquet_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+@register(
+    "q_pricing_summary",
+    f"""
+  SELECT l_returnflag, l_linestatus,
+    {dsum("l_quantity")} AS sum_qty,
+    {dsum("l_extendedprice")} AS sum_base_price,
+    {dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+    {dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+    {dsum("l_quantity")} / count(*) AS avg_qty,
+    {dsum("l_extendedprice")} / count(*) AS avg_price,
+    {dsum("l_discount")} / count(*) AS avg_disc,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shape pricing summary: filter → 8-output hash aggregate "
+    "(reference A1 generalized). Decimal-exact sums, map-side partials.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            spark_dsum(F.col("l_quantity")).alias("sum_qty"),
+            spark_dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            spark_dsum(disc_price).alias("sum_disc_price"),
+            spark_dsum(charge).alias("sum_charge"),
+            (spark_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (spark_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (spark_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_revenue_by_nation",
+    f"""
+  SELECT n.n_name AS nation,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY n.n_name
+""",
+    doc="TPC-H Q5-shape: 5-way star join with region filter (broadcast dims, "
+    "shuffle on the fact-fact key), revenue per nation.",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        spark_dsum(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_top_customers",
+    f"""
+  SELECT c.c_custkey, c.c_name,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+         count(DISTINCT o.o_orderkey) AS n_orders
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+""",
+    doc="TPC-H Q10-shape: returned-item revenue per customer, top-20 "
+    "(deterministic: exact decimal revenue + custkey tiebreak).",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            spark_dsum(revenue).alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_orders_exists",
+    """
+  SELECT o_orderpriority, count(*) AS order_count
+  FROM orders o
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+  GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-shape EXISTS → left-semi join (reference §2.4 gap filled).",
+)
+def q_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    semi = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q_customers_no_orders",
+    """
+  SELECT c.c_mktsegment, count(*) AS n_customers
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c.c_mktsegment
+""",
+    doc="NOT EXISTS → left-anti join.",
+)
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return anti.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q_setops",
+    """
+  WITH building AS (
+    SELECT DISTINCT o.o_custkey FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+  ),
+  urgent AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  )
+  SELECT 'intersect' AS op, count(*) AS n FROM (
+    SELECT o_custkey FROM building INTERSECT SELECT o_custkey FROM urgent)
+  UNION ALL
+  SELECT 'except' AS op, count(*) AS n FROM (
+    SELECT o_custkey FROM building EXCEPT SELECT o_custkey FROM urgent)
+  UNION ALL
+  SELECT 'union' AS op, count(*) AS n FROM (
+    SELECT o_custkey FROM building UNION SELECT o_custkey FROM urgent)
+""",
+    doc="Set operations: UNION / INTERSECT / EXCEPT (reference has none).",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    building = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("o_custkey")
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("intersect", building.intersect(urgent))
+        .unionAll(one("except", building.exceptAll(urgent).distinct()))
+        .unionAll(one("union", building.union(urgent).distinct()))
+    )
+
+
+@register(
+    "q_rollup",
+    f"""
+  SELECT r.r_name AS region, n.n_name AS nation,
+         count(*) AS n_customers,
+         {dsum("c.c_acctbal")} AS total_acctbal,
+         CAST(grouping(r.r_name) AS INTEGER) AS g_region,
+         CAST(grouping(n.n_name) AS INTEGER) AS g_nation
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    doc="Hierarchical ROLLUP grouping sets with GROUPING() markers "
+    "(beyond the reference's flat groupBy).",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return (
+        joined.select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            spark_dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            F.grouping("region").cast("int").alias("g_region"),
+            F.grouping("nation").cast("int").alias("g_nation"),
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    f"""
+  SELECT c.c_mktsegment,
+    {dsum("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE NULL END")} AS open_total,
+    {dsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE NULL END")} AS finished_total,
+    {dsum("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice ELSE NULL END")} AS pending_total
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+""",
+    doc="Pivot (wide aggregation by category) — expressed as conditional "
+    "aggregates so both engines produce identical column names.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+
+    def cond_sum(status: str):
+        return spark_dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
+        )
+
+    return joined.groupBy("c_mktsegment").agg(
+        cond_sum("O").alias("open_total"),
+        cond_sum("F").alias("finished_total"),
+        cond_sum("P").alias("pending_total"),
+    )
+
+
+@register(
+    "q_window_rank",
+    """
+  SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (
+             PARTITION BY o.o_custkey
+             ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+    FROM orders o)
+  WHERE rn <= 3
+""",
+    doc="Ranking window: top-3 orders per customer via row_number with a "
+    "deterministic tiebreak (beyond the reference's lag-only windows).",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_running_total",
+    """
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+  FROM orders
+""",
+    doc="Cumulative frame window (rowsBetween unboundedPreceding→current) — "
+    "decimal-exact running sum.",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "q_part_supplier_stats",
+    f"""
+  SELECT p.p_brand, s.s_name,
+         count(*) AS n_lines,
+         {dsum("l.l_quantity")} AS total_qty,
+         round(max(l.l_extendedprice), 6) AS max_price,
+         min(p.p_size) AS min_size
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_size >= 10
+  GROUP BY p.p_brand, s.s_name
+""",
+    doc="Two broadcast dimension joins + multi-key aggregate with min/max.",
+)
+def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    supp = _t(spark, sf_dir, "supplier")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+    )
+    return joined.groupBy("p_brand", "s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        spark_dsum(F.col("l_quantity")).alias("total_qty"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        F.min("p_size").alias("min_size"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    """
+  SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         count(DISTINCT l_suppkey) AS exact_supps
+  FROM lineitem
+  GROUP BY l_returnflag
+""",
+    doc="Exact distinct counts (oracle side); the engine also exposes "
+    "approx_count_distinct (HLL++) as the 100 TB default — see reports.py.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+    )

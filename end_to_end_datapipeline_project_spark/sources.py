@@ -1,0 +1,65 @@
+"""Partition-aware sources (reference S4/S5 done right).
+
+The reference materializes the file list with Python ``glob.glob`` in the
+driver (gtfstransformerSilver.py:11) — a driver-side bottleneck and no
+partition pruning.  We read the base directory and let Spark's Hive-style
+partition discovery + Catalyst partition pruning select files: on a
+100 TB lake only the matching ``year=/month=/day=`` directories are listed
+and scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import BRONZE_SCHEMA
+
+
+def read_bronze(
+    spark: SparkSession,
+    base_path: str,
+    year: int | None = None,
+    month: int | None = None,
+    day: int | None = None,
+) -> DataFrame:
+    """Read the raw JSON landing zone with the declared envelope schema.
+
+    ``basePath`` keeps the partition columns (year/month/day) visible so the
+    equality filters below prune partitions at planning time — check with
+    ``.explain()``: the FileScan shows ``PartitionFilters``.
+    """
+    df = (
+        spark.read.option("multiline", "true")
+        .option("basePath", base_path)
+        .schema(
+            BRONZE_SCHEMA.add("year", "integer").add("month", "integer").add("day", "integer")
+        )
+        .json(base_path)
+    )
+    for name, val in (("year", year), ("month", month), ("day", day)):
+        if val is not None:
+            df = df.filter(F.col(name) == val)
+    return df.drop("year", "month", "day")
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    raw long (``legacy.parquet.nanosAsLong``).  We truncate nanos → micros
+    exactly like DuckDB does (integer DIV, not double division — the nano
+    epoch exceeds double's 53-bit integer range).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> dict[str, DataFrame]:
+    return {n: read_parquet_table(spark, sf_dir, n) for n in names}
