@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
+
+Each query is fully materialized through a noop sink (no driver-side
+collect skew); a warm-up pass primes the JVM/codegen so the numbers
+reflect steady-state plan execution, which is what scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_datapipeline_project_spark.registry import all_queries
+from end_to_end_datapipeline_project_spark.session import get_spark
+
+#: headline queries: the reference-parity pipeline (scan→cleanse→window→
+#: agg→topk), the relational join surface, and the LLM-data extensions
+HEADLINE = [
+    "q_silver_cleanse",
+    "q_lag_enrich",
+    "q_daily_report",
+    "q_drilldown_top_vehicle",
+    "q_sessionize",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_top_customers",
+    "q_window_rank",
+    "q_token_count",
+    "q_text_quality",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_ann_topk",
+    "q_multimodal_features",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm-up: prime JVM, codegen, parquet footers (not timed)
+    materialize(queries["q_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,7 @@ def _cos(prefix_a: str = "a", prefix_b: str = "b") -> Column:
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round({COS_SQL}, 6) AS cosine
   FROM __normed a JOIN __normed b ON a.vec_id < b.vec_id
-  WHERE {COS_SQL} >= 0.8
+  WHERE {COS_SQL} >= 0.45
 """,
     doc="Embedding-cosine near-duplicate pairs (brute-force self-join "
     "baseline; the IVF variant below is the 100 TB path).",
@@ -82,7 +82,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _cos()
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.8)
+        .filter(cos >= 0.45)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -29,12 +29,22 @@ def read_bronze(
     equality filters below prune partitions at planning time — check with
     ``.explain()``: the FileScan shows ``PartitionFilters``.
     """
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add() mutates in place, which would
+    # pollute the shared BRONZE_SCHEMA
+    read_schema = T.StructType(
+        list(BRONZE_SCHEMA.fields)
+        + [
+            T.StructField("year", T.IntegerType(), True),
+            T.StructField("month", T.IntegerType(), True),
+            T.StructField("day", T.IntegerType(), True),
+        ]
+    )
     df = (
         spark.read.option("multiline", "true")
         .option("basePath", base_path)
-        .schema(
-            BRONZE_SCHEMA.add("year", "integer").add("month", "integer").add("day", "integer")
-        )
+        .schema(read_schema)
         .json(base_path)
     )
     for name, val in (("year", year), ("month", month), ("day", day)):

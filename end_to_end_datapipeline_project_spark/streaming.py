@@ -1,0 +1,105 @@
+"""Structured Streaming tier.
+
+The reference's "stream" is a driver-side polling loop writing JSON files
+every 15 s (reference main.py:39-46) and batch jobs over the landed files.
+The Spark-first upgrade (SURVEY.md §2.10) is a file-source Structured
+Stream over the same landing zone:
+
+- bronze→silver continuously, with a **watermark** bounding state and a
+  **streaming dropDuplicates** keyed (VehicleNumber, Time) replacing the
+  batch dedup;
+- event-time windowed aggregation replacing the daily batch report;
+- ``Trigger.AvailableNow`` gives the batch-parity mode: process
+  everything landed, then stop — same results, same code path.
+
+At scale the file source handles new-file discovery incrementally
+(listing only new partitions), state is bounded by the watermark, and the
+sink is exactly-once via checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cleanse import cleanse_filters, explode_envelope, typed_projection
+from .schemas import BRONZE_SCHEMA
+
+
+def read_bronze_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+    """File-source stream over the raw JSON landing zone (declared schema —
+    streaming reads never infer)."""
+    return (
+        spark.readStream.schema(BRONZE_SCHEMA)
+        .option("multiline", "true")
+        .option("maxFilesPerTrigger", 64)
+        .json(bronze_dir)
+    )
+
+
+def bronze_to_silver_stream(
+    bronze: DataFrame, current_date: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming Silver: explode → type → cleanse → watermark → streaming
+    dedup on (VehicleNumber, Time).
+
+    The watermark bounds the dedup state: keys older than event-time
+    ``watermark`` are evicted, so state is O(traffic × watermark), not
+    O(history) — the thing that makes this viable on an unbounded stream.
+    """
+    df = typed_projection(explode_envelope(bronze))
+    df = cleanse_filters(df, current_date)
+    return df.withWatermark("Time", watermark).dropDuplicates(
+        ["VehicleNumber", "Time"]
+    )
+
+
+def write_silver_stream(
+    silver: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Exactly-once parquet sink, partitioned by date, checkpointed."""
+    writer = (
+        silver.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_size: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time tumbling-window counts per event_type with late-data
+    handling — the streaming form of the reference's daily report."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, table_name: str, complete: bool = True
+) -> DataFrame:
+    """Run an availableNow stream into an in-memory sink and return the
+    result table (batch-parity execution of a streaming plan)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -1,0 +1,113 @@
+"""Driver-checkable streaming queries.
+
+``q_stream_event_counts`` executes a *real Structured Streaming plan*
+(file source → watermark → event-time tumbling window → stateful agg)
+with ``Trigger.AvailableNow`` into a memory sink — batch-parity semantics,
+so the DuckDB oracle can still check it exactly.
+
+``q_session_window`` uses Spark's native session windows (the streaming
+stateful operator) in batch mode; the oracle reproduces the gap-merge
+semantics with lag + cumulative-sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources import read_parquet_table
+from .streaming import run_stream_to_memory, windowed_event_counts
+
+_MEM_SEQ = [0]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (declared schema; nanos ts
+    arrives as long → truncate to micros exactly like the batch reader).
+
+    The file source requires a *directory*; stage a symlink dir (the
+    landing-zone shape a real deployment would have).
+    """
+    import os
+
+    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(zip(schema.names, [f.dataType.typeName() for f in schema.fields])).get(
+        "ts"
+    ) in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+@register(
+    "q_stream_event_counts",
+    """
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events
+  GROUP BY date_trunc('day', ts), event_type
+""",
+    doc="Structured Streaming: file source → 1-day watermark → event-time "
+    "tumbling-window count per type, Trigger.AvailableNow into a memory "
+    "sink. Batch-parity execution of a genuinely stateful streaming plan.",
+)
+def q_stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    counts = windowed_event_counts(stream, "1 day", "1 day")
+    _MEM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark, counts, f"stream_event_counts_{_MEM_SEQ[0]}", complete=True
+    )
+
+
+@register(
+    "q_session_window",
+    """
+  WITH __lagged AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  ),
+  __flag AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts >= prev_ts + INTERVAL 1 HOUR
+                   THEN 1 ELSE 0 END AS new_session
+    FROM __lagged
+  ),
+  __sess AS (
+    SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM __flag
+  )
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 1 HOUR AS session_end,
+         count(*) AS n_events
+  FROM __sess
+  GROUP BY user_id, session_no
+""",
+    doc="Native session windows (gap=1h) — Spark's stateful streaming "
+    "operator run in batch mode; oracle reproduces gap-merge via "
+    "lag+cumsum at full microsecond precision. (Spark starts a new "
+    "session when the gap is ≥ the timeout, i.e. merge on strict <.)",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    return (
+        df.groupBy("user_id", F.session_window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,82 @@
+"""LLM-data operators: dedup / similarity / text / multimodal invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+    jaccard_pairs,
+    shingles,
+)
+from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+    attach_fake_media,
+    decode_image,
+    extract_media_features,
+    fake_decode,
+)
+from end_to_end_datapipeline_project_spark.llm_ops.similarity import dot, vectors
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_are_distinct_3grams(spark):
+    df = docs_df(spark, [(1, "a b c d"), (2, "x y")])
+    out = shingles(df).collect()
+    got = sorted((r.doc_id, r.shingle) for r in out)
+    assert got == [(1, "a b c"), (1, "b c d")]  # doc 2 too short → none
+
+
+def test_jaccard_identical_docs(spark):
+    df = docs_df(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")])
+    out = jaccard_pairs(shingles(df)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2) and r.jaccard == 1.0
+
+
+def test_jaccard_partial_overlap(spark):
+    # doc1: shingles {abc,bcd}; doc2: {bcd,cde} → shared 1, union 3
+    df = docs_df(spark, [(1, "a b c d"), (2, "b c d e")])
+    r = jaccard_pairs(shingles(df)).collect()[0]
+    assert r.shared == 1 and abs(r.jaccard - 1 / 3) < 1e-9
+
+
+def test_cosine_dot_helper(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id long, v array<double>",
+    )
+    out = df.select("vec_id", dot(F.col("v"), F.col("v")).alias("d")).collect()
+    assert {r.vec_id: r.d for r in out} == {1: 1.0, 2: 4.0, 3: 25.0}
+
+
+def test_vectors_norms(spark, sf_dir):
+    v = vectors(spark, sf_dir)
+    row = v.first()
+    assert len(row.v) == 64 and row.norm > 0
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode(b"hello")
+    b = fake_decode(b"hello")
+    assert a == b
+    assert 16 <= a["width"] <= 16 + 255
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_media_features_pipeline(spark):
+    docs = docs_df(spark, [(0, "hello world"), (1, "abc"), (2, "xyz")])
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_media_features(media).collect()
+    by_id = {r.asset_id: r for r in feats}
+    assert by_id[0].kind == "image" and by_id[1].kind == "audio"
+    assert by_id[0].byte_len == len(b"hello world")
+    import hashlib
+
+    assert by_id[1].sha256_hex == hashlib.sha256(b"abc").hexdigest()

@@ -1,0 +1,88 @@
+"""Structured Streaming bronze→silver: watermark + streaming dedup +
+exactly-once parquet sink, executed with Trigger.AvailableNow."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from end_to_end_datapipeline_project_spark.streaming import (
+    bronze_to_silver_stream,
+    read_bronze_stream,
+    run_stream_to_memory,
+    windowed_event_counts,
+    write_silver_stream,
+)
+
+DAY = "2026-02-23"
+
+
+def _write(base, name, records):
+    os.makedirs(base, exist_ok=True)
+    with open(f"{base}/{name}.json", "w") as f:
+        json.dump({"result": records}, f)
+
+
+def rec(veh, time, lat=52.2, lon=21.0):
+    return {
+        "Lines": "180",
+        "VehicleNumber": veh,
+        "Lat": lat,
+        "Lon": lon,
+        "Time": time,
+    }
+
+
+def test_stream_bronze_to_silver_dedups_and_writes(spark, tmp_path):
+    bronze_dir = str(tmp_path / "bronze")
+    # duplicate (veh, time) across two files — streaming dedup must collapse
+    _write(bronze_dir, "s1", [rec("1000", f"{DAY} 12:00:00")])
+    _write(
+        bronze_dir,
+        "s2",
+        [rec("1000", f"{DAY} 12:00:00"), rec("1001", f"{DAY} 12:00:15")],
+    )
+
+    stream = read_bronze_stream(spark, bronze_dir)
+    assert stream.isStreaming
+    silver = bronze_to_silver_stream(stream, DAY)
+
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_silver_stream(silver, out, ckpt)
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert len(rows) == 2
+    assert set(r.VehicleNumber for r in rows) == {"1000", "1001"}
+
+    # restart with no new files → exactly-once: nothing re-emitted
+    q2 = write_silver_stream(
+        bronze_to_silver_stream(read_bronze_stream(spark, bronze_dir), DAY),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_windowed_counts_memory_sink(spark, tmp_path):
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(1, f"{DAY} 10:00:01", "click"), (2, f"{DAY} 10:30:00", "click"),
+         (3, f"{DAY} 26:00:00".replace("26", "23"), "view")],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    counts = windowed_event_counts(stream, "1 hour", "1 hour")
+    result = run_stream_to_memory(spark, counts, "t_win_counts")
+    got = {(r.window_start.hour, r.event_type): r.n_events for r in result.collect()}
+    assert got[(10, "click")] == 2
+    assert got[(23, "view")] == 1
