@@ -64,7 +64,10 @@ def cleanse_filters(df: DataFrame, current_date: str) -> DataFrame:
 
 
 def dedup_deterministic(
-    df: DataFrame, keys: list[str], tiebreak: list[str] | None = None
+    df: DataFrame,
+    keys: list[str],
+    tiebreak: list[str] | None = None,
+    cluster_by: str | None = None,
 ) -> DataFrame:
     """Keep exactly one row per key, with a *deterministic* survivor.
 
@@ -74,7 +77,16 @@ def dedup_deterministic(
     columns and keep rank 1.  Physically this is one hash shuffle on the
     key + an in-partition sort: same cost class as dropDuplicates, but
     stable under retries, AQE re-plans, and 1000-way parallelism.
+
+    ``cluster_by``: optionally pre-partition by a *prefix* of the key
+    (e.g. the trajectory key alone).  Hash-partitioning by the prefix
+    satisfies the clustering requirement of this dedup window AND of any
+    downstream window/agg on the same prefix — one shuffle instead of
+    two.  (Catalyst: HashPartitioning(k) satisfies
+    ClusteredDistribution([k, t]).)
     """
+    if cluster_by is not None:
+        df = df.repartition(F.col(cluster_by))
     others = tiebreak or [c for c in df.columns if c not in keys]
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in others])
     return (
@@ -88,7 +100,11 @@ def bronze_to_silver(bronze: DataFrame, current_date: str) -> DataFrame:
     """Full Silver pipeline: explode → type → cleanse → dedup."""
     df = typed_projection(explode_envelope(bronze))
     df = cleanse_filters(df, current_date)
-    return dedup_deterministic(df, keys=["VehicleNumber", "Time"])
+    # cluster by the trajectory key so downstream lag windows reuse the
+    # same partitioning (no second shuffle)
+    return dedup_deterministic(
+        df, keys=["VehicleNumber", "Time"], cluster_by="VehicleNumber"
+    )
 
 
 def null_probe(df: DataFrame, cols: list[str]) -> int:

@@ -227,18 +227,22 @@ N_SEEDS = 8
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     sh = shingles(docs)
-    seeds = spark.range(N_SEEDS).select(F.col("id").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    # all N_SEEDS min-hashes in ONE hash-aggregate pass over the shingles
+    # (vs. exploding shingles × seeds through the shuffle: 8× less shuffle
+    # volume — the thing that matters at 100 TB), then unpivot the compact
+    # per-doc signature to (doc_id, seed, minhash) for the bucket join.
+    mh_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"m{s}")
+            for s in range(N_SEEDS)
+        ]
+    )
+    stack_expr = ", ".join(f"{s}L, m{s}" for s in range(N_SEEDS))
+    mh = mh_wide.select(
+        "doc_id",
+        F.expr(f"stack({N_SEEDS}, {stack_expr}) AS (seed, minhash)"),
     )
     a = mh.alias("a")
     b = mh.alias("b")

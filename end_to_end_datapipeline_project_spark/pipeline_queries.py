@@ -142,7 +142,11 @@ def events_cleansed(
     df = df.filter(
         in_bounding_box(F.col("lat"), F.col("lon"), lat_min, lat_max, lon_min, lon_max)
     ).filter(F.col("event_type") != "")
-    return dedup_deterministic(df, keys=["user_id", "ts"], tiebreak=["event_id"])
+    # cluster by user_id (prefix of the dedup key): the dedup window AND
+    # the downstream lag window share one shuffle
+    return dedup_deterministic(
+        df, keys=["user_id", "ts"], tiebreak=["event_id"], cluster_by="user_id"
+    )
 
 
 def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
