@@ -66,7 +66,9 @@ def _load() -> None:
         return
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
+    from . import stats  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import timeseries  # noqa: F401
     from .llm_ops import dedup, multimodal, similarity, text  # noqa: F401
 
     _loaded = True

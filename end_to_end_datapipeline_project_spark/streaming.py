@@ -89,6 +89,48 @@ def windowed_event_counts(
     )
 
 
+STATEFUL_OUTPUT_SCHEMA = "user_id long, n_events long, max_value double"
+STATEFUL_STATE_SCHEMA = "n long, mx double"
+
+
+def stateful_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, max) maintained in GroupState across micro-batches.
+
+    Emits the running totals once per key per batch.  Both statistics are
+    monotone, so ``max()`` over the emitted rows equals the final answer
+    regardless of how the input was split into batches — which is what
+    makes the operator exactly checkable against a batch oracle.
+
+    State is O(#keys); with a real unbounded stream, pair with a
+    processing-time timeout to evict idle keys (omitted here because the
+    driver-checked run uses Trigger.AvailableNow).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            if len(pdf) and (mx is None or batch_max > mx):
+                mx = float(batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        STATEFUL_OUTPUT_SCHEMA,
+        STATEFUL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, table_name: str, complete: bool = True
 ) -> DataFrame:

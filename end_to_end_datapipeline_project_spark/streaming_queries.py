@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from .registry import register
 from .sources import read_parquet_table
-from .streaming import run_stream_to_memory, windowed_event_counts
+from .streaming import (
+    run_stream_to_memory,
+    stateful_user_stats,
+    windowed_event_counts,
+)
 
 _MEM_SEQ = [0]
 
@@ -110,4 +114,28 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_window.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@register(
+    "q_stateful_user_stats",
+    """
+  SELECT user_id, count(*) AS n_events, round(max(value), 6) AS max_value
+  FROM events GROUP BY user_id
+""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running count+max in GroupState, emitted per batch; the "
+    "running stats are monotone so max() over emissions == final answer, "
+    "making a genuinely stateful Python operator exactly oracle-checkable.",
+)
+def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    stats = stateful_user_stats(stream)
+    _MEM_SEQ[0] += 1
+    emitted = run_stream_to_memory(
+        spark, stats, f"stateful_user_stats_{_MEM_SEQ[0]}", complete=False
+    )
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("max_value"), 6).alias("max_value"),
     )

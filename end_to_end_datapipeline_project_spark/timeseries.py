@@ -1,0 +1,207 @@
+"""Time-series operators Spark lacks as built-ins: as-of join, range
+(interval) join, forward-fill.  Each is a *composition of shuffles Spark
+already has* — no UDFs, no cross products — so they keep working at
+100 TB where the naive formulations (theta-join / BroadcastNestedLoop)
+explode quadratically.
+
+- **As-of join** (`q_asof_join`): the "join each trade to the most recent
+  quote at-or-before it" operator (reference has no joins at all,
+  SURVEY.md §2.4; this is the canonical time-series extension).
+  Implementation: tag both relations, UNION them, and take
+  ``last(value, ignorenulls) OVER (PARTITION BY key ORDER BY t, src,
+  tiebreak ROWS UNBOUNDED PRECEDING)``.  One hash shuffle on the key +
+  one in-partition sort — same cost as a single window, regardless of
+  how many right-side rows precede each left row.  The DuckDB oracle is
+  a *native* ``ASOF LEFT JOIN``, proving the composition implements real
+  as-of semantics.
+- **Range join** (`q_range_join`): pure interval containment with **no**
+  equi-key.  Naive Spark = BroadcastNestedLoopJoin, O(|L|·|R|).  We bin
+  time into fixed-width buckets, explode each interval to the buckets it
+  covers (bounded: interval span / bucket width), and equi-join on the
+  bucket before the exact BETWEEN filter — turning the theta join into a
+  shuffled hash join whose fan-out is the per-bucket density, the
+  standard trick (also what Databricks' range-join hints do under the
+  hood).
+- **Forward-fill** (`q_gap_fill`): carry the last non-null observation
+  per key — ``last(ignorenulls)`` over an unbounded-preceding frame; the
+  oracle is DuckDB's ``last_value(x IGNORE NULLS)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import dsum, register, spark_dsum
+from .sources import read_parquet_table
+
+
+# --- as-of join -----------------------------------------------------------
+
+#: "quotes" = one price observation per (part, day): the l_linenumber=1
+#: lineitems, deduped to the max-orderkey row per (part, shipdate) so the
+#: as-of match is deterministic under ties.
+QUOTES_SQL = """
+  __quotes AS (
+    SELECT l_partkey AS q_partkey, l_shipdate AS q_ts,
+           max_by(l_extendedprice, l_orderkey) AS q_price
+    FROM lineitem
+    WHERE l_linenumber = 1
+    GROUP BY l_partkey, l_shipdate
+  ),
+  __trades AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+  )
+"""
+
+
+@register(
+    "q_asof_join",
+    f"""
+  WITH {QUOTES_SQL}
+  SELECT t.l_orderkey, t.l_linenumber, t.l_partkey, t.l_shipdate,
+         t.l_quantity, round(q.q_price, 6) AS asof_price
+  FROM __trades t
+  ASOF LEFT JOIN __quotes q
+    ON t.l_partkey = q.q_partkey AND t.l_shipdate >= q.q_ts
+""",
+    doc="As-of join: each returned lineitem ('trade') matched to the most "
+    "recent linenumber-1 price observation ('quote') for the same part at "
+    "or before its shipdate. Spark: union + last(ignorenulls) window — "
+    "ONE shuffle; oracle: DuckDB native ASOF LEFT JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    quotes = (
+        li.filter(F.col("l_linenumber") == 1)
+        .groupBy(
+            F.col("l_partkey").alias("key"), F.col("l_shipdate").alias("t")
+        )
+        .agg(F.max_by("l_extendedprice", "l_orderkey").alias("q_price"))
+        .withColumn("src", F.lit(0))
+        .withColumn("l_orderkey", F.lit(None).cast("long"))
+        .withColumn("l_linenumber", F.lit(None).cast("int"))
+        .withColumn("l_quantity", F.lit(None).cast("double"))
+    )
+    trades = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("key"),
+        F.col("l_shipdate").alias("t"),
+        F.lit(None).cast("double").alias("q_price"),
+        F.lit(1).alias("src"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+    )
+    tagged = quotes.select(*trades.columns).unionByName(trades)
+    # quotes sort before trades at equal t (src 0 < 1), so a quote AT the
+    # trade's timestamp is visible — DuckDB ASOF's >= semantics.
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.asc("t"), F.asc("src"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("asof_price", F.last("q_price", ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("key").alias("l_partkey"),
+            F.col("t").alias("l_shipdate"),
+            "l_quantity",
+            F.round("asof_price", 6).alias("asof_price"),
+        )
+    )
+
+
+# --- range join -----------------------------------------------------------
+
+RANGE_DAYS = 3  # interval width: [o_orderdate, o_orderdate + 3 days)
+BIN = 86400  # 1-day buckets — bound the explode fan-out to RANGE_DAYS
+
+
+@register(
+    "q_range_join",
+    f"""
+  SELECT i.o_orderkey,
+         count(*) AS n_shipped,
+         {dsum("p.l_quantity")} AS sum_qty
+  FROM (SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderpriority = '1-URGENT') i
+  JOIN lineitem p
+    ON p.l_shipdate >= i.o_orderdate
+   AND p.l_shipdate < i.o_orderdate + INTERVAL {RANGE_DAYS} DAY
+  GROUP BY i.o_orderkey
+""",
+    doc="Pure range (interval-containment) join with NO equi-key: lineitems "
+    "shipped within 3 days of each urgent order's date. Spark: bin "
+    "timestamps into 1-day buckets, explode each interval to its ≤4 "
+    "covered buckets, equi-join on bucket, then exact BETWEEN — a "
+    "shuffled hash join instead of a nested-loop cross product.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    intervals = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("lo", F.unix_timestamp("o_orderdate"))
+        .withColumn("hi", F.col("lo") + RANGE_DAYS * 86400)
+        # every 1-day bucket the half-open interval [lo, hi) touches
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col("lo") / BIN).cast("long"),
+                    ((F.col("hi") - 1) / BIN).cast("long"),
+                )
+            ),
+        )
+    )
+    points = li.select("l_quantity", "l_shipdate").withColumn(
+        "pt", F.unix_timestamp("l_shipdate")
+    ).withColumn("bin", (F.col("pt") / BIN).cast("long"))
+    joined = intervals.join(points, "bin").filter(
+        (F.col("pt") >= F.col("lo")) & (F.col("pt") < F.col("hi"))
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        spark_dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# --- forward fill ---------------------------------------------------------
+
+
+@register(
+    "q_gap_fill",
+    """
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+  FROM events
+""",
+    doc="Forward-fill (LOCF): carry each user's most recent purchase value "
+    "onto every subsequent event — last(ignorenulls) over an unbounded-"
+    "preceding frame; NULL before the first purchase.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -86,3 +86,39 @@ def test_windowed_counts_memory_sink(spark, tmp_path):
     got = {(r.window_start.hour, r.event_type): r.n_events for r in result.collect()}
     assert got[(10, "click")] == 2
     assert got[(23, "view")] == 1
+
+
+def test_stateful_user_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running per-key stats survive across
+    micro-batches (two files forced into separate triggers), and max()
+    over emissions equals the batch answer."""
+    from end_to_end_datapipeline_project_spark.streaming import (
+        run_stream_to_memory,
+        stateful_user_stats,
+    )
+
+    src = str(tmp_path / "ev")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(
+        [(1, None, 7, 5.0), (2, None, 8, 1.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(3, None, 7, 9.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    emitted = run_stream_to_memory(
+        spark, stateful_user_stats(stream), "t_stateful", complete=False
+    )
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("max_value").alias("mx"))
+        .collect()
+    )
+    got = {r.user_id: (r.n, r.mx) for r in final}
+    assert got[7] == (2, 9.0)
+    assert got[8] == (1, 1.0)
