@@ -256,7 +256,42 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    # Verify ONLY the LSH candidates (the point of LSH): fan each candidate
+    # pair out to doc_a's shingles (broadcast — candidates are the tiny
+    # side), then probe doc_b's shingles on (doc_b, shingle).  Cost is
+    # Σ_candidates |shingles(A)|, independent of how many non-candidate
+    # pairs share a shingle — vs. the full inverted-index join, which at
+    # 100 TB is quadratic in posting-list length.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    fanned = F.broadcast(cand).join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    shared = (
+        fanned.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
     out = cand.join(jac, ["doc_a", "doc_b"], "left")
     return out.select(
         "doc_a",

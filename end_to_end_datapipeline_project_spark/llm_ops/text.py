@@ -236,3 +236,31 @@ def q_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
     )
     return counts.orderBy(F.desc("n"), F.asc("word")).limit(20)
+
+
+#: BPE-style pre-tokenization: letter runs, digit runs, single punctuation
+#: marks — the GPT-2-ish split that precedes byte-pair merging.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+@register(
+    "q_bpe_tokens",
+    f"""
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+         len(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}')))
+           AS n_distinct_tokens
+  FROM documents
+""",
+    doc="BPE-ish regex pre-tokenization (letter runs / digit runs / single "
+    "punctuation) with total and distinct token counts — the token-budget "
+    "estimator of an LLM-data pipeline, pure JVM regexp (no UDF).",
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )

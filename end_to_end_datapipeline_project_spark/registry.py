@@ -66,6 +66,7 @@ def _load() -> None:
         return
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
+    from . import physical  # noqa: F401
     from . import stats  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import timeseries  # noqa: F401

@@ -410,3 +410,74 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_suppkey").alias("exact_supps"),
     )
+
+
+@register(
+    "q_cube",
+    f"""
+  SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+         count(*) AS n_orders,
+         {dsum("o.o_totalprice")} AS total_price,
+         CAST(grouping(c.c_mktsegment) AS INTEGER) AS g_segment,
+         CAST(grouping(o.o_orderstatus) AS INTEGER) AS g_status
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
+""",
+    doc="Full CUBE grouping sets (all 4 combinations) with GROUPING() "
+    "markers — completes the grouping-sets surface next to q_rollup.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+        )
+        .cube("segment", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            spark_dsum(F.col("o_totalprice")).alias("total_price"),
+            F.grouping("segment").cast("int").alias("g_segment"),
+            F.grouping("status").cast("int").alias("g_status"),
+        )
+    )
+
+
+@register(
+    "q_ntile_lead",
+    """
+  SELECT o_orderkey, o_custkey,
+         ntile(4) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+           AS price_quartile,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS next_order_date,
+         CAST(floor(epoch(lead(o_orderdate) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+              AS BIGINT)
+           - CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec_to_next
+  FROM orders
+""",
+    doc="ntile + lead windows: per-customer price quartiles and "
+    "time-to-next-order (forward-looking counterpart of the reference's "
+    "lag-only window surface, W2).",
+)
+def q_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w_time)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        nxt.alias("next_order_date"),
+        (F.unix_timestamp(nxt) - F.unix_timestamp("o_orderdate")).alias(
+            "sec_to_next"
+        ),
+    )
