@@ -140,3 +140,72 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
     return extract_media_features(media)
+
+
+N_FRAMES = 4
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling for video assets: a 1→N generator-shaped mapInPandas
+    kernel (each input row yields ``n_frames`` output rows).
+
+    A real decoder would seek to evenly-spaced timestamps and emit decoded
+    frames; the deterministic stand-in derives each frame's bytes from
+    md5(payload ‖ frame_no) so schema, batch fan-out, and partitioning are
+    exercised for real.  No shuffle: fan-out happens inside the scan
+    stage, so at 100 TB output partitioning follows input file splits.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_no": [], "frame_md5": [], "frame_bytes": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    digest = hashlib.md5(
+                        bytes(payload) + str(i).encode()
+                    ).hexdigest()
+                    out["asset_id"].append(asset_id)
+                    out["frame_no"].append(i)
+                    out["frame_md5"].append(digest)
+                    out["frame_bytes"].append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(out["asset_id"], dtype="int64"),
+                    "frame_no": pd.array(out["frame_no"], dtype="int32"),
+                    "frame_md5": out["frame_md5"],
+                    "frame_bytes": pd.array(out["frame_bytes"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+@register(
+    "q_multimodal_frames",
+    f"""
+  SELECT doc_id AS asset_id,
+         CAST(f.i AS INTEGER) AS frame_no,
+         md5(text || CAST(f.i AS VARCHAR)) AS frame_md5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, {N_FRAMES})) AS i) f
+  WHERE doc_id % 3 = 2
+""",
+    doc="Video frame sampling: 1→N generator mapInPandas over binary "
+    "payloads (video assets only — kind pruning happens before the "
+    "Python kernel sees any bytes); frame content stubbed as "
+    "md5(payload ‖ frame_no), plumbing real.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs).filter(F.col("kind") == "video")
+    return sample_frames(media)

@@ -481,3 +481,101 @@ def q_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sec_to_next"
         ),
     )
+
+
+@register(
+    "q_merge_upsert",
+    f"""
+  WITH __updates AS (
+    SELECT o_orderkey, round(o_totalprice * 1.1, 6) AS new_price
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, 123.456 AS new_price
+    FROM orders WHERE o_orderkey % 1000 = 0
+  )
+  SELECT coalesce(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+         CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+              WHEN u.o_orderkey IS NULL THEN 'unchanged'
+              ELSE 'updated' END AS merge_action,
+         round(coalesce(u.new_price, t.o_totalprice), 6) AS o_totalprice
+  FROM orders t FULL OUTER JOIN __updates u ON t.o_orderkey = u.o_orderkey
+""",
+    doc="MERGE INTO (upsert) semantics without a table format: full outer "
+    "join of target vs. change set — matched rows take the update, "
+    "unmatched-source rows insert, unmatched-target rows pass through. "
+    "The same plan a Delta/Iceberg MERGE lowers to; shuffle on the merge "
+    "key, AQE handles skew.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 6).alias("new_price"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(123.456).alias("new_price"),
+            )
+        )
+    )
+    t, u = orders.alias("t"), updates.alias("u")
+    merged = t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("u.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("t.o_orderkey").isNull(), "inserted")
+        .when(F.col("u.o_orderkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+        F.round(
+            F.coalesce(F.col("u.new_price"), F.col("t.o_totalprice")), 6
+        ).alias("o_totalprice"),
+    )
+
+
+#: numeric lineitem columns profiled in one scan
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q_profile_columns",
+    " UNION ALL ".join(
+        f"""
+  SELECT '{c}' AS column_name,
+         count(*) AS n_rows,
+         count(*) - count({c}) AS n_nulls,
+         count(DISTINCT {c}) AS n_distinct,
+         round(min({c}), 6) AS min_value,
+         round(max({c}), 6) AS max_value
+  FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    doc="One-pass column profiling (the data-quality sweep before any "
+    "training-data run): per-column row/null/distinct counts and range, "
+    "computed in a single scan with a multi-output aggregate, then "
+    "unpivoted — not one scan per column.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

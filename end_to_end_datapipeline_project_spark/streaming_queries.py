@@ -139,3 +139,58 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("max_value"), 6).alias("max_value"),
     )
+
+
+@register(
+    "q_stream_stream_join",
+    """
+  SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+         p.user_id,
+         CAST(floor(epoch(e.ts)) AS BIGINT)
+           - CAST(floor(epoch(p.ts)) AS BIGINT) AS lag_sec
+  FROM events p JOIN events e
+    ON p.user_id = e.user_id
+   AND p.event_type = 'purchase' AND e.event_type = 'error'
+   AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+""",
+    doc="Stream-stream inner join with event-time range condition and "
+    "watermarks on both sides (errors within 1h after each purchase by "
+    "the same user). State on each side is bounded by watermark + range "
+    "bound; Trigger.AvailableNow makes it batch-parity and oracle-exact.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 day")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "error_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias("lag_sec"),
+    )
+    _MEM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark, joined, f"stream_stream_join_{_MEM_SEQ[0]}", complete=False
+    )
