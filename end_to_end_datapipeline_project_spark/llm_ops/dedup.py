@@ -404,3 +404,84 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 2)
     )
+
+
+# --- dedup clustering (connected components) ------------------------------
+
+CLUSTER_JACCARD = 0.02
+MAX_CC_ITERS = 20
+
+
+@register(
+    "q_dedup_clusters",
+    f"""
+  WITH RECURSIVE {SHINGLES_SQL},
+  {JACCARD_VERIFY_SQL},
+  __edges1 AS (
+    SELECT doc_a AS src, doc_b AS dst FROM __jac
+    WHERE jaccard >= {CLUSTER_JACCARD}
+  ),
+  __edges AS (
+    SELECT src, dst FROM __edges1
+    UNION ALL SELECT dst, src FROM __edges1
+  ),
+  __reach (doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT q.doc_id, e.dst FROM __reach q JOIN __edges e ON e.src = q.r
+  )
+  SELECT doc_id,
+         min(r) AS cluster_id,
+         CAST(doc_id = min(r) AS INTEGER) AS is_canonical
+  FROM __reach GROUP BY doc_id
+""",
+    doc="Near-dup clustering: connected components over the Jaccard≥0.02 "
+    "pair graph by iterative min-label propagation (each doc adopts the "
+    "smallest doc_id reachable; canonical = cluster min). The Spark loop "
+    "localCheckpoints per iteration to cut lineage and stops when the "
+    "global label sum is stable; the oracle is a recursive-CTE "
+    "transitive closure — an iterative distributed algorithm checked "
+    "against exact SQL semantics.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+    jac = jaccard_pairs(shingles(docs_with_text(spark, sf_dir)))
+    edges1 = jac.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges1.unionAll(
+        edges1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(MAX_CC_ITERS):
+        # each node adopts min(own label, neighbors' labels)
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: O(1) plan depth per iteration
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
+def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, "documents")

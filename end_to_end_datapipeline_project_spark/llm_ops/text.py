@@ -264,3 +264,64 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "q_tfidf",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+  ),
+  __tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM __tok GROUP BY doc_id, term
+  ),
+  __df AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM __tok GROUP BY term
+  ),
+  __n AS (SELECT count(*) AS n_docs FROM documents),
+  __scored AS (
+    SELECT t.doc_id, t.term,
+           t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf
+    FROM __tf t JOIN __df d USING (term) CROSS JOIN __n n
+  )
+  SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM __scored)
+  WHERE rank <= {TFIDF_TOP_K}
+""",
+    doc="TF-IDF top-3 terms per document: term frequency × ln(N/df), "
+    "document frequency via a shared token explode, top-k by ranking "
+    "window with a term tiebreak. The df table is small → broadcast; "
+    "N arrives as a broadcast scalar, not a driver collect.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

@@ -80,3 +80,44 @@ def test_media_features_pipeline(spark):
     import hashlib
 
     assert by_id[1].sha256_hex == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """Doc 1~2 and 2~3 overlap (chain) → one component {1,2,3} with
+    canonical 1; doc 4 shares nothing → singleton cluster."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import q_dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "beta gamma delta epsilon", "en", "s", 24),
+            (3, "gamma delta epsilon zeta", "en", "s", 24),
+            (4, "totally different words here", "en", "s", 28),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in q_dedup_clusters(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1)}
+
+
+def test_tfidf_rare_term_outranks_common(spark, tmp_path):
+    from end_to_end_datapipeline_project_spark.llm_ops.text import q_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared unique1", "en", "s", 21),
+            (2, "shared unique2 unique2", "en", "s", 22),
+            (3, "shared filler words", "en", "s", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = q_tfidf(spark, str(tmp_path)).collect()
+    top = {r.doc_id: r.term for r in rows if r.rank == 1}
+    # 'shared' appears in every doc → idf 0; the doc-unique terms win
+    assert top[1] == "unique1" and top[2] == "unique2"
+    assert all(r.tfidf == 0.0 for r in rows if r.term == "shared")
