@@ -37,6 +37,11 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_ann_topk",
     "q_multimodal_features",
+    "q_asof_join",
+    "q_range_join",
+    "q_merge_upsert",
+    "q_tfidf",
+    "q_salted_join",
 ]
 
 

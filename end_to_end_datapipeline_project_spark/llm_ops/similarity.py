@@ -79,15 +79,18 @@ def _cos(prefix_a: str = "a", prefix_b: str = "b") -> Column:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vectors(spark, sf_dir)
     a, b = vecs.alias("a"), vecs.alias("b")
-    cos = _cos()
+    # project the cosine ONCE, then filter on the materialized column —
+    # higher-order array folds don't whole-stage-codegen, so evaluating
+    # the 64-dim fold in filter AND select AND round triples the cost
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.45)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+            _cos().alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
 
 

@@ -144,31 +144,65 @@ BIN = 86400  # 1-day buckets — bound the explode fan-out to RANGE_DAYS
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    intervals = (
+    ivals = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_orderdate")
         .withColumn("lo", F.unix_timestamp("o_orderdate"))
         .withColumn("hi", F.col("lo") + RANGE_DAYS * 86400)
-        # every 1-day bucket the half-open interval [lo, hi) touches
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    (F.col("lo") / BIN).cast("long"),
-                    ((F.col("hi") - 1) / BIN).cast("long"),
-                )
-            ),
-        )
+        # bins the half-open [lo, hi) touches, split into FULL bins
+        # (bin ⊆ interval — every point in the bin matches, no per-point
+        # test needed) and EDGE bins (partially covered at either end)
+        .withColumn("lo_bin", (F.col("lo") / BIN).cast("long"))
+        .withColumn("hi_bin", ((F.col("hi") - 1) / BIN).cast("long"))
+        .withColumn("full_lo", ((F.col("lo") + BIN - 1) / BIN).cast("long"))
+        .withColumn("full_hi", (F.col("hi") / BIN).cast("long") - 1)
     )
-    points = li.select("l_quantity", "l_shipdate").withColumn(
+    pts = li.select("l_quantity", "l_shipdate").withColumn(
         "pt", F.unix_timestamp("l_shipdate")
     ).withColumn("bin", (F.col("pt") / BIN).cast("long"))
-    joined = intervals.join(points, "bin").filter(
-        (F.col("pt") >= F.col("lo")) & (F.col("pt") < F.col("hi"))
+
+    # FULL bins: pre-aggregate the points per bin FIRST, then join the
+    # compact per-bin partials — the pair-level fan-out (Σ intervals×points
+    # per bin, the thing that exploded the naive plan) never materializes.
+    per_bin = pts.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"),
     )
-    return joined.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_shipped"),
-        spark_dsum(F.col("l_quantity")).alias("sum_qty"),
+    full = (
+        ivals.filter(F.col("full_hi") >= F.col("full_lo"))
+        .withColumn("bin", F.explode(F.sequence("full_lo", "full_hi")))
+        .join(per_bin, "bin")
+        .select("o_orderkey", "n", "q")
+    )
+    # EDGE bins: only partially-covered bins take the exact per-point
+    # test; with day-aligned interval endpoints this side is empty, and in
+    # general it is bounded by 2 bins per interval.
+    edges = ivals.select(
+        "o_orderkey", "lo", "hi", F.col("lo_bin").alias("bin")
+    ).filter(F.col("lo_bin") < F.col("full_lo")).unionAll(
+        ivals.select(
+            "o_orderkey", "lo", "hi", F.col("hi_bin").alias("bin")
+        ).filter(
+            (F.col("hi_bin") > F.col("full_hi"))
+            & (F.col("hi_bin") > F.col("lo_bin"))
+        )
+    )
+    edge = (
+        edges.join(pts, "bin")
+        .filter((F.col("pt") >= F.col("lo")) & (F.col("pt") < F.col("hi")))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"),
+        )
+    )
+    return (
+        full.unionByName(edge)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum("n").alias("n_shipped"),
+            F.sum("q").cast("double").alias("sum_qty"),
+        )
     )
 
 
