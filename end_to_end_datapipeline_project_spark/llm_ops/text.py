@@ -325,3 +325,76 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+@register(
+    "q_corpus_prep",
+    f"""
+  WITH __scored AS (
+    SELECT doc_id, lang, source, n_chars,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+           len({TOKENS_SQL}) AS n_tokens,
+           length(text)
+             - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+             AS n_punct,
+           length(text) AS n_chars_raw
+    FROM documents
+  ),
+  __filtered AS (
+    SELECT * FROM __scored
+    WHERE lang IN ('en', 'es')
+      AND n_tokens >= 5
+      AND CAST(n_punct AS DOUBLE) / n_chars_raw <= 0.2
+  ),
+  __deduped AS (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM __filtered) WHERE rn = 1
+  )
+  SELECT lang, source,
+         count(*) AS n_docs,
+         sum(n_tokens) AS total_tokens,
+         sum(n_chars_raw) AS total_chars
+  FROM __deduped GROUP BY lang, source
+""",
+    doc="End-to-end training-data prep composite: language filter → "
+    "quality gates (token floor, punctuation ceiling) → exact dedup "
+    "(deterministic min-doc_id survivor per content fingerprint) → "
+    "per-(lang, source) token-budget accounting. One declarative plan: "
+    "scan-side filters, one dedup shuffle, one agg shuffle.",
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+        F.size(tokens_col()).alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("n_punct"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    filtered = scored.filter(
+        F.col("lang").isin("en", "es")
+        & (F.col("n_tokens") >= 5)
+        & (F.col("n_punct").cast("double") / F.col("n_chars_raw") <= 0.2)
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_raw").alias("total_chars"),
+    )

@@ -39,3 +39,10 @@ def make_silver_df(spark, rows):
     return df.withColumn("Time", F.col("Time").cast("timestamp")).withColumn(
         "date", F.to_date("Time")
     )
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture so hypothesis @given tests can take the session-scoped
+    SparkSession without hypothesis treating it as a strategy argument."""
+    return spark

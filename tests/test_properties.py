@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis): randomized inputs checked against
+brute-force Python models — a testing layer the reference lacks entirely
+(SURVEY.md §5: no property/randomized testing there).
+
+Few examples, deadline off: each example runs real Spark jobs.
+"""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_datapipeline_project_spark.timeseries import q_asof_join
+
+BASE = datetime(2020, 1, 1)
+
+#: (part, day, linenumber) triples: small key/time domains force collisions
+_li_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # part key
+        st.integers(0, 9),  # shipdate day offset
+        st.integers(1, 3),  # linenumber (1 ⇒ quote)
+        st.booleans(),  # returnflag R ⇒ trade
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_li_rows)
+def test_asof_join_matches_bruteforce(spark_prop, tmp_path_factory, rows):
+    spark = spark_prop
+    li = [
+        (
+            i,  # orderkey: unique per row
+            part,
+            1,
+            line,
+            1.0,
+            float(100 * i + 7),  # price: unique per row
+            0.0,
+            0.0,
+            "R" if is_trade else "N",
+            "O",
+            BASE + timedelta(days=day),
+        )
+        for i, (part, day, line, is_trade) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = str(tmp_path_factory.mktemp("asof"))
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    got = {r.l_orderkey: r.asof_price for r in q_asof_join(spark, sf).collect()}
+
+    # brute-force model: quotes = linenumber-1 rows deduped to max orderkey
+    # per (part, ts); each R-trade takes the max-ts quote at or before it
+    quotes = {}
+    for k, (part, day, line, _) in enumerate(rows):
+        if line == 1:
+            key = (part, day)
+            if key not in quotes or k > quotes[key]:
+                quotes[key] = k
+    expected = {}
+    for k, (part, day, line, is_trade) in enumerate(rows):
+        if not is_trade:
+            continue
+        cands = [(d, ok) for (p, d), ok in quotes.items() if p == part and d <= day]
+        if cands:
+            best_day = max(d for d, _ in cands)
+            ok = max(ok for d, ok in cands if d == best_day)
+            expected[k] = float(100 * ok + 7)
+        else:
+            expected[k] = None
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30000)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_sessionize_gap_invariants(spark_prop, rows):
+    """Sessions partition each user's events; consecutive sessions are
+    separated by >1h; events within a session chain with gaps ≤1h."""
+    spark = spark_prop
+    ev = spark.createDataFrame(
+        [
+            (i, BASE + timedelta(seconds=sec), user, "click", 1.0, "{}")
+            for i, (user, sec) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (
+        ev.select("user_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 3600),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sess = (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        )
+        .collect()
+    )
+    # partition: session event counts sum to the user's event count
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    from collections import Counter
+
+    totals = Counter(user for user, _ in rows)
+    for user, srows in by_user.items():
+        assert sum(r.n for r in srows) == totals[user]
+        # ordering + separation: consecutive sessions >1h apart
+        srows = sorted(srows, key=lambda r: r.lo)
+        for a, b in zip(srows, srows[1:]):
+            assert (b.lo - a.hi).total_seconds() > 3600
