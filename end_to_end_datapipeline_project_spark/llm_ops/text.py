@@ -398,3 +398,68 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars_raw").alias("total_chars"),
     )
+
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 25
+
+
+@register(
+    "q_chunk_documents",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  ),
+  __chunks AS (
+    SELECT doc_id,
+           CAST(s.i AS INTEGER) AS chunk_no,
+           list_slice(toks, s.i * {CHUNK_STRIDE} + 1,
+                      s.i * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS chunk
+    FROM __tok
+    CROSS JOIN LATERAL (
+      SELECT unnest(range(0,
+        CAST(ceil(CAST(greatest(len(toks) - {CHUNK_SIZE}, 0) AS DOUBLE)
+                  / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS i
+    ) s
+    WHERE len(toks) > 0
+  )
+  SELECT doc_id, chunk_no,
+         len(chunk) AS n_tokens,
+         md5(array_to_string(chunk, ' ')) AS chunk_md5
+  FROM __chunks
+""",
+    doc="Overlapping context-window chunking (size 50, stride 25) for LLM "
+    "ingestion: tokenize once, explode chunk indices, slice the token "
+    "array per chunk — all JVM-side array expressions, fan-out happens "
+    "inside the scan stage with no shuffle; chunk content verified via "
+    "md5 of the joined tokens.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("toks") - CHUNK_SIZE, F.lit(0)).cast("double")
+            / CHUNK_STRIDE
+        ).cast("long")
+        + 1
+    )
+    chunks = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.slice(
+            "toks", F.col("chunk_no") * CHUNK_STRIDE + 1, CHUNK_SIZE
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_no",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )

@@ -122,3 +122,89 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
     got = {r.user_id: (r.n, r.mx) for r in final}
     assert got[7] == (2, 9.0)
     assert got[8] == (1, 1.0)
+
+
+def test_watermark_drops_late_duplicates_state(spark, tmp_path):
+    """The watermark bounds dedup state: an event arriving in a later
+    batch with event-time behind the watermark is dropped rather than held
+    in state forever (the property that keeps state O(window) on an
+    unbounded stream). A 1-hour watermark makes a same-day late arrival
+    actually late."""
+    from end_to_end_datapipeline_project_spark.streaming import (
+        bronze_to_silver_stream,
+        read_bronze_stream,
+        write_silver_stream,
+    )
+
+    bronze_dir = str(tmp_path / "bronze")
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: a 23:59 event advances the watermark to 22:59 (1h)
+    _write(bronze_dir, "b1", [rec("1000", f"{DAY} 23:59:00")])
+    q = write_silver_stream(
+        bronze_to_silver_stream(
+            read_bronze_stream(spark, bronze_dir), DAY, watermark="1 hour"
+        ),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    # batch 2: midnight event is ~24h behind the 22:59 watermark →
+    # late beyond the watermark → dropped by the stateful dedup
+    _write(bronze_dir, "b2", [rec("1001", f"{DAY} 00:00:00")])
+    q2 = write_silver_stream(
+        bronze_to_silver_stream(
+            read_bronze_stream(spark, bronze_dir), DAY, watermark="1 hour"
+        ),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination()
+
+    vehicles = {r.VehicleNumber for r in spark.read.parquet(out).collect()}
+    assert "1000" in vehicles
+    assert "1001" not in vehicles  # late beyond watermark: dropped
+
+
+def test_foreachbatch_idempotent_upsert_sink(spark, tmp_path):
+    """foreachBatch upsert: each micro-batch merges into a keyed parquet
+    target (overwrite-by-key), so replays are idempotent — the
+    exactly-once pattern for sinks without transactional support."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    schema = "k long, v double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame([(2, 20.0), (3, 3.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def upsert(batch_df, batch_id):
+        merged = batch_df.groupBy("k").agg(F.max("v").alias("v"))
+        if os.path.exists(f"{target}/_SUCCESS"):
+            old = batch_df.sparkSession.read.parquet(target)
+            keep = old.join(merged, "k", "left_anti")
+            merged = keep.unionByName(merged)
+        merged.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(
+            target
+        )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
