@@ -209,3 +209,73 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs).filter(F.col("kind") == "video")
     return sample_frames(media)
+
+
+SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("seq_md5", T.StringType(), False),
+        T.StructField("first_type", T.StringType(), True),
+        T.StructField("last_type", T.StringType(), True),
+    ]
+)
+
+
+def user_sequences(events: DataFrame) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``): per-user behavioral
+    sequence signature — the shape used for per-entity model fitting /
+    feature extraction where the computation needs the whole ordered
+    group in memory (sklearn-style fits, sequence encoders).
+
+    One shuffle on the grouping key; each group arrives as a single
+    pandas frame. The signature (md5 of the (ts, event_id)-ordered type
+    sequence) is exactly deterministic, so even this Python path is
+    oracle-checked value-for-value.
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        seq = " ".join(pdf["event_type"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "seq_md5": [hashlib.md5(seq.encode()).hexdigest()],
+                "first_type": [pdf["event_type"].iloc[0]],
+                "last_type": [pdf["event_type"].iloc[-1]],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(fit, SEQ_SCHEMA)
+
+
+@register(
+    "q_user_sequences",
+    """
+  WITH __ord AS (
+    SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+  )
+  SELECT user_id,
+         count(*) AS n_events,
+         md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_md5,
+         max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         max(CASE WHEN rn = n THEN event_type END) AS last_type
+  FROM __ord GROUP BY user_id
+""",
+    doc="Per-entity sequence modeling via grouped-map applyInPandas: the "
+    "whole ordered event history of each user lands in one pandas frame "
+    "(the shape for per-entity sklearn fits / sequence encoders); the "
+    "md5 sequence signature keeps even this Python path exactly "
+    "oracle-checkable.",
+)
+def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return user_sequences(events)

@@ -579,3 +579,61 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+@register(
+    "q_min_price_per_part",
+    """
+  SELECT l.l_partkey, l.l_orderkey, l.l_linenumber,
+         round(l.l_extendedprice, 6) AS l_extendedprice
+  FROM lineitem l
+  WHERE l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+    doc="Correlated scalar subquery (TPC-H Q2 shape: row matching its "
+    "group's minimum) decorrelated into a min-window + filter — one "
+    "shuffle on the correlation key instead of a per-row subquery.",
+)
+def q_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        )
+    )
+
+
+@register(
+    "q_calendar_buckets",
+    f"""
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+         count(*) AS n_orders,
+         {dsum("o_totalprice")} AS total_price
+  FROM orders
+  GROUP BY date_trunc('month', o_orderdate), date_trunc('week', o_orderdate)
+""",
+    doc="Calendar bucketing: month + ISO-week truncation (identical "
+    "Monday-anchored week semantics in both engines) with per-bucket "
+    "rollups — the time-dimension groupBy of every reporting layer.",
+)
+def q_calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.date_trunc("week", "o_orderdate").alias("week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            spark_dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
