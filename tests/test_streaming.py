@@ -208,3 +208,54 @@ def test_foreachbatch_idempotent_upsert_sink(spark, tmp_path):
     q.awaitTermination()
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_dedup_within_watermark_collapses_near_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates of a key are collapsed as
+    long as they arrive within the watermark delay of each other — the
+    bounded-state dedup for at-least-once upstreams that re-emit with
+    slightly different event times (plain dropDuplicates would keep both
+    forever or treat them as distinct keys)."""
+    src = str(tmp_path / "src")
+    schema = "k long, ts timestamp, v double"
+    spark.createDataFrame(
+        [
+            (1, "2026-02-23 12:00:00", 1.0),
+            (1, "2026-02-23 12:00:05", 1.0),  # re-emit 5s later: same key
+            (2, "2026-02-23 12:00:10", 2.0),
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    from end_to_end_datapipeline_project_spark.streaming import run_stream_to_memory
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    got = run_stream_to_memory(spark, deduped, "t_ddww", complete=False)
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+
+
+def test_corrupt_bronze_file_does_not_poison_the_batch(spark, tmp_path):
+    """Schema-on-read resilience: a malformed JSON file in the landing zone
+    parses to nulls under the declared schema and is dropped by the
+    cleanse dropna — the batch proceeds instead of crashing (the
+    reference's ingest loop would crash on a None payload,
+    reference main.py:40-45)."""
+    import os
+
+    from end_to_end_datapipeline_project_spark.cleanse import bronze_to_silver
+    from end_to_end_datapipeline_project_spark.sources import read_bronze
+
+    bronze_dir = str(tmp_path / "bronze")
+    os.makedirs(bronze_dir, exist_ok=True)
+    _write(bronze_dir, "good", [rec("1000", f"{DAY} 12:00:00")])
+    with open(f"{bronze_dir}/corrupt.json", "w") as f:
+        f.write('{"result": "not-an-array" oops')
+
+    silver = bronze_to_silver(read_bronze(spark, bronze_dir), DAY)
+    rows = silver.collect()
+    assert [r.VehicleNumber for r in rows] == ["1000"]
