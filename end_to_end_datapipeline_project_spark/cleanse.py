@@ -98,13 +98,7 @@ def dedup_deterministic(
 
 def bronze_to_silver(bronze: DataFrame, current_date: str) -> DataFrame:
     """Full Silver pipeline: explode → type → cleanse → dedup."""
-    df = typed_projection(explode_envelope(bronze))
-    df = cleanse_filters(df, current_date)
-    # cluster by the trajectory key so downstream lag windows reuse the
-    # same partitioning (no second shuffle)
-    return dedup_deterministic(
-        df, keys=["VehicleNumber", "Time"], cluster_by="VehicleNumber"
-    )
+    return bronze_to_silver_from_exploded(explode_envelope(bronze), current_date)
 
 
 def null_probe(df: DataFrame, cols: list[str]) -> int:
@@ -115,3 +109,41 @@ def null_probe(df: DataFrame, cols: list[str]) -> int:
         p = F.col(c).isNull()
         pred = p if pred is None else (pred | p)
     return df.filter(pred).count()
+
+
+def bronze_to_silver_observed(
+    bronze: DataFrame, current_date: str
+) -> tuple[DataFrame, str]:
+    """Silver pipeline with one-pass drop-rate telemetry via ``observe``.
+
+    The reference computes its drop rate with two ``count()`` actions that
+    re-execute the whole uncached cleanse pipeline (SURVEY.md §4
+    anti-pattern, reference gtfstransformerSilver.py:29,49).  ``observe``
+    attaches CollectMetrics nodes instead: the counts ride along with
+    whatever action materializes the frame — zero extra passes, exact
+    values, and they work identically under streaming.
+
+    Returns (df, observation_name); read the metrics after an action via
+    ``spark.listenerManager``-delivered QueryExecution or, simplest, the
+    ``Observation`` helper (see tests).
+    """
+    from pyspark.sql import functions as F
+
+    exploded = explode_envelope(bronze).observe(
+        "bronze_rows", F.count(F.lit(1)).alias("n_raw")
+    )
+    silver = bronze_to_silver_from_exploded(exploded, current_date)
+    return (
+        silver.observe("silver_rows", F.count(F.lit(1)).alias("n_kept")),
+        "bronze_rows/silver_rows",
+    )
+
+
+def bronze_to_silver_from_exploded(df: DataFrame, current_date: str) -> DataFrame:
+    df = typed_projection(df)
+    df = cleanse_filters(df, current_date)
+    # cluster by the trajectory key so downstream lag windows reuse the
+    # same partitioning (no second shuffle)
+    return dedup_deterministic(
+        df, keys=["VehicleNumber", "Time"], cluster_by="VehicleNumber"
+    )

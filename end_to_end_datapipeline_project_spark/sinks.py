@@ -51,3 +51,42 @@ def to_pandas_edge(df: DataFrame, limit: int | None = None):
     if limit is not None:
         df = df.limit(limit)
     return df.toPandas()
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_col: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for a partitioned parquet table: rewrite each
+    partition into ceil(rows / target) files.
+
+    Continuous/streaming writers accrete many small files per partition
+    (one per micro-batch task); at 100 TB the resulting open/seek overhead
+    dominates scan time.  Compaction = read, repartition by the partition
+    column with a bounded file budget, dynamic-overwrite ONLY the touched
+    partitions (``partitionOverwriteMode=dynamic`` leaves all others in
+    place).  Returns the number of data files after compaction.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(1 for f in files if f.endswith(".parquet"))
+    return total

@@ -65,3 +65,82 @@ def test_partitioned_parquet_roundtrip(spark, tmp_path):
     assert set(back.columns) == {"k", "v", "date"}
     # partition dirs exist → date-partition pruning is available downstream
     assert any(p.startswith("date=") for p in os.listdir(out))
+
+
+def test_observe_drop_rate_single_pass(spark):
+    """observe(): exact drop-rate telemetry with ZERO extra passes (vs the
+    reference's double count() re-executing the cleanse, SURVEY §4)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.cleanse import (
+        bronze_to_silver_from_exploded,
+        explode_envelope,
+    )
+    from tests.conftest import make_bronze_df
+
+    raw = make_bronze_df(
+        spark,
+        [
+            ("180", "1000", 52.2, 21.0, "2026-02-23 12:00:00"),
+            ("180", "1000", 52.2, 21.0, "2026-02-23 12:00:00"),  # dup
+            ("181", "1001", 50.06, 19.94, "2026-02-23 12:00:00"),  # Kraków
+        ],
+    )
+    obs_in, obs_out = Observation("in"), Observation("out")
+    exploded = explode_envelope(raw).observe(obs_in, F.count(F.lit(1)).alias("n"))
+    silver = bronze_to_silver_from_exploded(exploded, "2026-02-23").observe(
+        obs_out, F.count(F.lit(1)).alias("n")
+    )
+    kept = silver.count()  # ONE action drives both metrics
+    assert kept == 1
+    assert obs_in.get["n"] == 3
+    assert obs_out.get["n"] == 1
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.sinks import compact_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 3).alias("p")
+    )
+    # simulate micro-batch accretion: 8 writes → many files per partition
+    for _ in range(8):
+        df.repartition(4).write.mode("append").partitionBy("p").parquet(path)
+    import os
+
+    before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    after = compact_partitioned(spark, path, "p", target_rows_per_file=100_000)
+    assert after < before
+    assert after <= 3 * 2  # ≈ one file per partition
+    back = spark.read.parquet(path)
+    assert back.count() == 80000
+    assert back.groupBy().agg(F.sum("id")).collect()[0][0] == 8 * sum(range(10000))
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t2")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, p string"
+    )
+    base.write.partitionBy("p").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([(99, "b")], "id long, p string").write.mode(
+            "overwrite"
+        ).partitionBy("p").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {(r.id, r.p) for r in spark.read.parquet(path).collect()}
+    # partition a untouched; partition b replaced
+    assert got == {(1, "a"), (99, "b")}
