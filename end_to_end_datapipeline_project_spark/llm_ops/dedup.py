@@ -485,3 +485,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, "documents")
+
+
+# --- fuzzy matching (record linkage) --------------------------------------
+
+FUZZY_PREFIX = 24
+FUZZY_BLOCK = 8
+FUZZY_MAX_DIST = 6
+
+
+@register(
+    "q_fuzzy_match",
+    f"""
+  WITH __keys AS (
+    SELECT doc_id,
+           substr(lower(trim(text)), 1, {FUZZY_PREFIX}) AS probe,
+           substr(lower(trim(text)), 1, {FUZZY_BLOCK}) AS block
+    FROM documents
+  )
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.probe, b.probe) AS edit_dist
+  FROM __keys a JOIN __keys b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.probe, b.probe) <= {FUZZY_MAX_DIST}
+""",
+    doc="Blocked fuzzy matching (record linkage): candidate pairs share an "
+    f"{FUZZY_BLOCK}-char prefix block (equi-join — never an O(n²) cross "
+    "product), then Levenshtein ≤ "
+    f"{FUZZY_MAX_DIST} on the {FUZZY_PREFIX}-char probe verifies. The "
+    "block key is the scale lever: candidates ∝ Σ block-size², not n².",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim("text"))
+    keys = docs.select(
+        "doc_id",
+        F.substring(norm, 1, FUZZY_PREFIX).alias("probe"),
+        F.substring(norm, 1, FUZZY_BLOCK).alias("block"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)

@@ -637,3 +637,92 @@ def q_calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark_dsum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+@register(
+    "q_moving_window",
+    """
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_7d,
+         count(*) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_orders_7d
+  FROM orders
+""",
+    doc="Time-RANGE frame window (value-based, not row-based): trailing "
+    "7-day spend and order count per customer — peers at equal order "
+    "dates aggregate together, which a ROWS frame gets wrong.",
+)
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+@register(
+    "q_nullsafe_join",
+    """
+  WITH __l AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END
+             AS bucket
+    FROM orders
+  ),
+  __r AS (
+    SELECT DISTINCT CASE WHEN i = 5 THEN NULL ELSE i END AS bucket,
+           CASE WHEN i = 5 THEN 'null-bucket' ELSE 'b' || CAST(i AS VARCHAR)
+             END AS bucket_name
+    FROM (SELECT unnest(range(0, 6)) AS i)
+  )
+  SELECT r.bucket_name, count(*) AS n,
+         count(*) FILTER (WHERE l.bucket IS NULL) AS n_null_keys
+  FROM __l l JOIN __r r ON l.bucket IS NOT DISTINCT FROM r.bucket
+  GROUP BY r.bucket_name
+""",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match the NULL dimension row instead of silently dropping — plus "
+    "FILTER-style conditional counts.",
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    l = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("bucket"),
+    )
+    r = (
+        spark.range(6)
+        .select(
+            F.when(F.col("id") == 5, F.lit(None))
+            .otherwise(F.col("id"))
+            .alias("bucket"),
+            F.when(F.col("id") == 5, F.lit("null-bucket"))
+            .otherwise(F.concat(F.lit("b"), F.col("id").cast("string")))
+            .alias("bucket_name"),
+        )
+        .distinct()
+    )
+    joined = l.join(F.broadcast(r), l.bucket.eqNullSafe(r.bucket))
+    return joined.groupBy("bucket_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(l.bucket.isNull(), 1)).alias("n_null_keys"),
+    )
