@@ -42,6 +42,9 @@ HEADLINE = [
     "q_merge_upsert",
     "q_tfidf",
     "q_salted_join",
+    "q_chunk_documents",
+    "q_user_sequences",
+    "q_moving_window",
 ]
 
 

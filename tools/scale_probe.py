@@ -36,6 +36,10 @@ PROBES = [
     "q_token_count",
     "q_window_rank",
     "q_salted_join",
+    "q_chunk_documents",
+    "q_fuzzy_match",
+    "q_moving_window",
+    "q_user_sequences",
 ]
 
 KEY_OFFSETS = {
