@@ -1,0 +1,344 @@
+"""Corpus-cleaning operators: repetition filters, blocklist scrubbing,
+test-set decontamination, and sequence packing.
+
+These are the quality/safety passes an LLM training-data pipeline runs
+between raw scraping and tokenization:
+
+- ``q_gopher_repetition``: Gopher-style repetition signals (distinct-token
+  fraction, top-token fraction, top-bigram fraction) + a keep flag.  All
+  ratios are exact integer-count divisions, so thresholds compare
+  identically across engines.
+- ``q_blocklist_scrub``: word-boundary regex scrub of a blocklist, with
+  per-doc hit counts and an md5 signature of the scrubbed text (md5 is
+  bit-identical Spark↔DuckDB, making a text-rewrite pipeline
+  oracle-checkable end-to-end).
+- ``q_decontaminate``: flag training docs sharing any 5-gram with a
+  held-out benchmark split (doc_id % 97 == 0).  Scale shape: the
+  benchmark shingle set is small and bounded → broadcast it; one scan
+  over the 100 TB train side, no shuffle of the corpus.
+- ``q_pack_sequences``: concat-then-chop context-window packing — docs in
+  deterministic doc_id order, running token offset, bin = offset DIV
+  budget.  Integer-exact.  At scale packing runs per-partition; this
+  global-order form is the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import read_parquet_table
+from .text import TOKENS_SQL, tokens_col
+
+# --- repetition signals ---------------------------------------------------
+
+
+@register(
+    "q_gopher_repetition",
+    f"""
+  WITH __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  ),
+  __base AS (
+    SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS n_uniq
+    FROM __toks
+  ),
+  __topt AS (
+    SELECT doc_id, max(cnt) AS top_tok FROM (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM __toks)
+      GROUP BY doc_id, tok)
+    GROUP BY doc_id
+  ),
+  __topb AS (
+    SELECT doc_id, max(cnt) AS top_bg FROM (
+      SELECT doc_id, bg, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM __toks WHERE len(toks) >= 2)
+      GROUP BY doc_id, bg)
+    GROUP BY doc_id
+  )
+  SELECT b.doc_id,
+         b.n AS n_tokens,
+         round(CAST(b.n_uniq AS DOUBLE) / b.n, 6) AS uniq_frac,
+         round(CAST(t.top_tok AS DOUBLE) / b.n, 6) AS top_token_frac,
+         round(coalesce(CAST(p.top_bg AS DOUBLE) / nullif(b.n - 1, 0), 0.0),
+               6) AS top_bigram_frac,
+         (CAST(b.n_uniq AS DOUBLE) / b.n >= 0.2
+          AND coalesce(CAST(p.top_bg AS DOUBLE) / nullif(b.n - 1, 0), 0.0)
+                <= 0.2) AS keep
+  FROM __base b
+  JOIN __topt t USING (doc_id)
+  LEFT JOIN __topb p USING (doc_id)
+""",
+    doc="Gopher-style repetition filter: distinct-token fraction, "
+    "top-token fraction, top-bigram fraction, and the keep decision. "
+    "All three per-doc aggregations shuffle on doc_id only (no global "
+    "state), so the pass is embarrassingly parallel at 100 TB; ratios "
+    "are exact integer divisions so thresholds are engine-stable.",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    )
+    topt = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_tok"))
+    )
+    bigrams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    topb = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bg"))
+    )
+    n, n_uniq = F.col("n"), F.col("n_uniq")
+    uniq_frac = n_uniq.cast("double") / n
+    bg_frac = F.coalesce(
+        F.col("top_bg").cast("double") / F.nullif(n - 1, F.lit(0)), F.lit(0.0)
+    )
+    return (
+        base.join(topt, "doc_id")
+        .join(topb, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(uniq_frac, 6).alias("uniq_frac"),
+            F.round(F.col("top_tok").cast("double") / n, 6).alias(
+                "top_token_frac"
+            ),
+            F.round(bg_frac, 6).alias("top_bigram_frac"),
+            ((uniq_frac >= 0.2) & (bg_frac <= 0.2)).alias("keep"),
+        )
+    )
+
+
+# --- blocklist scrubbing --------------------------------------------------
+
+#: word-boundary alternation over the scrub list (RE2- and Java-compatible)
+_BLOCK_PAT = r"\b(the|a|of|and|is|to|in)\b"
+
+
+@register(
+    "q_blocklist_scrub",
+    f"""
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_BLOCK_PAT}')) AS n_hits,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '{_BLOCK_PAT}', '', 'g'),
+               '\\s+', ' ', 'g'))) AS scrub_sig,
+         length(trim(regexp_replace(
+               regexp_replace(lower(text), '{_BLOCK_PAT}', '', 'g'),
+               '\\s+', ' ', 'g'))) AS n_chars_scrubbed
+  FROM documents
+""",
+    doc="Blocklist scrubbing: word-boundary regexp_replace removes listed "
+    "terms, whitespace is re-collapsed, and the rewritten text is "
+    "signed with md5 so the full rewrite is oracle-checkable. Pure "
+    "map-side pass — one scan, zero shuffles, codegen'd JVM regex.",
+)
+def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scrubbed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(low, _BLOCK_PAT, ""), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(_BLOCK_PAT)).cast("bigint").alias("n_hits"),
+        F.md5(scrubbed).alias("scrub_sig"),
+        F.length(scrubbed).cast("bigint").alias("n_chars_scrubbed"),
+    )
+
+
+# --- test-set decontamination ---------------------------------------------
+
+#: 5-gram word shingles per doc (DuckDB 1-based list indexing)
+_SHINGLE5_SQL = f"""
+  __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  ),
+  __sh5 AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                    || ' ' || toks[i + 3] || ' ' || toks[i + 4])) AS sh
+      FROM __toks WHERE len(toks) >= 5)
+  )
+"""
+
+
+def _shingles5(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                    F.element_at("toks", i + 4),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+
+
+@register(
+    "q_decontaminate",
+    f"""
+  WITH {_SHINGLE5_SQL},
+  __held AS (
+    SELECT DISTINCT sh FROM __sh5 WHERE doc_id % 97 = 0
+  ),
+  __hits AS (
+    SELECT t.doc_id, count(*) AS n_shared
+    FROM __sh5 t JOIN __held h ON t.sh = h.sh
+    WHERE t.doc_id % 97 <> 0
+    GROUP BY t.doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(h.n_shared, 0) AS n_shared,
+         coalesce(h.n_shared, 0) > 0 AS contaminated
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+  LEFT JOIN __hits h ON d.doc_id = h.doc_id
+""",
+    doc="Benchmark decontamination: flag every training doc that shares a "
+    "5-gram with the held-out split (doc_id % 97 == 0). The held-out "
+    "shingle set is small and bounded, so it broadcasts; the 100 TB "
+    "train side is a single scan + broadcast-hash semi-probe — the "
+    "corpus itself never shuffles.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sh = _shingles5(docs)
+    held = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    )
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    hits = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(held), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("hits"), F.lit(0)).alias("n_shared"),
+        (F.coalesce(F.col("hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# --- sequence packing -----------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "q_pack_sequences",
+    f"""
+  WITH __toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({TOKENS_SQL}) END AS n_tokens
+    FROM documents
+  ),
+  __cum AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n_tokens AS start_off
+    FROM __toks
+  )
+  SELECT CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS bin,
+         count(*) AS n_docs,
+         sum(n_tokens) AS tokens_in_bin,
+         min(doc_id) AS first_doc,
+         max(doc_id) AS last_doc
+  FROM __cum
+  GROUP BY 1
+""",
+    doc="Concat-then-chop sequence packing with a SCALABLE running sum: "
+    "docs bucket by doc_id range, the cumsum windows run partitioned "
+    "per bucket (parallel), and each bucket adds a base offset computed "
+    "from the tiny per-bucket totals — the classic two-pass prefix-sum, "
+    "no single-partition window over the corpus. The oracle is the "
+    "equivalent global-order form; results are identical because bucket "
+    "order ∘ within-bucket order = global doc_id order.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bucket_span = 1000  # docs per prefix-sum bucket
+    toks = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / bucket_span).alias("bucket"),
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(tokens_col()))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    # pass 1: per-bucket totals (|buckets| rows) → exclusive base offsets
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "base", F.sum("bucket_tokens").over(wb) - F.col("bucket_tokens")
+        )
+        .select("bucket", "base")
+    )
+    # pass 2: within-bucket running sum, shifted by the broadcast base
+    ww = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        toks.join(F.broadcast(bases), "bucket")
+        .withColumn(
+            "start_off",
+            F.col("base") + F.sum("n_tokens").over(ww) - F.col("n_tokens"),
+        )
+    )
+    return (
+        cum.withColumn(
+            "bin", F.floor(F.col("start_off") / PACK_BUDGET).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_in_bin"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -70,7 +70,7 @@ def _load() -> None:
     from . import stats  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import timeseries  # noqa: F401
-    from .llm_ops import dedup, multimodal, similarity, text  # noqa: F401
+    from .llm_ops import clean, dedup, multimodal, similarity, text  # noqa: F401
 
     _loaded = True
 

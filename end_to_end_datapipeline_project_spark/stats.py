@@ -172,3 +172,168 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_pairs"),
         F.sum("psum").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "q_regression_stats",
+    f"""
+  WITH __s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           {dsum("l_quantity")} AS sx,
+           {dsum("l_quantity * l_quantity")} AS sxx,
+           {dsum("l_extendedprice")} AS sy,
+           {dsum("l_extendedprice * l_extendedprice")} AS syy,
+           {dsum("l_quantity * l_extendedprice")} AS sxy
+    FROM lineitem GROUP BY l_returnflag
+  )
+  SELECT l_returnflag, n,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept,
+         round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+  FROM __s
+""",
+    doc="Per-group OLS regression (price ~ quantity): slope / intercept / "
+    "r² from decimal-exact power sums — same associative-merge argument "
+    "as q_stats, so 1000-way partial aggregation is deterministic. "
+    "Scale path: one narrow shuffle, 6 aggregates in one pass (vs "
+    "built-in regr_slope/regr_r2 whose float co-moments are "
+    "merge-order-dependent).",
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(x).alias("sx"),
+        spark_dsum(x * x).alias("sxx"),
+        spark_dsum(y).alias("sy"),
+        spark_dsum(y * y).alias("syy"),
+        spark_dsum(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_mode_freq",
+    """
+  WITH counted AS (
+    SELECT l_returnflag, l_quantity, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+  ), ranked AS (
+    SELECT l_returnflag, l_quantity AS modal_quantity, cnt,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY cnt DESC, l_quantity ASC) AS rn
+    FROM counted
+  )
+  SELECT l_returnflag, modal_quantity, cnt FROM ranked WHERE rn = 1
+""",
+    doc="Deterministic mode per group: count-then-rank with an explicit "
+    "(cnt DESC, value ASC) tiebreak instead of the built-in mode() whose "
+    "tie survivor is engine-dependent. Two map-side-combinable shuffles "
+    "on (group, value) then (group); no global sort.",
+)
+def q_mode_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_quantity"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "q_histogram",
+    f"""
+  SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+         count(*) AS n,
+         {dsum("l_extendedprice")} AS sum_price,
+         round(min(l_extendedprice), 6) AS lo,
+         round(max(l_extendedprice), 6) AS hi
+  FROM lineitem
+  GROUP BY 1
+""",
+    doc="Fixed-width histogram (5000-unit bins) as a single hash "
+    "aggregate: the profile-at-scale primitive — bin arithmetic is "
+    "portable floor division (no width_bucket), map-side partials "
+    "shrink 100 TB to |bins| rows before the shuffle.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bin", F.floor(F.col("l_extendedprice") / 5000).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            spark_dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+    )
+
+
+#: per-stratum md5-prefix keep-thresholds: ~30% URGENT, ~10% the rest.
+_SAMPLE_THRESH = "CASE WHEN o_orderpriority = '1-URGENT' THEN '4c' ELSE '19' END"
+
+
+@register(
+    "q_hash_sample",
+    f"""
+  SELECT o_orderpriority,
+         count(*) AS n_sampled,
+         {dsum("o_totalprice")} AS sum_price
+  FROM orders
+  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          <= {_SAMPLE_THRESH}
+  GROUP BY o_orderpriority
+""",
+    doc="Deterministic stratified sampling: keep a row iff a 2-hex-digit "
+    "md5(key) prefix clears a per-stratum threshold (~30% for URGENT, "
+    "~10% otherwise). Unlike TABLESAMPLE/rand() this is reproducible "
+    "across runs, engines, and cluster sizes — the property that makes "
+    "100 TB sample pipelines re-runnable — and it pushes down as a "
+    "plain filter (no shuffle, no stored sample).",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    prefix = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    thresh = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit("4c")
+    ).otherwise(F.lit("19"))
+    return (
+        orders.filter(prefix <= thresh)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
