@@ -112,3 +112,155 @@ def q_medallion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         spark_dsum(F.col("value")).alias("total_value"),
     )
+
+
+@register(
+    "q_bloom_join",
+    f"""
+  SELECT o.o_orderpriority,
+         count(*) AS n_items,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+  GROUP BY o.o_orderpriority
+""",
+    doc="Runtime Bloom-filter join pruning: when the selective dim side is "
+    "too big to broadcast but small enough to sketch, Spark's "
+    "InjectRuntimeFilter builds a Bloom filter from the dim keys and "
+    "pushes might_contain() into the fact scan — at 100 TB the fact "
+    "side drops non-matching rows before the shuffle instead of after "
+    "it. Demonstrated in an isolated spark.newSession() (broadcast off, "
+    "bloom thresholds scaled down to make the local SF behave like "
+    "cluster scale) so no conf leaks to sibling queries; "
+    "tests/test_physical.py asserts might_contain in the plan. Oracle = "
+    "the plain join.",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = read_parquet_table(s2, sf_dir, "lineitem")
+    o = read_parquet_table(s2, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+# --- z-order clustering ---------------------------------------------------
+
+Z_BITS = 8  # per-dimension resolution (256 buckets)
+Z_FILES_SHIFT = 10  # 2^16 z-values / 2^10 = 64 files
+
+
+def _interleave_sql(bx: str, by: str) -> str:
+    terms = [
+        f"((({bx} >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+        f"((({by} >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _interleave_col(bx, by):
+    z = F.lit(0)
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftright(bx, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+            + F.shiftright(by, i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        )
+    return z
+
+
+@register(
+    "q_zorder_layout",
+    f"""
+  WITH __b AS (
+    SELECT CAST(min(l_partkey) AS DOUBLE) AS xlo,
+           CAST(max(l_partkey) + 1 AS DOUBLE) AS xhi,
+           CAST(min(l_suppkey) AS DOUBLE) AS ylo,
+           CAST(max(l_suppkey) + 1 AS DOUBLE) AS yhi
+    FROM lineitem
+  ),
+  __z AS (
+    SELECT CAST(floor((l_partkey - xlo) * {1 << Z_BITS} / (xhi - xlo))
+                AS BIGINT) AS bx,
+           CAST(floor((l_suppkey - ylo) * {1 << Z_BITS} / (yhi - ylo))
+                AS BIGINT) AS by
+    FROM lineitem CROSS JOIN __b
+  )
+  SELECT ({_interleave_sql("bx", "by")}) >> {Z_FILES_SHIFT} AS file_id,
+         count(*) AS n,
+         min(bx) AS min_bx, max(bx) AS max_bx,
+         min(by) AS min_by, max(by) AS max_by
+  FROM __z
+  GROUP BY 1
+""",
+    doc="Z-order (Morton-curve) clustering for multi-dimensional data "
+    "skipping: bucket two dims to 8 bits each against their global "
+    "bounds (tiny agg, broadcast), interleave the bits into a 16-bit "
+    "z-value, and range-partition by z into 64 files. The per-file "
+    "min/max output IS the skipping proof: every file covers a narrow "
+    "square in (partkey, suppkey) space, so a predicate on EITHER dim "
+    "prunes most files via footer min/max stats — a lexicographic sort "
+    "only prunes on the leading dim. Pure integer bit arithmetic, "
+    "identical on both engines.",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("double").alias("xlo"),
+        (F.max("l_partkey") + 1).cast("double").alias("xhi"),
+        F.min("l_suppkey").cast("double").alias("ylo"),
+        (F.max("l_suppkey") + 1).cast("double").alias("yhi"),
+    )
+    n_buckets = 1 << Z_BITS
+    z = li.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            (F.col("l_partkey") - F.col("xlo"))
+            * n_buckets
+            / (F.col("xhi") - F.col("xlo"))
+        )
+        .cast("bigint")
+        .alias("bx"),
+        F.floor(
+            (F.col("l_suppkey") - F.col("ylo"))
+            * n_buckets
+            / (F.col("yhi") - F.col("ylo"))
+        )
+        .cast("bigint")
+        .alias("by"),
+    )
+    return (
+        z.select(
+            F.shiftright(
+                _interleave_col(F.col("bx"), F.col("by")), Z_FILES_SHIFT
+            ).alias("file_id"),
+            "bx",
+            "by",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bx").alias("min_bx"),
+            F.max("bx").alias("max_bx"),
+            F.min("by").alias("min_by"),
+            F.max("by").alias("max_by"),
+        )
+    )

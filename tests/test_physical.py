@@ -30,3 +30,28 @@ def test_medallion_roundtrip_prunes_partitions(spark, sf_dir):
     assert "date" in scan_line.split("PartitionFilters", 1)[1][:120]
     rows = df.collect()
     assert all(str(r.date) >= "2024-01-10" and str(r.date) < "2024-01-20" for r in rows)
+
+
+def test_bloom_join_injects_runtime_filter(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.physical import q_bloom_join
+
+    df = q_bloom_join(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in optimized  # fact scan probes the Bloom filter
+    [row] = df.collect()
+    assert row.n_items > 0
+    # and the isolated session did not leak conf into the shared one
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_zorder_files_cover_narrow_squares(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.physical import q_zorder_layout
+
+    rows = q_zorder_layout(spark, sf_dir).collect()
+    assert len(rows) == 64
+    # 64 files over a 16-bit z-space = 1024 z-values/file = a 32x32 square:
+    # every file is guaranteed a narrow range in BOTH dimensions, which is
+    # exactly the property min/max footer skipping needs.
+    for r in rows:
+        assert r.max_bx - r.min_bx <= 31, r
+        assert r.max_by - r.min_by <= 31, r
