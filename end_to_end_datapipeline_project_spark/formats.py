@@ -1,0 +1,151 @@
+"""Source-format parity: CSV and JSON-lines round-trips with explicit
+schemas.
+
+The reference's only interchange formats are raw JSON (Bronze) and
+parquet (Silver/Gold); a general engine also has to ingest the two
+text formats every data vendor actually ships — delimited CSV and
+JSONL.  The scale rules these queries encode:
+
+- **Never infer schemas.** Inference is an extra full scan of 100 TB
+  and silently changes types between deliveries; both readers here
+  declare the schema and CSV runs in FAILFAST mode so a malformed
+  vendor file aborts loudly instead of nulling columns.
+- **Text sources are splittable only when uncompressed** (or zstd/bzip2
+  block-compressed); the writes here stay uncompressed so a
+  1000-executor read parallelizes by byte range.
+- The round-trip is verified end-to-end by aggregating the re-read copy
+  and oracle-checking against the original parquet — including a
+  count(DISTINCT md5(text)) content checksum on the JSONL path, which
+  catches any quoting/escaping corruption of free text.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import dsum, register, spark_dsum
+from .sources import read_parquet_table
+
+_STAGE_ROOT = "/tmp/spark_graft_formats"
+
+
+def _stage(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{_STAGE_ROOT}/{tag}/{leaf}"
+
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+DOCS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = "|") -> None:
+    """Uncompressed (splittable) CSV with header, quoted as needed."""
+    df.write.mode("overwrite").option("header", "true").option(
+        "sep", sep
+    ).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, sep: str = "|"
+) -> DataFrame:
+    """Schema-declared FAILFAST CSV read — no inference scan, no silent
+    nulls from malformed rows."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("sep", sep)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    return (
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    f"""
+  SELECT o_orderpriority,
+         count(*) AS n_orders,
+         {dsum("o_totalprice")} AS sum_price,
+         count(DISTINCT o_orderstatus) AS n_statuses
+  FROM orders
+  GROUP BY o_orderpriority
+""",
+    doc="CSV round-trip: orders → pipe-delimited CSV with header → "
+    "schema-declared FAILFAST re-read → aggregate. Oracle aggregates "
+    "the original parquet, so a pass proves the text encode/decode "
+    "(quoting, separators, float formatting) is lossless. Uncompressed "
+    "CSV stays byte-range splittable for a 1000-executor read.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(sf_dir, "orders_csv")
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        *[f.name for f in ORDERS_CSV_SCHEMA.fields]
+    )
+    write_csv(orders, stage)
+    back = read_csv(spark, stage, ORDERS_CSV_SCHEMA)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+    )
+
+
+@register(
+    "q_jsonl_roundtrip",
+    """
+  SELECT lang,
+         count(*) AS n_docs,
+         sum(n_chars) AS sum_chars,
+         count(DISTINCT md5(text)) AS n_distinct_sigs
+  FROM documents
+  GROUP BY lang
+""",
+    doc="JSONL round-trip: documents → JSON lines → schema-declared "
+    "FAILFAST re-read → per-lang aggregate with a count(DISTINCT "
+    "md5(text)) content checksum, so any JSON escaping corruption of "
+    "free text flips the hash and fails the oracle.",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(sf_dir, "docs_jsonl")
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        *[f.name for f in DOCS_JSONL_SCHEMA.fields]
+    )
+    write_jsonl(docs, stage)
+    back = read_jsonl(spark, stage, DOCS_JSONL_SCHEMA)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_sigs"),
+    )

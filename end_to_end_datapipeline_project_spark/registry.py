@@ -64,6 +64,7 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
+    from . import formats  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import physical  # noqa: F401

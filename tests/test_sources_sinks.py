@@ -144,3 +144,43 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     got = {(r.id, r.p) for r in spark.read.parquet(path).collect()}
     # partition a untouched; partition b replaced
     assert got == {(1, "a"), (99, "b")}
+
+
+def test_csv_failfast_aborts_on_malformed_rows(spark, tmp_path):
+    """Schema-declared FAILFAST CSV: a malformed vendor row aborts the job
+    instead of silently nulling columns (the 100 TB ingest rule)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from end_to_end_datapipeline_project_spark.formats import (
+        ORDERS_CSV_SCHEMA,
+        read_csv,
+    )
+
+    p = tmp_path / "bad_csv"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "o_orderkey|o_custkey|o_orderstatus|o_totalprice|o_orderpriority\n"
+        "1|10|O|123.45|1-URGENT\n"
+        "2|11|F|not_a_number|2-HIGH\n"
+    )
+    with pytest.raises(Py4JJavaError):
+        read_csv(spark, str(p), ORDERS_CSV_SCHEMA).collect()
+
+
+def test_jsonl_roundtrip_preserves_text_exactly(spark, tmp_path):
+    """JSON escaping round-trips control chars, quotes, unicode, tabs."""
+    from end_to_end_datapipeline_project_spark.formats import (
+        DOCS_JSONL_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    texts = ['with "quotes" and \\backslash', "tab\there\nnewline", "café ☕ 中文"]
+    df = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in enumerate(texts)],
+        DOCS_JSONL_SCHEMA,
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = {r.doc_id: r.text for r in read_jsonl(spark, path, DOCS_JSONL_SCHEMA).collect()}
+    assert back == {i: t for i, t in enumerate(texts)}
