@@ -145,3 +145,75 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def protobuf_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM state server;
+    the capability is environment-dependent (needs the `protobuf` pip
+    package), so callers gate on this instead of crashing mid-stream."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_activity_tws(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (event count, distinct event-type count) via Spark
+    4's ``transformWithStateInPandas`` — the arbitrary-state API that
+    supersedes ``applyInPandasWithState``: typed state variables
+    (ValueState / ListState / MapState) live in the RocksDB state store
+    instead of one opaque pickled tuple, so state survives schema
+    evolution and scales past executor memory.
+
+    Both emitted statistics are monotone, so ``max()`` over the
+    per-batch emissions equals the final answer — the same
+    batch-parity-oracle trick as :func:`stateful_user_stats`.
+
+    Requires the ``protobuf`` Python package (the state-server wire
+    protocol); gate on :func:`protobuf_available`.
+    """
+    if not protobuf_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the `protobuf` pip package "
+            "(google.protobuf) for its state-server protocol; not present "
+            "in this environment"
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserActivity(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._count = handle.getValueState("cnt", "n BIGINT")
+            self._types = handle.getListState("types", "t STRING")
+
+        def handleInputRows(self, key, rows, timer_values):
+            v = self._count.get()
+            n = v[0] if v is not None else 0
+            seen = set(t[0] for t in self._types.get())
+            for pdf in rows:
+                n += len(pdf)
+                new = sorted(set(pdf["event_type"]) - seen)
+                if new:
+                    self._types.appendList([(t,) for t in new])
+                    seen.update(new)
+            self._count.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(seen)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        UserActivity(),
+        "user_id BIGINT, n_events BIGINT, n_types BIGINT",
+        "Update",
+        "None",
+    )

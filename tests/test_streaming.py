@@ -259,3 +259,48 @@ def test_corrupt_bronze_file_does_not_poison_the_batch(spark, tmp_path):
     silver = bronze_to_silver(read_bronze(spark, bronze_dir), DAY)
     rows = silver.collect()
     assert [r.VehicleNumber for r in rows] == ["1000"]
+
+
+def test_transform_with_state_user_activity(spark, sf_dir):
+    """Spark 4 arbitrary-state API (typed ValueState/ListState in RocksDB).
+    Skips where the protobuf state-server wire protocol is unavailable."""
+    import pytest
+
+    from end_to_end_datapipeline_project_spark import streaming as st
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        _events_stream,
+    )
+
+    if not st.protobuf_available():
+        with pytest.raises(NotImplementedError):
+            st.user_activity_tws(_events_stream(spark, sf_dir))
+        pytest.skip("protobuf not installed: transformWithStateInPandas gated")
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out = st.user_activity_tws(_events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_user_activity")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("tws_user_activity")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_types").alias("n_types"))
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    want = read_parquet_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
