@@ -337,3 +337,77 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark_dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+#: output schema for the per-group OLS solver
+_MODEL_SCHEMA = (
+    "event_type STRING, n BIGINT, slope DOUBLE, intercept DOUBLE, r2 DOUBLE"
+)
+
+
+@register(
+    "q_grouped_model",
+    f"""
+  WITH __s AS (
+    SELECT event_type,
+           count(*) AS n,
+           {dsum("CAST(user_id AS DOUBLE)")} AS sx,
+           {dsum("CAST(user_id AS DOUBLE) * user_id")} AS sxx,
+           {dsum("value")} AS sy,
+           {dsum("value * value")} AS syy,
+           {dsum("value * user_id")} AS sxy
+    FROM events GROUP BY event_type
+  )
+  SELECT event_type, n,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept,
+         round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+  FROM __s
+""",
+    doc="Per-group model fitting with applyInPandas, architected for "
+    "100 TB: the corpus NEVER crosses into Python — Spark aggregates "
+    "decimal-exact power sums JVM-side (one row per group), and the "
+    "grouped-map pandas UDF only runs the closed-form OLS solve on "
+    "those six scalars. Same shape as training per-segment models: "
+    "heavy reduction in the engine, model math in Python. The solver "
+    "evaluates the identical expression sequence as the oracle SQL, so "
+    "IEEE double arithmetic agrees bit-for-bit.",
+)
+def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    x = F.col("user_id").cast("double")
+    y = F.col("value")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(x).alias("sx"),
+        spark_dsum(x * F.col("user_id")).alias("sxx"),
+        spark_dsum(y).alias("sy"),
+        spark_dsum(y * y).alias("syy"),
+        spark_dsum(y * F.col("user_id")).alias("sxy"),
+    )
+
+    def solve(pdf):
+        import pandas as pd
+
+        out = []
+        for r in pdf.itertuples(index=False):
+            n = float(r.n)
+            num = n * r.sxy - r.sx * r.sy
+            den = n * r.sxx - r.sx * r.sx
+            slope = num / den
+            out.append(
+                {
+                    "event_type": r.event_type,
+                    "n": r.n,
+                    "slope": round(slope, 6),
+                    "intercept": round((r.sy - slope * r.sx) / n, 6),
+                    "r2": round(
+                        (num * num) / (den * (n * r.syy - r.sy * r.sy)), 6
+                    ),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return sums.groupBy("event_type").applyInPandas(solve, _MODEL_SCHEMA)
