@@ -149,3 +149,30 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_sigs"),
     )
+
+
+@register(
+    "q_orc_roundtrip",
+    f"""
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         {dsum("o_totalprice")} AS sum_price
+  FROM orders
+  GROUP BY o_orderstatus
+""",
+    doc="ORC round-trip: columnar sibling to parquet (predicate pushdown, "
+    "stripe stats, splittable). Write orders as ORC, re-read, aggregate; "
+    "oracle aggregates the original parquet, proving type-exact "
+    "interchange between the two columnar formats.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(sf_dir, "orders_orc")
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -726,3 +726,158 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(l.bucket.isNull(), 1)).alias("n_null_keys"),
     )
+
+
+@register(
+    "q_scd2_history",
+    """
+  WITH __ordered AS (
+    SELECT user_id, event_type AS status, ts, event_id,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+    FROM events
+  ),
+  __changes AS (
+    SELECT user_id, status, ts AS effective_from, event_id
+    FROM __ordered WHERE prev_status IS NULL OR status <> prev_status
+  )
+  SELECT user_id, status, effective_from,
+         lead(effective_from) OVER (
+           PARTITION BY user_id ORDER BY effective_from, event_id)
+           AS effective_to,
+         lead(effective_from) OVER (
+           PARTITION BY user_id ORDER BY effective_from, event_id) IS NULL
+           AS is_current
+  FROM __changes
+""",
+    doc="SCD type-2 dimension build from a change stream: per-key change "
+    "detection (lag), then effective_from/effective_to intervals (lead) "
+    "with NULL = current row. Both windows share ONE shuffle on "
+    "user_id; total order (ts, event_id) makes survivor rows "
+    "deterministic. This is the streaming-upsert-to-history pattern "
+    "every warehouse dim table needs.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+        )
+        .withColumn("prev_status", F.lag("status").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+        .select(
+            "user_id", "status", F.col("ts").alias("effective_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("effective_from", "event_id")
+    nxt = F.lead("effective_from").over(w2)
+    return changes.select(
+        "user_id",
+        "status",
+        "effective_from",
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_funnel",
+    """
+  WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+  ),
+  s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+  ),
+  s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+  )
+  SELECT (SELECT count(*) FROM s1) AS n_viewed,
+         (SELECT count(*) FROM s2) AS n_clicked,
+         (SELECT count(*) FROM s3) AS n_purchased
+""",
+    doc="Ordered funnel (view -> click -> purchase): each stage is a "
+    "min-timestamp aggregate followed by a join against the previous "
+    "stage's survivors — the user set only shrinks, so at scale each "
+    "successive stage joins against a smaller (eventually broadcast) "
+    "side. No sessionization state, no window over the full stream.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+@register(
+    "q_window_navigation",
+    """
+  SELECT o_orderkey, o_orderpriority,
+         first_value(o_totalprice) OVER w AS cheapest,
+         nth_value(o_totalprice, 3) OVER w AS third_cheapest,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="Window navigation surface: first_value / nth_value over an "
+    "explicit full frame plus percent_rank / cume_dist, all on one "
+    "window spec (one shuffle, one sort). The (price, orderkey) total "
+    "order makes navigation values deterministic under ties.",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    wf = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(wf).alias("cheapest"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_cheapest"),
+        F.round(F.percent_rank().over(wr), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wr), 6).alias("cume"),
+    )

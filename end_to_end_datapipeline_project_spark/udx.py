@@ -1,0 +1,120 @@
+"""User-defined extension surface (SURVEY §2.9): the reference has no
+UDFs at all — everything is Column composition, and this engine keeps
+that rule for every hot path.  But a complete engine still has to OFFER
+the three extension points, each with its scale contract spelled out:
+
+- **Pandas UDAF** (``pandas_udf`` GROUPED_AGG): Arrow-batched aggregate.
+  Caveat encoded in the doc: grouped-agg UDAFs are NOT partial-
+  aggregated — every group's values ship to Python — so they are for
+  aggregates the engine lacks, never for sums it already has.
+- **Python UDTF** (Spark 4): table function with LATERAL join.  Row-at-
+  a-time; the doc names the built-in (explode) that replaces it when
+  semantics allow.
+- Pandas UDFs / mapInPandas are exercised throughout llm_ops.
+
+Both queries here are oracle-checked against pure-SQL equivalents,
+proving the extension machinery computes exactly what the declarative
+form does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from .registry import dsum, register
+from .sources import read_parquet_table
+
+
+def _wmean_udaf():
+    """Quantity-weighted mean via math.fsum: exactly-rounded true sums,
+    so the result is independent of row order within the group.
+
+    Built lazily — pandas_udf/udtf return-type DDL parsing needs an
+    active SparkContext, so decorating at import time would break
+    module import order.
+    """
+
+    @pandas_udf("double")
+    def _wmean(x: pd.Series, w: pd.Series) -> float:
+        return math.fsum(x * w) / math.fsum(w)
+
+    return _wmean
+
+
+@register(
+    "q_pandas_udaf_wmean",
+    f"""
+  SELECT l_returnflag, l_linestatus,
+         round({dsum("l_extendedprice * l_quantity")}
+               / {dsum("l_quantity")}, 6) AS wmean_price
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+""",
+    doc="Arrow-batched pandas UDAF (GROUPED_AGG): quantity-weighted mean "
+    "price per group, summed with math.fsum so row order inside the "
+    "group cannot change the answer. Scale contract: grouped-agg UDAFs "
+    "skip partial aggregation (each group's columns ship to Python via "
+    "Arrow), so reserve them for aggregates Catalyst lacks — the oracle "
+    "IS the built-in form this one would be rewritten to.",
+)
+def q_pandas_udaf_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    wmean = _wmean_udaf()
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(wmean("l_extendedprice", "l_quantity"), 6).alias(
+            "wmean_price"
+        ))
+    )
+
+
+def _token_counts_udtf():
+    """One row per distinct token with its in-document count (lazy for
+    the same SparkContext reason as :func:`_wmean_udaf`)."""
+
+    @udtf(returnType="word: string, n: bigint")
+    class _TokenCounts:
+        def eval(self, doc_id, text: str):
+            from collections import Counter
+
+            if text is None or not text.strip():
+                return
+            for w, n in Counter(text.lower().split()).items():
+                yield w, n
+
+    return _TokenCounts
+
+
+@register(
+    "q_python_udtf",
+    """
+  SELECT doc_id, tok AS word, count(*) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE trim(text) <> ''
+  )
+  GROUP BY doc_id, tok
+""",
+    doc="Python UDTF surface (Spark 4): per-doc token histogram via a "
+    "table function in a LATERAL join. Row-at-a-time Python — the slow "
+    "path by design; the oracle is the explode + groupBy form the "
+    "engine prefers (JVM-side, partial-aggregated). Registered to show "
+    "the extension point works and computes identically.",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("token_counts", _token_counts_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, tc.word, tc.n
+        FROM __udtf_docs d, LATERAL token_counts(d.doc_id, d.text) tc
+        WHERE trim(d.text) <> ''
+        """
+    )
