@@ -45,6 +45,12 @@ HEADLINE = [
     "q_chunk_documents",
     "q_user_sequences",
     "q_moving_window",
+    "q_radius_join",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_gopher_repetition",
+    "q_bloom_join",
+    "q_zorder_layout",
 ]
 
 
