@@ -300,3 +300,83 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_abs_err"),
         F.size("v").alias("dim"),
     )
+
+
+@register(
+    "q_kmeans_step",
+    f"""
+  WITH {VECS_SQL},
+  __centroids AS (
+    SELECT vec_id AS centroid_id, v, norm FROM __normed
+    WHERE vec_id % {N_CENTROIDS_MOD} = 0
+  ),
+  __assign AS (
+    SELECT vec_id, v, centroid_id FROM (
+      SELECT a.vec_id, a.v, b.centroid_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                        b.centroid_id) AS rn
+      FROM __normed a CROSS JOIN __centroids b)
+    WHERE rn = 1
+  ),
+  __dims AS (
+    SELECT centroid_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM __assign
+  ),
+  __means AS (
+    SELECT centroid_id, dim, sum(val) / count(*) AS m
+    FROM __dims GROUP BY centroid_id, dim
+  ),
+  __norms AS (
+    SELECT centroid_id, round(sqrt(sum(m * m)), 6) AS new_norm
+    FROM __means GROUP BY centroid_id
+  ),
+  __sizes AS (
+    SELECT centroid_id, count(*) AS n_assigned FROM __assign
+    GROUP BY centroid_id
+  )
+  SELECT s.centroid_id, s.n_assigned, n.new_norm
+  FROM __sizes s JOIN __norms n USING (centroid_id)
+""",
+    doc="One Lloyd iteration of k-means over the embedding column: "
+    "nearest-centroid assignment (broadcast centroids, deterministic "
+    "cosine-then-id tiebreak) followed by the per-dimension mean "
+    "update. This is the full-corpus-scale shape: assignment is a "
+    "broadcast probe in the scan stage, the update is one partial-"
+    "aggregated shuffle keyed (centroid, dim) — iterate to "
+    "convergence by re-running with the updated centroids.",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+    centroids = vecs.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos_to_centroid = dot(F.col("v"), F.col("cv")) / (
+        F.col("norm") * F.col("cnorm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id")
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("cos_c", cos_to_centroid)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    dims = assign.select(
+        "centroid_id", F.posexplode("v").alias("dim", "val")
+    )
+    means = dims.groupBy("centroid_id", "dim").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("m")
+    )
+    norms = means.groupBy("centroid_id").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("new_norm")
+    )
+    sizes = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+    return sizes.join(norms, "centroid_id")

@@ -68,6 +68,7 @@ def _load() -> None:
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import spatial  # noqa: F401
+    from . import sql_surface  # noqa: F401
     from . import udx  # noqa: F401
     from . import physical  # noqa: F401
     from . import stats  # noqa: F401

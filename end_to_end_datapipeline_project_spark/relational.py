@@ -881,3 +881,35 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(wr), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(wr), 6).alias("cume"),
     )
+
+
+@register(
+    "q_full_outer",
+    """
+  SELECT count(*) AS n_rows,
+         count(*) FILTER (WHERE o.o_orderkey IS NULL)
+           AS customers_without_orders,
+         count(*) FILTER (WHERE c.c_custkey IS NULL)
+           AS orders_without_customers,
+         count(DISTINCT c.c_custkey) AS matched_customers
+  FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+    doc="Full-outer join reconciliation: one pass yields the match "
+    "census both directions (the data-quality handshake when two "
+    "vendors deliver the 'same' entities). Shuffle on the key, "
+    "null-extension both sides.",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_parquet_table(spark, sf_dir, "customer")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("customers_without_orders"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+        ).alias("orders_without_customers"),
+        F.count_distinct(F.col("c_custkey")).alias("matched_customers"),
+    )
