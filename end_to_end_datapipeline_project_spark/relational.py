@@ -913,3 +913,155 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("orders_without_customers"),
         F.count_distinct(F.col("c_custkey")).alias("matched_customers"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    f"""
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         {dsum("l_extendedprice")} AS sum_price,
+         grouping(l_returnflag) AS g_flag,
+         grouping(l_linestatus) AS g_status
+  FROM lineitem
+  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc="Explicit GROUPING SETS (finer control than ROLLUP/CUBE): three "
+    "chosen aggregation levels in ONE scan via the expand operator, "
+    "with grouping() flags disambiguating real NULLs from subtotal "
+    "rows. At 100 TB this replaces three separate scans+aggs.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS sum_price,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q_union_by_name",
+    """
+  WITH __a AS (
+    SELECT user_id, event_type, value, NULL AS o_totalprice
+    FROM events WHERE event_type = 'purchase'
+  ),
+  __b AS (
+    SELECT o_custkey AS user_id, 'order' AS event_type,
+           NULL AS value, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+  )
+  SELECT user_id, event_type,
+         count(*) AS n,
+         count(value) AS n_with_value,
+         count(o_totalprice) AS n_with_price
+  FROM (SELECT * FROM __a UNION ALL SELECT * FROM __b)
+  GROUP BY user_id, event_type
+""",
+    doc="Schema-evolution union: unionByName(allowMissingColumns=True) "
+    "aligns two sources with different column sets by NAME, null-"
+    "filling the gaps — the safe way to append a vendor's new delivery "
+    "whose schema drifted (positional UNION would silently misalign).",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    o = read_parquet_table(spark, sf_dir, "orders")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_type", "value"
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("user_id"),
+        F.lit("order").alias("event_type"),
+        "o_totalprice",
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_with_value"),
+        F.count("o_totalprice").alias("n_with_price"),
+    )
+
+
+@register(
+    "q_skew_profile",
+    """
+  WITH __per_key AS (
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+  )
+  SELECT count(*) AS n_keys,
+         min(cnt) AS min_cnt,
+         max(cnt) AS max_cnt,
+         round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+         round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+         round(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt), 6)
+           AS skew_factor
+  FROM __per_key
+""",
+    doc="Join/shuffle-key skew diagnosis: per-key count distribution "
+    "(min/p50/p99/max) and the skew factor max·|keys|/Σ — the number "
+    "that says whether a plain shuffle join is safe or the salted-join "
+    "path (q_salted_join) is needed. Two-level aggregation; the second "
+    "level sees |keys| rows only.",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    pct = F.expr("percentile(cnt, array(0.5, 0.99))")
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        pct.alias("p"),
+        (F.max("cnt").cast("double") * F.count(F.lit(1)) / F.sum("cnt")).alias(
+            "sk"
+        ),
+    ).select(
+        "n_keys",
+        "min_cnt",
+        "max_cnt",
+        F.round(F.col("p")[0], 6).alias("p50_cnt"),
+        F.round(F.col("p")[1], 6).alias("p99_cnt"),
+        F.round("sk", 6).alias("skew_factor"),
+    )
+
+
+@register(
+    "q_hopping_window",
+    """
+  SELECT ws AS window_start, event_type, count(*) AS n
+  FROM (
+    SELECT unnest([
+             date_trunc('day', ts),
+             date_trunc('day', ts) - INTERVAL 1 DAY
+           ]) AS ws,
+           event_type
+    FROM events
+  )
+  GROUP BY ws, event_type
+""",
+    doc="Hopping (sliding) event-time windows: width 2 days, hop 1 day — "
+    "each event lands in exactly width/hop windows via the expand "
+    "operator (F.window), then one hash agg. The batch twin of the "
+    "streaming sliding-window aggregation.",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+    )

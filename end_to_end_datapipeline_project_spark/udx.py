@@ -118,3 +118,49 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE trim(d.text) <> ''
         """
     )
+
+
+@register(
+    "q_cogroup_stats",
+    """
+  WITH e AS (
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+  ),
+  o AS (
+    SELECT o_custkey AS user_id, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+  )
+  SELECT coalesce(e.user_id, o.user_id) AS user_id,
+         coalesce(e.n_events, 0) AS n_events,
+         coalesce(o.n_orders, 0) AS n_orders
+  FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+""",
+    doc="Cogrouped grouped-map surface: two tables grouped on the same "
+    "key, both groups handed to one pandas function (the extension "
+    "point for per-entity sequence alignment / custom as-of logic the "
+    "engine lacks). Scale contract: BOTH groups ship to Python via "
+    "Arrow — keep groups bounded; the oracle is the full-outer "
+    "aggregate join this reduces to for countable stats.",
+)
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select("user_id")
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+
+    def stats(key, left, right):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(left)],
+                "n_orders": [len(right)],
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .cogroup(orders.groupby("user_id"))
+        .applyInPandas(
+            stats, "user_id BIGINT, n_events BIGINT, n_orders BIGINT"
+        )
+    )
