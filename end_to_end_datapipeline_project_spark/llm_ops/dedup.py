@@ -544,3 +544,56 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("edit_dist"),
     )
     return pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+
+
+@register(
+    "q_prefix_dedup",
+    """
+  WITH __d AS (
+    SELECT doc_id, text FROM documents WHERE length(text) >= 40
+  )
+  SELECT a.doc_id AS shorter_doc, b.doc_id AS longer_doc,
+         length(a.text) AS len_short, length(b.text) AS len_long
+  FROM __d a JOIN __d b
+    ON left(a.text, 40) = left(b.text, 40)
+   AND a.doc_id <> b.doc_id
+   AND length(b.text) > length(a.text)
+   AND left(b.text, length(a.text)) = a.text
+""",
+    doc="Truncation-duplicate detection: doc A is a proper prefix of doc "
+    "B (the scrape-cutoff dup class shingle-Jaccard under-scores). "
+    "Blocked on the first 40 chars — an equi-join key, so candidates "
+    "co-locate in one shuffle and the full prefix test runs only "
+    "inside blocks; never an O(n²) substring scan.",
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 40
+    )
+    a = docs.select(
+        F.col("doc_id").alias("shorter_doc"),
+        F.col("text").alias("a_text"),
+        F.substring("text", 1, 40).alias("blk"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("longer_doc"),
+        F.col("text").alias("b_text"),
+        F.substring("text", 1, 40).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("shorter_doc") != F.col("longer_doc"))
+            & (F.length("b_text") > F.length("a_text"))
+            & (
+                F.expr("substring(b_text, 1, length(a_text))")
+                == F.col("a_text")
+            )
+        )
+        .select(
+            "shorter_doc",
+            "longer_doc",
+            F.length("a_text").cast("bigint").alias("len_short"),
+            F.length("b_text").cast("bigint").alias("len_long"),
+        )
+    )

@@ -463,3 +463,106 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
     )
+
+
+@register(
+    "q_pmi_bigrams",
+    f"""
+  WITH __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  ),
+  __uni AS (
+    SELECT tok, count(*) AS c1 FROM (
+      SELECT unnest(toks) AS tok FROM __toks)
+    GROUP BY tok
+  ),
+  __n1 AS (SELECT sum(c1) AS n_tokens FROM __uni),
+  __bi AS (
+    SELECT w1, w2, count(*) AS c2 FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1]))
+               AS w2
+      FROM __toks WHERE len(toks) >= 2)
+    GROUP BY w1, w2
+  ),
+  __n2 AS (SELECT sum(c2) AS n_bigrams FROM __bi),
+  __pmi AS (
+    SELECT b.w1, b.w2, b.c2 AS n_pair,
+           round(ln((CAST(b.c2 AS DOUBLE) / n2.n_bigrams)
+                    / ((CAST(u1.c1 AS DOUBLE) / n1.n_tokens)
+                       * (CAST(u2.c1 AS DOUBLE) / n1.n_tokens))), 6) AS pmi
+    FROM __bi b
+    JOIN __uni u1 ON b.w1 = u1.tok
+    JOIN __uni u2 ON b.w2 = u2.tok
+    CROSS JOIN __n1 n1 CROSS JOIN __n2 n2
+    WHERE b.c2 >= 20
+  )
+  SELECT w1, w2, n_pair, pmi FROM (
+    SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+    FROM __pmi) WHERE rn <= 20
+""",
+    doc="Collocation mining via pointwise mutual information: corpus "
+    "unigram/bigram counts, PMI = ln(p(ab)/(p(a)p(b))), top-20 with a "
+    "total-order tiebreak. Scale shape: the unigram vocabulary is "
+    "small → broadcast joins onto the bigram counts; the only big "
+    "shuffles are the two counting aggregations, both map-side "
+    "combinable.",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n1 = uni.agg(F.sum("c1").alias("n_tokens"))
+    n2 = bi.agg(F.sum("c2").alias("n_bigrams"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = (
+        bi.filter(F.col("c2") >= 20)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") / F.col("n_bigrams"))
+                    / (
+                        (F.col("c1a").cast("double") / F.col("n_tokens"))
+                        * (F.col("c1b").cast("double") / F.col("n_tokens"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        pmi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("w1", "w2", F.col("c2").alias("n_pair"), "pmi")
+    )
