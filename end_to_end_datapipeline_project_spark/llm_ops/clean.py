@@ -75,61 +75,67 @@ from .text import TOKENS_SQL, tokens_col
   LEFT JOIN __topb p USING (doc_id)
 """,
     doc="Gopher-style repetition filter: distinct-token fraction, "
-    "top-token fraction, top-bigram fraction, and the keep decision. "
-    "All three per-doc aggregations shuffle on doc_id only (no global "
-    "state), so the pass is embarrassingly parallel at 100 TB; ratios "
-    "are exact integer divisions so thresholds are engine-stable.",
+    "top-token fraction, top-bigram fraction, and the keep decision — "
+    "ONE generator emits every token ('t') and bigram ('b') tagged "
+    "with its kind, then a two-level aggregation keyed (doc, kind, "
+    "gram) → (doc) computes all three signals in a single pass: two "
+    "map-side-combinable shuffles total (vs three independent "
+    "aggregations), no global state, linear per-row cost. Ratios are "
+    "exact integer divisions so thresholds are engine-stable.",
 )
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col().alias("toks"))
-    base = toks.select(
-        "doc_id",
-        F.size("toks").alias("n"),
-        F.size(F.array_distinct("toks")).alias("n_uniq"),
-    )
-    topt = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_tok"))
-    )
-    bigrams = toks.filter(F.size("toks") >= 2).select(
+    # one generator: every token tagged 't', every bigram tagged 'b'
+    grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            F.concat(
+                F.transform(
+                    "toks", lambda t: F.struct(F.lit("t").alias("kind"), t.alias("gram"))
+                ),
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+                    lambda i: F.struct(
+                        F.lit("b").alias("kind"),
+                        F.when(
+                            F.size("toks") >= 2,
+                            F.concat_ws(
+                                " ",
+                                F.element_at("toks", i),
+                                F.element_at("toks", i + 1),
+                            ),
+                        ).alias("gram"),
+                    ),
                 ),
             )
-        ).alias("bg"),
+        ).alias("g"),
+    ).select("doc_id", "g.kind", "g.gram").filter(F.col("gram").isNotNull())
+    counted = grams.groupBy("doc_id", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    topb = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_bg"))
+    t = F.col("kind") == "t"
+    b = F.col("kind") == "b"
+    scored = counted.groupBy("doc_id").agg(
+        F.sum(F.when(t, F.col("cnt")).otherwise(0)).alias("n"),
+        F.sum(F.when(t, 1).otherwise(0)).alias("n_uniq"),
+        F.max(F.when(t, F.col("cnt")).otherwise(0)).alias("top_tok"),
+        F.max(F.when(b, F.col("cnt")).otherwise(0)).alias("top_bg"),
     )
     n, n_uniq = F.col("n"), F.col("n_uniq")
     uniq_frac = n_uniq.cast("double") / n
     bg_frac = F.coalesce(
         F.col("top_bg").cast("double") / F.nullif(n - 1, F.lit(0)), F.lit(0.0)
     )
-    return (
-        base.join(topt, "doc_id")
-        .join(topb, "doc_id", "left")
-        .select(
-            "doc_id",
-            n.alias("n_tokens"),
-            F.round(uniq_frac, 6).alias("uniq_frac"),
-            F.round(F.col("top_tok").cast("double") / n, 6).alias(
-                "top_token_frac"
-            ),
-            F.round(bg_frac, 6).alias("top_bigram_frac"),
-            ((uniq_frac >= 0.2) & (bg_frac <= 0.2)).alias("keep"),
-        )
+    return scored.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(uniq_frac, 6).alias("uniq_frac"),
+        F.round(F.col("top_tok").cast("double") / n, 6).alias(
+            "top_token_frac"
+        ),
+        F.round(bg_frac, 6).alias("top_bigram_frac"),
+        ((uniq_frac >= 0.2) & (bg_frac <= 0.2)).alias("keep"),
     )
 
 
