@@ -308,7 +308,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
   WITH {VECS_SQL},
   __centroids AS (
     SELECT vec_id AS centroid_id, v, norm FROM __normed
-    WHERE vec_id % {N_CENTROIDS_MOD} = 0
+    ORDER BY vec_id LIMIT 64
   ),
   __assign AS (
     SELECT vec_id, v, centroid_id FROM (
@@ -345,11 +345,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "update. This is the full-corpus-scale shape: assignment is a "
     "broadcast probe in the scan stage, the update is one partial-"
     "aggregated shuffle keyed (centroid, dim) — iterate to "
-    "convergence by re-running with the updated centroids.",
+    "convergence by re-running with the updated centroids. k is FIXED "
+    "(64 seed vectors via top-k on id) so assignment cost stays k·n at "
+    "any corpus size; the earlier modulo seed rule grew k with the "
+    "data and the ×10 scale probe caught the resulting 10× blowup.",
 )
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vectors(spark, sf_dir)
-    centroids = vecs.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+    centroids = vecs.orderBy("vec_id").limit(64).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),

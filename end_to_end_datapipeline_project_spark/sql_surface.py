@@ -133,3 +133,37 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n, sum_price
         """
     )
+
+
+@register(
+    "q_lateral_topk",
+    """
+  SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+  FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+  ) t
+""",
+    doc="Correlated LATERAL subquery (top-3 orders per customer): the "
+    "per-row-subquery formulation Catalyst DECORRELATES into a "
+    "rank-window over one join — proof the engine turns the O(n·m) "
+    "reading into the same single-shuffle plan as the explicit window "
+    "form (q_window_rank). Deterministic via the (price, orderkey) "
+    "total order.",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {c} c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM {o}
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        """
+    )

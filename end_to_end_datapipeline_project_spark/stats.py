@@ -411,3 +411,103 @@ def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(out)
 
     return sums.groupBy("event_type").applyInPandas(solve, _MODEL_SCHEMA)
+
+
+#: value-histogram bin for drift comparison (20-unit bins)
+_DRIFT_BIN = "CAST(floor(value / 20) AS BIGINT)"
+
+
+@register(
+    "q_distribution_drift",
+    f"""
+  WITH __bounds AS (
+    SELECT to_timestamp(CAST(floor((floor(epoch(min(ts)))
+                                    + floor(epoch(max(ts)))) / 2) AS BIGINT))
+             AS mid
+    FROM events
+  ),
+  __binned AS (
+    SELECT CASE WHEN ts <= mid THEN 'ref' ELSE 'cur' END AS period,
+           event_type, {_DRIFT_BIN} AS bin
+    FROM events CROSS JOIN __bounds
+  ),
+  __counts AS (
+    SELECT period, event_type, bin, count(*) AS c
+    FROM __binned GROUP BY period, event_type, bin
+  ),
+  __tot AS (
+    SELECT period, event_type, sum(c) AS tot
+    FROM __counts GROUP BY period, event_type
+  ),
+  __p AS (
+    SELECT c.event_type, c.bin,
+           CAST(max(CASE WHEN c.period = 'ref' THEN c ELSE 0 END) AS DOUBLE)
+             / max(CASE WHEN c.period = 'ref' THEN tot END) AS p,
+           CAST(max(CASE WHEN c.period = 'cur' THEN c ELSE 0 END) AS DOUBLE)
+             / max(CASE WHEN c.period = 'cur' THEN tot END) AS q
+    FROM __counts c JOIN __tot USING (period, event_type)
+    GROUP BY c.event_type, c.bin
+  )
+  SELECT event_type,
+         round(sum(CASE WHEN p > 0 AND q > 0
+                        THEN p * ln(p / q) ELSE 0 END), 6) AS kl_ref_cur,
+         count(*) AS n_bins,
+         sum(CASE WHEN p = 0 OR q = 0 THEN 1 ELSE 0 END) AS disjoint_bins
+  FROM __p GROUP BY event_type
+""",
+    doc="Distribution-drift monitor: split the stream at its time "
+    "midpoint, histogram `value` per event_type in both halves, and "
+    "report KL(ref‖cur) over the shared support plus the count of "
+    "bins seen in only one half. The production DQ gate for 'did this "
+    "feed change shape'. Everything reduces to |types|×|bins| rows "
+    "before any ratio is taken — exact integer counts, one ln() "
+    "rounded at 6dp.",
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.timestamp_seconds(
+            F.floor(
+                (
+                    F.unix_timestamp(F.min("ts"))
+                    + F.unix_timestamp(F.max("ts"))
+                )
+                / 2
+            )
+        ).alias("mid")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("ts") <= F.col("mid"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        "event_type",
+        F.floor(F.col("value") / 20).cast("bigint").alias("bin"),
+    )
+    counts = binned.groupBy("period", "event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("period", "event_type").agg(
+        F.sum("c").alias("tot")
+    )
+    joined = counts.join(tot, ["period", "event_type"])
+    ref_c = F.max(F.when(F.col("period") == "ref", F.col("c")).otherwise(0))
+    cur_c = F.max(F.when(F.col("period") == "cur", F.col("c")).otherwise(0))
+    ref_t = F.max(F.when(F.col("period") == "ref", F.col("tot")))
+    cur_t = F.max(F.when(F.col("period") == "cur", F.col("tot")))
+    p_q = joined.groupBy("event_type", "bin").agg(
+        (ref_c.cast("double") / ref_t).alias("p"),
+        (cur_c.cast("double") / cur_t).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    return p_q.groupBy("event_type").agg(
+        F.round(
+            F.sum(
+                F.when((p > 0) & (q > 0), p * F.log(p / q)).otherwise(0.0)
+            ),
+            6,
+        ).alias("kl_ref_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.when((p == 0) | (q == 0), 1).otherwise(0)).alias(
+            "disjoint_bins"
+        ),
+    )

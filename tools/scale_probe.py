@@ -40,6 +40,14 @@ PROBES = [
     "q_fuzzy_match",
     "q_moving_window",
     "q_user_sequences",
+    "q_gopher_repetition",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_radius_join",
+    "q_pmi_bigrams",
+    "q_scd2_history",
+    "q_hash_sample",
+    "q_kmeans_step",
 ]
 
 KEY_OFFSETS = {
