@@ -1065,3 +1065,73 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n"
         )
     )
+
+
+@register(
+    "q_retention_cohorts",
+    """
+  WITH __first AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY user_id
+  ),
+  __active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+    FROM events
+  ),
+  __joined AS (
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, a.active_week) / 7)
+                AS BIGINT) AS week_offset,
+           a.user_id
+    FROM __first f JOIN __active a ON f.user_id = a.user_id
+  ),
+  __sizes AS (
+    SELECT cohort_week, count(*) AS cohort_size FROM __first
+    GROUP BY cohort_week
+  )
+  SELECT j.cohort_week, j.week_offset,
+         count(DISTINCT j.user_id) AS n_active,
+         round(CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 6)
+           AS retention
+  FROM __joined j JOIN __sizes s ON j.cohort_week = s.cohort_week
+  GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+""",
+    doc="Retention cohort matrix: cohort = week of first activity, "
+    "retention(k) = fraction of the cohort active k weeks later. Three "
+    "aggregations, all keyed on user or (cohort, offset) — no window "
+    "over the raw stream; the cohort-size side is |cohorts| rows and "
+    "broadcasts.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    joined = first.join(active, "user_id").select(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
