@@ -1135,3 +1135,40 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "q_unpivot",
+    f"""
+  WITH __w AS (
+    SELECT o_orderpriority,
+           CAST(count(*) AS DOUBLE) AS n_orders,
+           {dsum("o_totalprice")} AS sum_price,
+           round(max(o_totalprice), 6) AS max_price
+    FROM orders GROUP BY o_orderpriority
+  )
+  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM __w
+  UNION ALL
+  SELECT o_orderpriority, 'sum_price', sum_price FROM __w
+  UNION ALL
+  SELECT o_orderpriority, 'max_price', max_price FROM __w
+""",
+    doc="UNPIVOT (wide → long): the inverse of q_pivot, via the native "
+    "unpivot/melt operator — each input row expands to |metrics| rows "
+    "in the scan stage (an expand, not a shuffle). Long form is what "
+    "metric stores and chart sinks consume. Oracle = the UNION ALL "
+    "desugaring, proving the operator's semantics.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -239,3 +239,131 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "q_interpolate",
+    """
+  WITH __dedup AS (
+    SELECT user_id, ts, value FROM (
+      SELECT user_id, ts, value, row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id) AS __rn
+      FROM events) WHERE __rn = 1
+  ),
+  __grid AS (
+    SELECT user_id,
+           unnest(generate_series(CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                                  CAST(date_trunc('day', max(ts)) AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS ts
+    FROM __dedup GROUP BY user_id
+  ),
+  __u AS (
+    SELECT user_id, ts, value, 'e' AS kind FROM __dedup
+    UNION ALL
+    SELECT user_id, ts, NULL AS value, 'g' AS kind FROM __grid
+  ),
+  __ctx AS (
+    SELECT user_id, ts, value, kind,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, kind
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+           last_value(CASE WHEN value IS NOT NULL
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, kind
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+           first_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, kind
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
+           first_value(CASE WHEN value IS NOT NULL
+                            THEN CAST(floor(epoch(ts)) AS BIGINT) END
+                       IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, kind
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+    FROM __u
+  )
+  SELECT user_id, ts AS grid_ts,
+         round(CASE
+           WHEN prev_val IS NULL THEN next_val
+           WHEN next_val IS NULL THEN prev_val
+           WHEN next_ts = prev_ts THEN prev_val
+           ELSE prev_val + (next_val - prev_val)
+                * (CAST(floor(epoch(ts)) AS BIGINT) - prev_ts)
+                / (next_ts - prev_ts)
+         END, 6) AS value_interp
+  FROM __ctx WHERE kind = 'g'
+""",
+    doc="Resample-and-interpolate: per key, a daily grid spanning the "
+    "key's observed range, each grid point valued by LINEAR "
+    "interpolation between the surrounding observations (edge points "
+    "fall back to nearest). Implementation = union grid+events, then "
+    "last/first IGNORE NULLS windows — ONE shuffle on the key, two "
+    "in-partition window passes, no join of events to grid. The "
+    "interpolation fraction uses whole-second integer timestamps so "
+    "both engines divide identical values. Complements q_gap_fill "
+    "(LOCF) with the smooth resampler every telemetry/feature "
+    "pipeline needs.",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    wdd = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    dedup = (
+        ev.withColumn("__rn", F.row_number().over(wdd))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    grid = (
+        dedup.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("t0"),
+            F.date_trunc("day", F.max("ts")).alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 DAY"))
+            ).alias("ts"),
+        )
+    )
+    u = dedup.withColumn("kind", F.lit("e")).unionByName(
+        grid.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit("g").alias("kind"),
+        )
+    )
+    secs = F.unix_timestamp("ts")
+    ev_secs = F.when(F.col("value").isNotNull(), secs)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ctx = u.select(
+        "user_id",
+        "ts",
+        "kind",
+        F.last("value", ignorenulls=True).over(wb).alias("prev_val"),
+        F.last(ev_secs, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("value", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(ev_secs, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    pv, nv = F.col("prev_val"), F.col("next_val")
+    pt, nt = F.col("prev_ts"), F.col("next_ts")
+    interp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(nt == pt, pv)
+        .otherwise(pv + (nv - pv) * (secs - pt) / (nt - pt))
+    )
+    return ctx.filter(F.col("kind") == "g").select(
+        "user_id",
+        F.col("ts").alias("grid_ts"),
+        F.round(interp, 6).alias("value_interp"),
+    )
