@@ -412,6 +412,53 @@ CLUSTER_JACCARD = 0.02
 MAX_CC_ITERS = 20
 
 
+def connected_components(
+    nodes: DataFrame, edges1: DataFrame, id_col: str, max_iters: int = MAX_CC_ITERS
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    ``nodes``: one column ``id_col``; ``edges1``: columns (src, dst), one
+    row per undirected edge.  Each node iteratively adopts the smallest
+    id reachable; localCheckpoint per iteration cuts lineage (O(1) plan
+    depth), and the loop stops when the global label sum is stable.
+    Returns (id_col, cluster_id, is_canonical).
+    """
+    edges = edges1.unionAll(
+        edges1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = nodes.select(
+        F.col(id_col), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        # each node adopts min(own label, neighbors' labels)
+        prop = (
+            edges.join(labels, edges.src == labels[id_col])
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(prop, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: O(1) plan depth per iteration
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        id_col,
+        F.col("label").alias("cluster_id"),
+        (F.col(id_col) == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
 @register(
     "q_dedup_clusters",
     f"""
@@ -449,38 +496,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges1 = jac.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    edges = edges1.unionAll(
-        edges1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(MAX_CC_ITERS):
-        # each node adopts min(own label, neighbors' labels)
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()  # cut lineage: O(1) plan depth per iteration
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
-    )
+    return connected_components(docs, edges1, "doc_id")
 
 
 def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:

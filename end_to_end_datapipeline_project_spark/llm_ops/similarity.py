@@ -383,3 +383,53 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned")
     )
     return sizes.join(norms, "centroid_id")
+
+
+SEMANTIC_COS = 0.45
+
+
+@register(
+    "q_semantic_dedup",
+    f"""
+  WITH RECURSIVE {VECS_SQL},
+  __pairs AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM __normed a JOIN __normed b ON a.vec_id < b.vec_id
+    WHERE {COS_SQL} >= {SEMANTIC_COS}
+  ),
+  __edges AS (
+    SELECT src, dst FROM __pairs
+    UNION ALL SELECT dst, src FROM __pairs
+  ),
+  __reach (vec_id, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT q.vec_id, e.dst FROM __reach q JOIN __edges e ON e.src = q.r
+  )
+  SELECT vec_id,
+         min(r) AS cluster_id,
+         CAST(vec_id = min(r) AS INTEGER) AS is_canonical
+  FROM __reach GROUP BY vec_id
+""",
+    doc="SEMANTIC deduplication: cosine-similar embedding pairs "
+    f"(≥ {SEMANTIC_COS}) become edges, connected components collapse "
+    "chains of paraphrases into one cluster, canonical = min id — the "
+    "embedding-space counterpart of shingle-based q_dedup_clusters, "
+    "sharing the same min-label-propagation loop (localCheckpoint per "
+    "iteration, label-sum convergence). At 100 TB the pair generation "
+    "is the IVF/LSH candidate path, not this brute-force oracle shape.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    vecs = vectors(spark, sf_dir)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(_cos() >= SEMANTIC_COS)
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    nodes = vecs.select("vec_id")
+    return connected_components(nodes, pairs, "vec_id")
