@@ -51,6 +51,10 @@ HEADLINE = [
     "q_gopher_repetition",
     "q_bloom_join",
     "q_zorder_layout",
+    "q_sorted_neighborhood",
+    "q_unigram_logprob",
+    "q_pagerank",
+    "q_disjunctive_pushdown",
 ]
 
 

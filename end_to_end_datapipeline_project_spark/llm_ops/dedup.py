@@ -562,6 +562,91 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
 
 
+SN_WINDOW = 8
+SN_BUCKET = 4
+
+
+@register(
+    "q_sorted_neighborhood",
+    f"""
+  WITH __keys AS (
+    SELECT doc_id, substr(lower(trim(text)), 1, {FUZZY_PREFIX}) AS probe
+    FROM documents
+  ),
+  __ranked AS (
+    SELECT doc_id, probe,
+           row_number() OVER (ORDER BY probe, doc_id) AS rn
+    FROM __keys
+  )
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         b.rn - a.rn AS rank_gap,
+         levenshtein(a.probe, b.probe) AS edit_dist
+  FROM __ranked a JOIN __ranked b
+    ON b.rn BETWEEN a.rn + 1 AND a.rn + {SN_WINDOW - 1}
+  WHERE levenshtein(a.probe, b.probe) <= {FUZZY_MAX_DIST}
+""",
+    doc="Sorted-neighborhood record linkage: rank all docs by normalized "
+    f"sort key, compare each doc only to the next {SN_WINDOW - 1} in rank "
+    "order — candidates are O(n·w) REGARDLESS of key skew, the bounded-"
+    "recall alternative to blocking (q_fuzzy_match's block sizes blow up "
+    "quadratically under shared boilerplate; a sliding rank window cannot). "
+    "The global rank is computed WITHOUT a single-partition sort: per-"
+    f"bucket row_number (bucket = {SN_BUCKET}-char key prefix, so bucket "
+    "order ≡ key order) + broadcast prefix-sum of bucket sizes — the same "
+    "two-pass pattern as q_pack_sequences; neighbor pairs are an equi-join "
+    "on rank after a 1→w-1 offset explode, never a range join.",
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, FUZZY_PREFIX).alias("probe"),
+    ).withColumn("bucket", F.substring("probe", 1, SN_BUCKET))
+    # pass 1: rank within each bucket (distributed; bucket = key prefix
+    # so (bucket, probe, doc_id) order ≡ global (probe, doc_id) order)
+    w_in = Window.partitionBy("bucket").orderBy("probe", "doc_id")
+    ranked = keys.withColumn("rn_in", F.row_number().over(w_in))
+    # pass 2: bucket base offsets — tiny aggregate, broadcast back
+    counts = keys.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("base")
+    )
+    ranked = ranked.join(F.broadcast(bases), "bucket").select(
+        "doc_id", "probe", (F.col("base") + F.col("rn_in")).alias("rn")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("probe").alias("probe_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(SN_WINDOW - 1))).alias(
+            "rank_gap"
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("probe").alias("probe_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, (F.col("rn_a") + F.col("rank_gap")) == F.col("rn_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("probe_a"), F.col("probe_b"))
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("rank_gap").cast("bigint").alias("rank_gap"),
+            "edit_dist",
+        )
+    )
+
+
 @register(
     "q_prefix_dedup",
     """

@@ -566,3 +566,137 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("w1", "w2", F.col("c2").alias("n_pair"), "pmi")
     )
+
+
+# --- training-set assembly ---------------------------------------------------
+
+#: 2-hex-digit md5 prefix thresholds: < e6 → train (~89.8%), < f3 → val
+#: (~5.1%), rest → test (~5.1%)
+SPLIT_TRAIN, SPLIT_VAL = "e6", "f3"
+
+
+@register(
+    "q_train_test_split",
+    f"""
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN}'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL}'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+""",
+    doc="Deterministic train/val/test assignment: a 2-hex-digit md5(doc_id) "
+    "prefix buckets each doc ~90/5/5. Like q_hash_sample this is "
+    "reproducible across runs, engines, and cluster sizes — re-ingesting "
+    "a doc always lands it in the same split (no train/test leakage when "
+    "the corpus is re-built) — and it is a pure map: no shuffle, no "
+    "stored split table, pushes down past the scan.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(prefix < SPLIT_TRAIN, "train")
+        .when(prefix < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+VOCAB_K = 1000
+
+
+@register(
+    "q_build_vocab",
+    f"""
+  WITH __tok AS (
+    SELECT unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __counts AS (
+    SELECT token, count(*) AS n_occurrences
+    FROM __tok WHERE token <> '' GROUP BY token
+  )
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+           AS token_id,
+         token, n_occurrences
+  FROM __counts
+  QUALIFY token_id <= {VOCAB_K}
+""",
+    doc=f"Vocabulary building: corpus-wide token frequencies, top {VOCAB_K} "
+    "by (count desc, token) — a total order, so ids are deterministic — "
+    "assigned contiguous token_ids. The rank window runs on the "
+    "AGGREGATED distinct-token table (≪ corpus; partial counts map-side), "
+    "and at 100 TB the two-pass bucket-prefix-sum rank of "
+    "q_sorted_neighborhood replaces the single-partition window.",
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    counts = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(tokens_col()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("token_id") <= VOCAB_K)
+        .select("token_id", "token", "n_occurrences")
+    )
+
+
+@register(
+    "q_unigram_logprob",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __vocab AS (
+    SELECT token, count(*) AS n FROM __tok GROUP BY token
+  ),
+  __total AS (
+    SELECT CAST(sum(n) AS DOUBLE) AS total FROM __vocab
+  )
+  SELECT doc_id, count(*) AS n_tokens,
+         round(CAST(SUM(CAST(round(ln(v.n / t.total), 6) AS DECIMAL(30,6)))
+                    AS DOUBLE) / count(*), 6) AS avg_logprob
+  FROM __tok j
+  JOIN __vocab v USING (token)
+  CROSS JOIN __total t
+  GROUP BY doc_id
+""",
+    doc="Unigram language-model quality score: train a unigram LM on the "
+    "corpus itself (token frequencies / total), score each doc by mean "
+    "log-probability — the cheap perplexity proxy used to rank scrape "
+    "quality before an expensive model-based filter. The vocab is an "
+    "aggregate ≪ corpus, so the score join is a BROADCAST (no shuffle of "
+    "the token stream, immune to stopword skew); per-token logprobs are "
+    "round(·,6) then decimal-summed for engine-exact parity.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import spark_dsum
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(tokens_col()).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").cast("double").alias("total"))
+    scored = tok.join(F.broadcast(vocab), "token").crossJoin(
+        F.broadcast(total)
+    )
+    logp = F.round(F.log(F.col("n") / F.col("total")), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(spark_dsum(logp) / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -65,6 +65,7 @@ def _load() -> None:
     if _loaded:
         return
     from . import formats  # noqa: F401
+    from . import graph  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import spatial  # noqa: F401

@@ -1172,3 +1172,58 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_disjunctive_pushdown",
+    f"""
+  SELECT p.p_brand,
+         count(*) AS n_items,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 1 AND 20)
+     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+         AND l.l_quantity BETWEEN 10 AND 30)
+     OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+         AND l.l_quantity BETWEEN 20 AND 40)
+  GROUP BY p.p_brand
+""",
+    doc="TPC-H Q19-shaped disjunctive predicate over a join: three "
+    "brand/size/quantity OR-arms. Catalyst factors the disjunction into "
+    "per-side implied predicates — part gets `p_brand IN (12,23,4) AND "
+    "p_size <= 35`, lineitem gets `l_quantity BETWEEN 1 AND 40` — both "
+    "PUSHED DOWN to the parquet scans (visible as PushedFilters), so at "
+    "100 TB the join sees only candidate rows and the filtered part side "
+    "broadcasts; the full OR re-evaluates post-join for exactness.",
+)
+def q_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    arms = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .filter(arms)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

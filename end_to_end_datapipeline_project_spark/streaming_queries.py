@@ -142,6 +142,33 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup",
+    """
+  SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc="Streaming deduplication with bounded state "
+    "(dropDuplicatesWithinWatermark): first event per (user_id, "
+    "event_type) key survives, and — unlike plain dropDuplicates, whose "
+    "state grows forever — keys older than the 1-day watermark are "
+    "evicted, so state ∝ keys-per-day, not keys-ever. Output projects "
+    "only the key columns (the survivor's other columns are "
+    "arrival-order-dependent), making the stateful operator exactly "
+    "oracle-checkable as SELECT DISTINCT.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    _MEM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark, deduped, f"stream_dedup_{_MEM_SEQ[0]}", complete=False
+    )
+
+
+@register(
     "q_stream_stream_join",
     """
   SELECT p.event_id AS purchase_id, e.event_id AS error_id,

@@ -1,0 +1,143 @@
+"""Invariants for the graph / training-set-assembly operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_datapipeline_project_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_conserves_mass_and_is_positive(spark):
+    """With every node having out-edges (co-supply graph is symmetric),
+    rank mass is conserved: sum(pr) == n_nodes (damping redistributes but
+    never destroys). Every rank is >= 0.15 (the teleport floor)."""
+    rows = all_queries()["q_pagerank"](spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - n) < 1e-3 * n
+    assert all(r.pagerank >= 0.15 for r in rows)
+
+
+def test_train_test_split_is_deterministic_and_partitions(spark):
+    q = all_queries()["q_train_test_split"]
+    a = {(r.doc_id, r.split) for r in q(spark, SF).collect()}
+    b = {(r.doc_id, r.split) for r in q(spark, SF).collect()}
+    assert a == b  # reproducible across runs
+    by_split = {}
+    for _, s in a:
+        by_split[s] = by_split.get(s, 0) + 1
+    assert set(by_split) <= {"train", "val", "test"}
+    # ~90/5/5: train must dominate
+    assert by_split["train"] > 0.8 * len(a)
+
+
+def test_build_vocab_ids_are_contiguous_frequency_ranked(spark):
+    rows = all_queries()["q_build_vocab"](spark, SF).collect()
+    rows.sort(key=lambda r: r.token_id)
+    assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
+    # non-increasing frequency; ties broken by token ascending
+    for prev, cur in zip(rows, rows[1:]):
+        assert (
+            prev.n_occurrences > cur.n_occurrences
+            or (
+                prev.n_occurrences == cur.n_occurrences
+                and prev.token < cur.token
+            )
+        )
+
+
+def test_unigram_logprob_bounds(spark):
+    """Mean log-prob is <= 0 always, and == 0 only if a doc's every token
+    covers the whole corpus (impossible with >1 distinct token)."""
+    rows = all_queries()["q_unigram_logprob"](spark, SF).collect()
+    assert rows and all(r.avg_logprob <= 0.0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_sorted_neighborhood_candidates_bounded(spark):
+    """Each doc can pair with at most w-1 successors → |pairs| <= n*(w-1);
+    and every emitted pair respects the rank-gap bound."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import SN_WINDOW
+
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rows = all_queries()["q_sorted_neighborhood"](spark, SF).collect()
+    assert len(rows) <= docs_n * (SN_WINDOW - 1)
+    assert all(1 <= r.rank_gap <= SN_WINDOW - 1 for r in rows)
+    assert all(r.edit_dist >= 0 for r in rows)
+
+
+def test_sorted_neighborhood_rank_matches_global_sort(spark):
+    """The two-pass bucket-prefix-sum rank must equal a true global
+    row_number over (probe, doc_id) — checked on a skewed synthetic df
+    where one bucket holds most rows."""
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    df = spark.createDataFrame(
+        [(i, "aaaa shared boilerplate " + str(i % 7)) for i in range(40)]
+        + [(100 + i, chr(98 + i) + " unique") for i in range(10)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = all_queries()["q_sorted_neighborhood"](spark, d)
+        got = {(r.doc_a, r.doc_b, r.rank_gap) for r in out.collect()}
+    # oracle: global sort in python
+    rows = df.collect()
+    probes = sorted(
+        (r.text.lower().strip()[:24], r.doc_id) for r in rows
+    )
+    expect = set()
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(
+                    min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    w = dedup.SN_WINDOW
+    for i, (pa, ida) in enumerate(probes):
+        for gap in range(1, w):
+            if i + gap >= len(probes):
+                break
+            pb, idb = probes[i + gap]
+            if lev(pa, pb) <= dedup.FUZZY_MAX_DIST:
+                expect.add((ida, idb, gap))
+    assert got == expect
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    got = {
+        (r.user_id, r.event_type)
+        for r in all_queries()["q_stream_dedup"](spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    expect = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == expect
+
+
+def test_disjunctive_pushdown_reaches_scan(spark):
+    """The OR predicate must factor into per-side pushed filters — the
+    lineitem scan shows a quantity range, the part scan a brand/size
+    constraint (PushedFilters in the formatted plan)."""
+    df = all_queries()["q_disjunctive_pushdown"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # implied per-side ranges factored out of the disjunction
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400] or (
+        "GreaterThanOrEqual(l_quantity" in plan
+    )
