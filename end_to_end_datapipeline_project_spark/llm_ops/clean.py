@@ -348,3 +348,100 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- per-language length-outlier filter ----------------------------------
+
+
+@register(
+    "q_length_outlier_filter",
+    """
+  WITH th AS (
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.05), 6) AS lo,
+           round(quantile_cont(n_chars, 0.95), 6) AS hi
+    FROM documents
+    GROUP BY lang
+  )
+  SELECT d.lang,
+         count(*) AS n_docs,
+         sum(CASE WHEN d.n_chars >= t.lo AND d.n_chars <= t.hi
+                  THEN 1 ELSE 0 END) AS n_kept,
+         min(t.lo) AS lo,
+         min(t.hi) AS hi
+  FROM documents d JOIN th t ON d.lang = t.lang
+  GROUP BY d.lang
+""",
+    doc="Per-language length-outlier filter: exact p5/p95 of n_chars per "
+    "language (one aggregate over a low-cardinality key -> tiny result "
+    "broadcast back), then each doc is kept iff inside its language's "
+    "band — the per-stratum analogue of fixed length cutoffs, robust "
+    "to languages with different character economies (zh vs en). At "
+    "scale the exact percentile becomes approx_percentile; the oracle "
+    "pins the exact path.",
+)
+def q_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("hi"),
+    )
+    kept = F.when(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+    )
+
+
+# --- training-mixture rebalancing ----------------------------------------
+
+
+@register(
+    "q_source_mix",
+    """
+  WITH s AS (
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    FROM documents GROUP BY source
+  )
+  SELECT source, n_docs, n_chars,
+         round(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (), 6)
+           AS actual_share,
+         round(1.0 / count(*) OVER (), 6) AS target_share,
+         round((1.0 / count(*) OVER ())
+               / (CAST(n_chars AS DOUBLE) / sum(n_chars) OVER ()), 6)
+           AS weight
+  FROM s
+""",
+    doc="Training-mixture rebalancing: per-source token (char) mass -> "
+    "sampling weight that equalizes the mixture (target uniform share "
+    "over sources / actual share). The global totals are window "
+    "aggregates over the already-reduced per-source table — 20 rows — "
+    "so the 'global' pass is free no matter the corpus size; the "
+    "weights then drive a hash-sample of the full corpus.",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy()
+    actual = F.col("n_chars").cast("double") / F.sum("n_chars").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return s.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("weight"),
+    )

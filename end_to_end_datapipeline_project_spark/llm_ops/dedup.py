@@ -698,3 +698,139 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("b_text").cast("bigint").alias("len_long"),
         )
     )
+
+
+# --- chunk-level boilerplate dedup ---------------------------------------
+
+
+@register(
+    "q_chunk_dedup",
+    """
+  WITH t AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+    WHERE trim(text) <> ''
+  ),
+  ch AS (
+    SELECT t.doc_id, u.i AS chunk_idx,
+           md5(array_to_string(
+             list_slice(t.toks, u.i * 10 + 1, u.i * 10 + 10), ' '))
+             AS fingerprint
+    FROM t, UNNEST(range(0,
+        CAST(ceil(len(t.toks) / 10.0) AS BIGINT))) AS u(i)
+  ),
+  ranked AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (
+             PARTITION BY fingerprint
+             ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch
+  )
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         round(sum(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           AS retention
+  FROM ranked
+  GROUP BY doc_id
+""",
+    doc="Chunk-level boilerplate dedup: documents are cut into fixed "
+    "10-token chunks inside the scan stage (array slice + explode — no "
+    "Python), each chunk fingerprinted, and duplicates collapsed "
+    "corpus-wide to a deterministic (min doc_id, chunk_idx) survivor. "
+    "Per-doc retention is the fraction of its chunks that survive — "
+    "the standard intra-corpus template-removal signal. Shuffles: one "
+    "on fingerprint, one on doc_id; both combinable.",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1,
+                ),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10))
+                ),
+            )
+        ).alias("chunk_idx", "fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id", "chunk_idx")
+    ranked = chunked.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0))
+    keptf = F.when(F.col("rn") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(keptf) / F.count(F.lit(1)), 6).alias("retention"),
+    )
+
+
+# --- incremental ingest dedup --------------------------------------------
+
+
+@register(
+    "q_incremental_dedup",
+    """
+  WITH fp AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+    FROM documents
+  ),
+  batch AS (
+    SELECT doc_id + 1000000 AS doc_id, source, f
+    FROM fp WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, source,
+           md5(regexp_replace(lower(trim(text || ' updated')),
+                              '\\s+', ' ', 'g')) AS f
+    FROM documents WHERE doc_id % 10 = 5
+  ),
+  base AS (SELECT DISTINCT f FROM fp)
+  SELECT b.source,
+         count(*) AS n_batch,
+         count(base.f) AS n_dup_vs_base,
+         sum(CASE WHEN base.f IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM batch b LEFT JOIN base ON b.f = base.f
+  GROUP BY b.source
+""",
+    doc="Incremental ingest dedup: a simulated re-ingest batch (half "
+    "already-seen copies, half genuinely edited docs) is checked "
+    "against the existing corpus by content fingerprint — a left join "
+    "on md5 that at scale is a shuffle on the hash key only (16 bytes "
+    "per row crosses the wire, never the text). The per-source "
+    "novel/duplicate split is the signal an ingestion tier uses to "
+    "skip already-stored content.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    fp_of = lambda c: F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    fp = docs.select("doc_id", "source", fp_of(F.col("text")).alias("f"))
+    batch = fp.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source", "f"
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "source",
+            fp_of(F.concat(F.col("text"), F.lit(" updated"))).alias("f"),
+        )
+    )
+    base = fp.select("f").distinct().withColumnRenamed("f", "base_f")
+    return (
+        batch.join(base, batch.f == base.base_f, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count("base_f").alias("n_dup_vs_base"),
+            F.sum(
+                F.when(F.col("base_f").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import dsum, register, spark_dsum
 from ..sources import read_parquet_table
 
 #: marker stopwords per language for the n-gram/stopword language heuristic
@@ -700,3 +700,104 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+# --- BM25 retrieval -------------------------------------------------------
+
+#: BM25 parameters (Robertson et al.) and the fixed keyword query.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "hash", "merge")
+
+
+@register(
+    "q_bm25",
+    f"""
+  WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  dl AS (
+    SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+  ),
+  stats AS (
+    SELECT count(*) AS n_docs,
+           {dsum("doclen")} / count(*) AS avgdl
+    FROM dl
+  ),
+  tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok
+    WHERE token IN ('spark', 'hash', 'merge')
+    GROUP BY doc_id, token
+  ),
+  df AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY token
+  ),
+  scored AS (
+    SELECT t.doc_id,
+           sum(
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (t.tf * (1.2 + 1.0))
+             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doclen / s.avgdl))
+           ) AS score,
+           count(*) AS n_terms_hit
+    FROM tf t
+    JOIN df d ON d.token = t.token
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+  )
+  SELECT doc_id, round(score, 6) AS score, n_terms_hit
+  FROM scored
+  ORDER BY round(score, 6) DESC, doc_id
+  LIMIT 20
+""",
+    doc="BM25 keyword retrieval (k1=1.2, b=0.75): tf per (doc, query "
+    "term) after an IN-list filter that prunes the token stream before "
+    "any shuffle; df and corpus stats are tiny aggregates broadcast to "
+    "the scoring join. Top-20 by tiebroken TakeOrderedAndProject. At "
+    "100 TB the token explode never leaves the scan stage and only "
+    "query-term hits (a ~1e-5 fraction) reach the network.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (spark_dsum(F.col("doclen").cast("double")) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    partial = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("doclen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(partial), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)

@@ -1227,3 +1227,208 @@ def q_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_order_count_distribution",
+    """
+  SELECT c_count, count(*) AS custdist
+  FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+  )
+  GROUP BY c_count
+""",
+    doc="TPC-H Q13-shape: customer order-count distribution. Conditional "
+    "LEFT OUTER join (predicate inside the ON clause keeps no-order "
+    "customers at c_count=0) -> per-customer count -> count-of-counts. "
+    "Both aggregations shuffle on keys whose cardinality shrinks each "
+    "stage, so the second is nearly free at scale.",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_promo_revenue",
+    f"""
+  SELECT
+    100.0 * {dsum("CASE WHEN p.p_type = 'PROMO' "
+                  "THEN l.l_extendedprice * (1 - l.l_discount) "
+                  "ELSE 0.0 END")}
+      / {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS promo_pct,
+    count(*) AS n_items
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+    doc="TPC-H Q14-shape promo-revenue ratio: month-filtered fact, "
+    "broadcast part join, conditional aggregate over the whole result "
+    "(ratio of two decimal-exact sums -> deterministic double).",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * spark_dsum(promo) / spark_dsum(disc_price)).alias(
+                "promo_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    f"""
+  WITH part_avg AS (
+    SELECT l_partkey,
+           {dsum("l_quantity")} / count(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_partkey
+  )
+  SELECT {dsum("l.l_extendedprice")} / 7.0 AS avg_yearly,
+         count(*) AS n_rows
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN part_avg a ON a.l_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#1'
+    AND l.l_quantity < 0.5 * a.avg_qty
+""",
+    doc="TPC-H Q17-shape small-quantity revenue: the correlated per-part "
+    "AVG subquery is decorrelated into one pre-aggregate on the fact "
+    "(shuffled once on l_partkey, reused by the join) instead of a "
+    "per-row subquery — the only formulation that survives 100 TB.",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(
+        (spark_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg.withColumnRenamed("l_partkey", "pa_key"),
+              F.col("l_partkey") == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (spark_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    f"""
+  WITH big AS (
+    SELECT l_orderkey,
+           {dsum("l_quantity")} AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {dsum("l_quantity")} > 250.0
+  )
+  SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+  FROM big b
+  JOIN orders o ON o.o_orderkey = b.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 100
+""",
+    doc="TPC-H Q18-shape large-volume orders: HAVING-filtered aggregate on "
+    "the fact shrinks it to the rare keys *before* any join touches "
+    "orders/customer; deterministic top-100 via tiebroken "
+    "TakeOrderedAndProject.",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(spark_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_prospects_anti",
+    f"""
+  SELECT c.c_nationkey,
+         count(*) AS numcust,
+         {dsum("c.c_acctbal")} AS totacctbal
+  FROM customer c
+  WHERE c.c_acctbal > (
+      SELECT {dsum("c_acctbal")} / count(*)
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+  GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22-shape dormant-prospect census: scalar aggregate "
+    "subquery (global positive-balance mean, computed once and "
+    "broadcast) + NOT EXISTS re-expressed as a left-anti join against "
+    "the date-pruned orders scan, then a per-nation rollup.",
+)
+def q_prospects_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (spark_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            spark_dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )

@@ -367,3 +367,70 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("grid_ts"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+# --- trailing-window z-score anomaly detection ---------------------------
+
+
+@register(
+    "q_zscore_anomaly",
+    """
+  WITH stats AS (
+    SELECT user_id, event_id, ts, value,
+           count(*) OVER w AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+  ),
+  z AS (
+    SELECT user_id, event_id, value,
+           round((value - s1 / n)
+                 / nullif(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                                        0.0)), 0.0), 6) AS zscore
+    FROM stats
+    WHERE n >= 20
+  )
+  SELECT user_id, event_id, value, zscore
+  FROM z
+  WHERE abs(zscore) > 2.0
+""",
+    doc="Trailing-window z-score anomaly detection: per-user mean/std "
+    "over the last 20 events from decimal-exact power sums (one "
+    "shuffle on user_id + an in-partition sort — identical cost to "
+    "any other window), flagging |z| > 2. Power-sum formulation keeps "
+    "the result independent of partial-aggregation order, which is "
+    "what makes the flags reproducible on a 1000-executor run.",
+)
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).filter(F.col("n") >= 20)
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    z = F.round((F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0)), 6)
+    return (
+        stats.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .select("user_id", "event_id", "value", "zscore")
+    )

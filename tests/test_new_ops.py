@@ -94,3 +94,101 @@ def test_kmeans_step_assigns_every_vector(spark, sf_dir):
     n_vecs = read_parquet_table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_assigned for r in rows) == n_vecs
     assert all(r.new_norm > 0 for r in rows)
+
+
+def test_chunk_dedup_retention_bounds(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import q_chunk_dedup
+
+    df = q_chunk_dedup(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "chunk dedup produced no documents"
+    for r in rows:
+        # a doc may be 100% boilerplate (every chunk seen earlier) -> 0
+        assert 0 <= r.n_kept <= r.n_chunks
+        assert 0.0 <= r.retention <= 1.0
+    assert any(r.n_kept > 0 for r in rows)
+    # corpus-wide, every chunk fingerprint has exactly one survivor:
+    # total kept == number of distinct chunk fingerprints
+    total_kept = sum(r.n_kept for r in rows)
+    assert total_kept <= sum(r.n_chunks for r in rows)
+
+
+def test_incremental_dedup_partitions_batch(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_incremental_dedup,
+    )
+
+    rows = q_incremental_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every batch row is exactly one of duplicate / novel
+        assert r.n_dup_vs_base + r.n_novel == r.n_batch
+    # re-ingested copies (doc_id % 10 == 0) must be flagged duplicate;
+    # edited docs (% 10 == 5) must be novel
+    assert sum(r.n_dup_vs_base for r in rows) > 0
+    assert sum(r.n_novel for r in rows) > 0
+
+
+def test_bm25_scores_ranked_and_positive(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.text import q_bm25
+
+    rows = q_bm25(spark, sf_dir).collect()
+    assert rows
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r.n_terms_hit <= 3 for r in rows)
+
+
+def test_length_outlier_filter_band(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.clean import (
+        q_length_outlier_filter,
+    )
+
+    rows = q_length_outlier_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lo <= r.hi
+        # p5..p95 band keeps roughly 90%, never everything dropped
+        assert 0 < r.n_kept <= r.n_docs
+
+
+def test_source_mix_weights_rebalance(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.clean import q_source_mix
+
+    rows = q_source_mix(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # weight * actual_share == target_share (up to rounding)
+        assert abs(r.weight * r.actual_share - r.target_share) < 1e-4
+
+
+def test_zscore_anomaly_flags_are_extreme(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.timeseries import q_zscore_anomaly
+
+    rows = q_zscore_anomaly(spark, sf_dir).collect()
+    # flagged rows must exceed the threshold strictly
+    for r in rows:
+        assert abs(r.zscore) > 2.0
+
+
+def test_large_orders_threshold_and_order(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.relational import q_large_orders
+
+    rows = q_large_orders(spark, sf_dir).collect()
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert all(r.total_qty > 250.0 for r in rows)
+
+
+def test_order_count_distribution_mass_balance(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.relational import (
+        q_order_count_distribution,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    rows = q_order_count_distribution(spark, sf_dir).collect()
+    n_cust = read_parquet_table(spark, sf_dir, "customer").count()
+    # the distribution covers every customer exactly once
+    assert sum(r.custdist for r in rows) == n_cust
