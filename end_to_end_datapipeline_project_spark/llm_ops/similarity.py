@@ -433,3 +433,67 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = vecs.select("vec_id")
     return connected_components(nodes, pairs, "vec_id")
+
+
+# --- distributed logistic-regression gradient step ------------------------
+
+
+@register(
+    "q_logreg_grad",
+    """
+  WITH v AS (
+    SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+           CAST(embedding AS DOUBLE[]) AS x
+    FROM embeddings
+  ),
+  m AS (
+    SELECT vec_id, y, x,
+           1.0 / (1.0 + exp(-list_dot_product(x,
+             list_transform(range(1, len(x) + 1),
+                            j -> ((j * 37) % 19 - 9) / 10.0)))) AS p
+    FROM v
+  ),
+  e AS (
+    SELECT m.p, m.y, u.j AS dim, m.x[u.j] AS xj
+    FROM m, UNNEST(range(1, len(m.x) + 1)) AS u(j)
+  )
+  SELECT dim, count(*) AS n,
+         round(CAST(SUM(CAST(round(xj * (p - y), 9) AS DECIMAL(30,9)))
+                    AS DOUBLE) / count(*), 6) AS grad
+  FROM e GROUP BY dim
+""",
+    doc="One synchronous distributed gradient step of logistic regression "
+    "over the embedding table (y = label parity, fixed deterministic "
+    "weight vector): per-row sigmoid margin stays inside the scan "
+    "stage, then ONE shuffle keyed by dimension aggregates per-dim "
+    "gradient contributions with rounded-then-decimal-exact sums — the "
+    "allreduce pattern of data-parallel training expressed as a "
+    "DataFrame aggregate, reproducible at any executor count.",
+)
+def q_logreg_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda c: c.cast("double"))
+    base = emb.select(
+        (F.col("label") % 2).cast("double").alias("y"), x.alias("x")
+    )
+    w = F.transform(
+        F.sequence(F.lit(1), F.size("x")),
+        lambda j: ((j * F.lit(37)) % 19 - 9) / 10.0,
+    )
+    margin = dot(F.col("x"), w)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    scored = base.select("y", "x", p.alias("p"))
+    exploded = scored.select(
+        "y",
+        "p",
+        F.posexplode("x").alias("pos", "xj"),
+    ).select((F.col("pos") + 1).alias("dim"), "y", "p", "xj")
+    term = F.round(F.col("xj") * (F.col("p") - F.col("y")), 9).cast(
+        "decimal(30,9)"
+    )
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 6).alias(
+            "grad"
+        ),
+    )

@@ -801,3 +801,56 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# --- per-source token entropy ---------------------------------------------
+
+
+@register(
+    "q_token_entropy",
+    f"""
+  WITH tok AS (
+    SELECT source, unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  c AS (
+    SELECT source, token, count(*) AS n FROM tok GROUP BY source, token
+  ),
+  t AS (
+    SELECT source, sum(n) AS tot, count(*) AS vocab FROM c GROUP BY source
+  )
+  SELECT c.source,
+         min(t.tot) AS n_tokens,
+         min(t.vocab) AS vocab_size,
+         CAST(SUM(CAST(round(-(CAST(c.n AS DOUBLE) / t.tot)
+                             * ln(CAST(c.n AS DOUBLE) / t.tot), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS entropy
+  FROM c JOIN t ON c.source = t.source
+  GROUP BY c.source
+""",
+    doc="Per-source Shannon entropy of the token distribution — the "
+    "lexical-diversity signal used to spot template-heavy or spammy "
+    "sources. Per-token -p*ln(p) terms are rounded then decimal-"
+    "summed, so the entropy is independent of partial-aggregation "
+    "order. Two shuffles, both on shrinking keys.",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select("source", F.explode(tokens_col()).alias("token"))
+    c = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    term = F.round(-p * F.log(p), 9).cast("decimal(30,9)")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.min("tot").alias("n_tokens"),
+            F.min("vocab").alias("vocab_size"),
+            F.sum(term).cast("double").alias("entropy"),
+        )
+    )

@@ -514,3 +514,147 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# --- declarative data-quality expectation suite ---------------------------
+
+
+@register(
+    "q_dq_expectations",
+    """
+  SELECT 'orders_pk_unique' AS rule,
+         count(*) AS n_checked,
+         count(*) - count(DISTINCT o_orderkey) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_nonneg', count(*),
+         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain', count(*),
+         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_qty_range', count(*),
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_cap', count(*),
+         sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_fk_orders', count(*),
+         sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)
+                  THEN 1 ELSE 0 END)
+  FROM lineitem l
+""",
+    doc="Declarative DQ expectation suite (generalizes the reference's "
+    "single null probe, gtfsGold.py:17-21): uniqueness, domain, range, "
+    "and referential-integrity rules evaluated as ONE conditional "
+    "aggregate per table scan (not one scan per rule, which is what "
+    "kills expectation suites at 100 TB) plus one left-anti join for "
+    "the FK rule. The oracle desugars to per-rule scalar scans.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    viol = lambda c: F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))
+    o_rules = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_pk"),
+        viol(F.col("o_totalprice") < 0).alias("v_price"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+    ).selectExpr(
+        "stack(3, 'orders_pk_unique', n, v_pk, "
+        "'orders_totalprice_nonneg', n, v_price, "
+        "'orders_status_domain', n, v_status) AS (rule, n_checked, n_violations)"
+    )
+    l_rules = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "v_qty"
+        ),
+        viol(F.col("l_discount") > 0.08).alias("v_disc"),
+    ).selectExpr(
+        "stack(2, 'lineitem_qty_range', n, v_qty, "
+        "'lineitem_discount_cap', n, v_disc) AS (rule, n_checked, n_violations)"
+    )
+    n_li = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    orphans = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    fk_rule = (
+        n_li.crossJoin(orphans)
+        .select(
+            F.lit("lineitem_fk_orders").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return o_rules.unionAll(l_rules).unionAll(fk_rule)
+
+
+# --- sweep-line interval concurrency --------------------------------------
+
+
+@register(
+    "q_concurrency",
+    """
+  WITH pts AS (
+    SELECT ts AS t, 1 AS delta FROM events
+    UNION ALL
+    SELECT ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events
+  ),
+  swept AS (
+    SELECT CAST(t AS DATE) AS day,
+           sum(delta) OVER (ORDER BY t, delta
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS conc
+    FROM pts
+  )
+  SELECT day, max(conc) AS max_concurrent
+  FROM swept
+  GROUP BY day
+""",
+    doc="Sweep-line interval concurrency: each event opens a 5-minute "
+    "activity interval; +1/-1 boundary points, running sum = number of "
+    "concurrently active intervals, max per day. The oracle uses one "
+    "global ordered window; the engine computes it scalably in two "
+    "passes — per-day running sums (shuffle on day) plus a prefix sum "
+    "of per-day nets over the tiny day table, broadcast back — so no "
+    "single-partition sort ever touches the full data. Tie order "
+    "(t, delta) closes intervals before opening new ones at the same "
+    "instant.",
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends).withColumn("day", F.to_date("t"))
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_in = pts.withColumn("run", F.sum("delta").over(w_in))
+    day_net = pts.groupBy("day").agg(F.sum("delta").alias("net"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ~30 day rows: single-partition window over the reduced table only
+    carry = day_net.select(
+        "day", F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("carry")
+    )
+    return (
+        run_in.join(F.broadcast(carry), "day")
+        .withColumn("conc", F.col("run") + F.col("carry"))
+        .groupBy("day")
+        .agg(F.max("conc").alias("max_concurrent"))
+    )

@@ -511,3 +511,110 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disjoint_bins"
         ),
     )
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis) ----------------
+
+#: hex-digit value: position of the char in the hex alphabet, 0-based
+def _hexval_sql(fn: str, i: int) -> str:
+    return f"({fn}('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+
+#: u in (0,1) from the first 6 md5 hex digits (fn = strpos|instr)
+def _uniform_sql(fn: str) -> str:
+    val = " + ".join(
+        f"{_hexval_sql(fn, i)} * {16 ** (6 - i)}" for i in range(1, 7)
+    )
+    return f"(({val}) + 0.5) / {16 ** 6}"
+
+
+@register(
+    "q_weighted_sample",
+    f"""
+  WITH h AS (
+    SELECT doc_id, n_chars,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+  ),
+  keyed AS (
+    SELECT doc_id, n_chars,
+           round(pow({_uniform_sql("strpos")},
+                     1.0 / n_chars), 9) AS sample_key
+    FROM h
+  )
+  SELECT doc_id, n_chars, sample_key
+  FROM keyed
+  ORDER BY sample_key DESC, doc_id
+  LIMIT 20
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis–Spirakis A-ES): per-row uniform u derived from an md5 "
+    "hash (reproducible across runs/engines/cluster sizes — no rand()), "
+    "key = u^(1/weight) with weight = n_chars, global top-k by key. "
+    "A pure map + TakeOrderedAndProject: O(k) state per partition, no "
+    "shuffle of the corpus, which is exactly how you draw a weighted "
+    "sample from 100 TB in one pass.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        f"round(pow({_uniform_sql('instr')}, 1.0 / n_chars), 9)"
+        " AS sample_key",
+    )
+    return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(20)
+
+
+# --- chi-square independence test ----------------------------------------
+
+
+@register(
+    "q_chi2_independence",
+    """
+  WITH obs AS (
+    SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source
+  ),
+  rows_m AS (SELECT lang, sum(c) AS rc FROM obs GROUP BY lang),
+  cols_m AS (SELECT source, sum(c) AS cc FROM obs GROUP BY source),
+  tot AS (SELECT sum(c) AS n FROM obs)
+  SELECT round(sum(
+           pow(coalesce(o.c, 0) - r.rc * c.cc / t.n, 2)
+             / (r.rc * c.cc / t.n)), 6) AS chi2,
+         (count(DISTINCT r.lang) - 1) * (count(DISTINCT c.source) - 1)
+           AS dof,
+         CAST(min(t.n) AS BIGINT) AS n
+  FROM rows_m r
+  CROSS JOIN cols_m c
+  CROSS JOIN tot t
+  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+""",
+    doc="Chi-square independence test over the lang x source contingency "
+    "table: observed cell counts (one aggregate on the raw table), "
+    "margins and total from the tiny reduced table, expected = "
+    "rc*cc/n on the full lang x source grid (cross join of two "
+    "broadcast margins — zero cells included, which a naive join-on-"
+    "observed silently drops). Detects mixture drift between corpus "
+    "slices.",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    rows_m = obs.groupBy("lang").agg(F.sum("c").alias("rc"))
+    cols_m = obs.groupBy("source").agg(F.sum("c").alias("cc"))
+    tot = obs.agg(F.sum("c").alias("n"))
+    grid = rows_m.crossJoin(F.broadcast(cols_m)).crossJoin(F.broadcast(tot))
+    cells = grid.join(obs, ["lang", "source"], "left")
+    exp = F.col("rc") * F.col("cc") / F.col("n")
+    term = F.pow(F.coalesce(F.col("c"), F.lit(0)) - exp, 2) / exp
+    return cells.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).alias("dof"),
+        F.min("n").cast("bigint").alias("n"),
+    )

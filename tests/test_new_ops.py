@@ -192,3 +192,122 @@ def test_order_count_distribution_mass_balance(spark, sf_dir):
     n_cust = read_parquet_table(spark, sf_dir, "customer").count()
     # the distribution covers every customer exactly once
     assert sum(r.custdist for r in rows) == n_cust
+
+
+def test_dq_expectations_rules_complete(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_dq_expectations,
+    )
+
+    rows = {r.rule: r for r in q_dq_expectations(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders_pk_unique",
+        "orders_totalprice_nonneg",
+        "orders_status_domain",
+        "lineitem_qty_range",
+        "lineitem_discount_cap",
+        "lineitem_fk_orders",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+    # clean synthetic data: PK and FK hold
+    assert rows["orders_pk_unique"].n_violations == 0
+    assert rows["lineitem_fk_orders"].n_violations == 0
+
+
+def test_concurrency_two_pass_matches_global(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_concurrency,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {
+        r.day: r.max_concurrent
+        for r in q_concurrency(spark, sf_dir).collect()
+    }
+    # reference: single global running sum (the oracle formulation)
+    ev = read_parquet_table(spark, sf_dir, "events")
+    pts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        ev.select(
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.day: r.mc
+        for r in pts.withColumn("conc", F.sum("delta").over(w))
+        .groupBy(F.to_date("t").alias("day"))
+        .agg(F.max("conc").alias("mc"))
+        .collect()
+    }
+    assert got == want
+    assert max(got.values()) >= 1
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_weighted_sample
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from pyspark.sql import functions as F
+
+    rows = q_weighted_sample(spark, sf_dir).collect()
+    assert len(rows) == 20
+    keys = [r.sample_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    assert all(0.0 < k < 1.0 for k in keys)
+    # weighted by n_chars: the sample skews longer than the corpus mean
+    corpus_mean = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean * 0.9
+
+
+def test_chi2_shape(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_chi2_independence
+
+    [row] = q_chi2_independence(spark, sf_dir).collect()
+    assert row.chi2 >= 0.0
+    assert row.dof == (5 - 1) * (20 - 1)
+    assert row.n > 0
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.text import (
+        q_token_entropy,
+    )
+    import math
+
+    rows = q_token_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= ln(vocab_size)
+        assert -1e-9 <= r.entropy <= math.log(r.vocab_size) + 1e-9
+        assert r.n_tokens >= r.vocab_size
+
+
+def test_logreg_grad_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        q_logreg_grad,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    got = {r.dim: r.grad for r in q_logreg_grad(spark, sf_dir).collect()}
+    emb = read_parquet_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([[float(v) for v in r.embedding] for r in emb])
+    y = np.array([r.label % 2 for r in emb], dtype=float)
+    d = X.shape[1]
+    w = np.array([((j * 37) % 19 - 9) / 10.0 for j in range(1, d + 1)])
+    p = 1.0 / (1.0 + np.exp(-X @ w))
+    want = (X * (p - y)[:, None]).sum(axis=0) / len(y)
+    assert set(got) == set(range(1, d + 1))
+    for j in range(1, d + 1):
+        assert abs(got[j] - want[j - 1]) < 1e-5
