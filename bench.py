@@ -55,6 +55,12 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_pagerank",
     "q_disjunctive_pushdown",
+    "q_large_orders",
+    "q_bm25",
+    "q_chunk_dedup",
+    "q_zscore_anomaly",
+    "q_concurrency",
+    "q_logreg_grad",
 ]
 
 

@@ -834,3 +834,94 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_novel"),
         )
     )
+
+
+# --- canonical selection per near-dup cluster -----------------------------
+
+
+@register(
+    "q_canonical_selection",
+    f"""
+  WITH RECURSIVE {SHINGLES_SQL},
+  {JACCARD_VERIFY_SQL},
+  __edges1 AS (
+    SELECT doc_a AS src, doc_b AS dst FROM __jac
+    WHERE jaccard >= {CLUSTER_JACCARD}
+  ),
+  __edges AS (
+    SELECT src, dst FROM __edges1
+    UNION ALL SELECT dst, src FROM __edges1
+  ),
+  __reach (doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT q.doc_id, e.dst FROM __reach q JOIN __edges e ON e.src = q.r
+  ),
+  __cl AS (
+    SELECT doc_id, min(r) AS cluster_id FROM __reach GROUP BY doc_id
+  ),
+  __tokc AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({TOKENS_SQL}) END AS n_tokens
+    FROM documents
+  ),
+  __ranked AS (
+    SELECT c.cluster_id, c.doc_id, t.n_tokens,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+    FROM __cl c JOIN __tokc t ON t.doc_id = c.doc_id
+  )
+  SELECT cluster_id,
+         count(*) AS n_docs,
+         min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+         min(CASE WHEN rn = 1 THEN n_tokens END) AS canonical_tokens,
+         sum(n_tokens) AS total_tokens
+  FROM __ranked
+  GROUP BY cluster_id
+""",
+    doc="Canonical-document selection: near-dup clusters (connected "
+    "components over the Jaccard graph, same helper as "
+    "q_dedup_clusters) each keep their best representative — here the "
+    "token-richest doc, doc_id-tiebroken — the step that turns a "
+    "dedup clustering into an actual corpus reduction. One extra "
+    "shuffle on cluster_id after the CC loop; rank via row_number "
+    "inside each cluster, never a global sort.",
+)
+def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens_col
+
+    docs = docs_with_text(spark, sf_dir)
+    jac = jaccard_pairs(shingles(docs))
+    edges1 = jac.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    clusters = connected_components(docs.select("doc_id"), edges1, "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(tokens_col()))
+        .alias("n_tokens"),
+    )
+    ranked = (
+        clusters.select("doc_id", "cluster_id")
+        .join(toks, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_tokens"), "doc_id"
+                )
+            ),
+        )
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+            "canonical_doc"
+        ),
+        F.min(F.when(F.col("rn") == 1, F.col("n_tokens"))).alias(
+            "canonical_tokens"
+        ),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

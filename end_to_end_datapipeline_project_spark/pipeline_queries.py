@@ -658,3 +658,61 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("conc").alias("max_concurrent"))
     )
+
+
+# --- signup -> purchase conversion lag ------------------------------------
+
+
+@register(
+    "q_conversion_lag",
+    """
+  WITH su AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+  ),
+  pu AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase
+    FROM events e JOIN su ON su.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+    GROUP BY e.user_id
+  )
+  SELECT CAST(floor((CAST(floor(epoch(p.first_purchase)) AS BIGINT)
+               - CAST(floor(epoch(s.signup_ts)) AS BIGINT)) / 3600.0)
+              AS BIGINT) AS lag_hours,
+         count(*) AS n_users
+  FROM pu p JOIN su s ON s.user_id = p.user_id
+  GROUP BY 1
+""",
+    doc="Signup->first-purchase conversion-lag distribution: two "
+    "event-type-pruned min-aggregates (both shuffle on user_id, so AQE "
+    "coalesces them into one exchange reuse), joined on user_id, "
+    "bucketed into hours. The time-to-convert histogram every growth "
+    "dashboard needs, with no self-join over raw events.",
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("signup_ts").alias("signup_ts"),
+        )
+    )
+    lag_secs = F.unix_timestamp("first_purchase") - F.unix_timestamp(
+        "signup_ts"
+    )
+    return (
+        pu.select(
+            F.floor(lag_secs / 3600.0).cast("bigint").alias("lag_hours")
+        )
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -167,3 +167,51 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "q_event_type_map",
+    """
+  WITH c AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+  ),
+  w AS (
+    SELECT user_id, event_type, n,
+           count(*) OVER (PARTITION BY user_id) AS n_types_total
+    FROM c
+  )
+  SELECT user_id, event_type, n, n_types_total
+  FROM w
+  WHERE n >= 15
+""",
+    doc="MapType round-trip surface (SURVEY §1.2 notes the reference has "
+    "no map columns): per-user event_type->count built as a real "
+    "MapType column via map_from_entries(collect_list(struct)), "
+    "filtered with the higher-order map_filter (n >= 15), sized before "
+    "filtering, then exploded back to rows for the oracle. The map "
+    "stays a single row per user through the pipeline — the layout "
+    "used for sparse per-entity feature bundles at scale.",
+)
+def q_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    filtered = maps.select(
+        "user_id",
+        F.size("type_counts").cast("bigint").alias("n_types_total"),
+        F.map_filter("type_counts", lambda k, v: v >= 15).alias("hot"),
+    )
+    return filtered.select(
+        "user_id",
+        "n_types_total",
+        F.explode("hot").alias("event_type", "n"),
+    ).select("user_id", "event_type", "n", "n_types_total")

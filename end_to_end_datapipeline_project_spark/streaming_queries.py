@@ -221,3 +221,44 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, joined, f"stream_stream_join_{_MEM_SEQ[0]}", complete=False
     )
+
+
+@register(
+    "q_stream_static_join",
+    """
+  SELECT c.c_mktsegment AS mktsegment,
+         count(*) AS n_events,
+         count(DISTINCT e.user_id) AS n_users
+  FROM events e
+  JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY c.c_mktsegment
+""",
+    doc="Stream-static enrichment join: the event stream joins a static "
+    "dimension (customer) read as a plain batch DataFrame — the join "
+    "is stateless (each micro-batch probes the dimension, re-read per "
+    "batch, so dimension updates are picked up), then a stateful "
+    "per-segment aggregate runs in complete mode. This is THE standard "
+    "streaming-enrichment topology; at scale the dimension side is "
+    "broadcast so the stream never shuffles before aggregation.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    # streaming aggs cannot COUNT(DISTINCT): pre-aggregate per
+    # (segment, user) in the stream, finalize the distinct count batch-side
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    _MEM_SEQ[0] += 1
+    emitted = run_stream_to_memory(
+        spark, agg, f"stream_static_join_{_MEM_SEQ[0]}", complete=True
+    )
+    return emitted.groupBy("mktsegment").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
