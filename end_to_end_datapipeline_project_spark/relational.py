@@ -1432,3 +1432,40 @@ def q_prospects_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark_dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_supplier_variety",
+    """
+  SELECT p.p_type, p.p_size,
+         count(DISTINCT l.l_suppkey) AS supplier_cnt
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand <> 'Brand#1'
+    AND p.p_size IN (1, 5, 9, 13, 17)
+    AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+  GROUP BY p.p_type, p.p_size
+""",
+    doc="TPC-H Q16-shape supplier variety: brand/size-filtered part join "
+    "(broadcast), NOT IN subquery re-expressed as a left-anti join "
+    "against the tiny excluded-supplier set (broadcast anti join — "
+    "never a shuffle), then a grouped exact distinct count (expand + "
+    "two-phase aggregate).",
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

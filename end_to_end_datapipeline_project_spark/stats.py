@@ -618,3 +618,172 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         F.min("n").cast("bigint").alias("n"),
     )
+
+
+# --- equi-depth bucketing -------------------------------------------------
+
+_DECILES = [round(i / 10.0, 1) for i in range(1, 10)]
+
+
+def _bucket_sql(col: str, bvar: str) -> str:
+    """1 + number of decile boundaries strictly below the value."""
+    return "1 + " + " + ".join(
+        f"(CASE WHEN {col} > {bvar}[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(9)
+    )
+
+
+@register(
+    "q_quantile_bucketing",
+    f"""
+  WITH b AS (
+    SELECT list_transform(quantile_cont(o_totalprice, {_DECILES}),
+                          x -> round(x, 6)) AS bs
+    FROM orders
+  )
+  SELECT {_bucket_sql("o.o_totalprice", "b.bs")} AS bucket,
+         count(*) AS n,
+         round(min(o.o_totalprice), 6) AS lo,
+         round(max(o.o_totalprice), 6) AS hi,
+         {dsum("o.o_totalprice")} AS sum_price
+  FROM orders o CROSS JOIN b
+  GROUP BY 1
+""",
+    doc="Equi-depth (decile) bucketing of order value: exact decile "
+    "boundaries from ONE aggregate (at 100 TB: approx_percentile), "
+    "broadcast back, bucket = count of boundaries below the value — a "
+    "pure map, so assignment is shuffle-free. The ML feature-binning / "
+    "range-partition-planning primitive; unlike ntile there is no "
+    "global sort anywhere.",
+)
+def q_quantile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    pcts = ", ".join(str(p) for p in _DECILES)
+    b = orders.selectExpr(
+        f"transform(percentile(o_totalprice, array({pcts})), "
+        "x -> round(x, 6)) AS bs"
+    )
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.col("bs").getItem(i), 1
+        ).otherwise(0)
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+# --- deterministic per-group sample ---------------------------------------
+
+
+@register(
+    "q_per_group_sample",
+    """
+  WITH r AS (
+    SELECT event_type, event_id, user_id,
+           md5(CAST(event_id AS VARCHAR)) AS h
+    FROM events
+  ),
+  rk AS (
+    SELECT event_type, event_id, user_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY h, event_id) AS rn
+    FROM r
+  )
+  SELECT event_type, event_id, user_id, rn
+  FROM rk WHERE rn <= 5
+""",
+    doc="Deterministic k-per-group sampling: rank rows inside each group "
+    "by an md5 hash of the key (a reproducible shuffle order) and keep "
+    "the 5 smallest — a uniform without-replacement sample per stratum "
+    "that never changes across runs or cluster sizes. Spark compiles "
+    "the rank<=k filter to WindowGroupLimit: each map task keeps a "
+    "5-row heap per group BEFORE the shuffle, so the exchange carries "
+    "O(groups x k), not the table.",
+)
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "user_id", "rn")
+    )
+
+
+# --- robust MAD outliers --------------------------------------------------
+
+
+@register(
+    "q_mad_outliers",
+    """
+  WITH m AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+  ),
+  d AS (
+    SELECT e.event_type, e.value, m.med,
+           abs(e.value - m.med) AS adev
+    FROM events e JOIN m ON e.event_type = m.event_type
+  ),
+  md AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM d GROUP BY event_type
+  )
+  SELECT d.event_type,
+         count(*) AS n,
+         sum(CASE WHEN d.adev > 3.0 * 1.4826 * md.mad
+                  THEN 1 ELSE 0 END) AS n_outliers,
+         round(min(d.med), 6) AS median,
+         round(min(md.mad), 6) AS mad
+  FROM d JOIN md ON d.event_type = md.event_type
+  GROUP BY d.event_type
+""",
+    doc="Robust outlier detection via median absolute deviation: exact "
+    "per-group median, then the median of absolute deviations (two "
+    "grouped percentile passes over a low-cardinality key, each a tiny "
+    "broadcast back), flag |x - med| > 3 sigma-equivalents (1.4826 x "
+    "MAD). Unlike the z-score variant this is immune to the outliers "
+    "it hunts; at scale both medians become approx_percentile.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    md = d.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = d.join(F.broadcast(md), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("adev") > 3.0 * 1.4826 * F.col("mad"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_outliers"),
+        F.round(F.min("med"), 6).alias("median"),
+        F.round(F.min("mad"), 6).alias("mad"),
+    )

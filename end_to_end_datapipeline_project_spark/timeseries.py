@@ -434,3 +434,56 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 2.0)
         .select("user_id", "event_id", "value", "zscore")
     )
+
+
+# --- day-of-week seasonality profile --------------------------------------
+
+
+@register(
+    "q_seasonality",
+    f"""
+  WITH per_cell AS (
+    SELECT isodow(ts) - 1 AS dow, event_type,
+           count(*) AS n,
+           {dsum("value")} / count(*) AS avg_value
+    FROM events
+    GROUP BY isodow(ts) - 1, event_type
+  ),
+  with_base AS (
+    SELECT dow, event_type, n, avg_value,
+           sum(n * avg_value) OVER (PARTITION BY event_type)
+             / sum(n) OVER (PARTITION BY event_type) AS base
+    FROM per_cell
+  )
+  SELECT dow, event_type, n,
+         round(avg_value, 6) AS avg_value,
+         round(avg_value / base, 6) AS seasonal_index
+  FROM with_base
+""",
+    doc="Day-of-week seasonality profile: per-(weekday, type) mean value "
+    "vs the type's overall mean (recovered exactly from the reduced "
+    "per-cell table via window aggregates — the raw table is scanned "
+    "once). seasonal_index > 1 = hot weekday. Weekday = Monday 0, "
+    "pinned UTC on both engines.",
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    per_cell = (
+        ev.groupBy(
+            F.weekday("ts").alias("dow"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (spark_dsum(F.col("value")) / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    base = F.sum(F.col("n") * F.col("avg_value")).over(w) / F.sum("n").over(w)
+    return per_cell.select(
+        "dow",
+        "event_type",
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round(F.col("avg_value") / base, 6).alias("seasonal_index"),
+    )

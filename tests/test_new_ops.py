@@ -311,3 +311,58 @@ def test_logreg_grad_matches_numpy(spark, sf_dir):
     assert set(got) == set(range(1, d + 1))
     for j in range(1, d + 1):
         assert abs(got[j] - want[j - 1]) < 1e-5
+
+
+def test_quantile_bucketing_equi_depth(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_quantile_bucketing
+
+    rows = sorted(
+        q_quantile_bucketing(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    counts = [r.n for r in rows]
+    # equi-depth: every decile within 25% of the mean bucket size
+    mean = sum(counts) / len(counts)
+    assert all(abs(c - mean) <= 0.25 * mean + 1 for c in counts)
+    # buckets tile the value range in order
+    for lo_r, hi_r in zip(rows, rows[1:]):
+        assert lo_r.hi <= hi_r.lo + 1e-6
+
+
+def test_per_group_sample_is_deterministic(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_per_group_sample
+
+    a = {(r.event_type, r.event_id) for r in q_per_group_sample(spark, sf_dir).collect()}
+    b = {(r.event_type, r.event_id) for r in q_per_group_sample(spark, sf_dir).collect()}
+    assert a == b
+    per_type = {}
+    for t, _ in a:
+        per_type[t] = per_type.get(t, 0) + 1
+    assert all(n == 5 for n in per_type.values())
+
+
+def test_mad_outliers_bounded(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_mad_outliers
+
+    rows = q_mad_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0.0
+        # MAD flags are rare by construction (<20% of any group)
+        assert r.n_outliers <= 0.2 * r.n
+
+
+def test_seasonality_index_centered(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.timeseries import q_seasonality
+
+    rows = q_seasonality(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.dow <= 6 for r in rows)
+    # weighted mean of seasonal_index per type == 1 by construction
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        tot = sum(r.n for r in rs)
+        w_mean = sum(r.seasonal_index * r.n for r in rs) / tot
+        assert abs(w_mean - 1.0) < 1e-3
