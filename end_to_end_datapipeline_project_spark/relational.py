@@ -1469,3 +1469,223 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q_shipping_priority",
+    f"""
+  SELECT l.l_orderkey,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+  ORDER BY revenue DESC, l.l_orderkey
+  LIMIT 10
+""",
+    doc="TPC-H Q3-shape shipping priority: segment-filtered customer "
+    "broadcast into orders, date predicates pushed to both fact scans, "
+    "revenue per unshipped order, tiebroken top-10 via "
+    "TakeOrderedAndProject.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(spark_dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    f"""
+  SELECT {dsum("l_extendedprice * l_discount")} AS revenue,
+         count(*) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_discount BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24.0
+""",
+    doc="TPC-H Q6-shape forecasting-revenue-change: pure scan + "
+    "conjunctive predicates (all pushed to parquet row-group stats) + "
+    "one global aggregate — the minimal full-scan query; its cost IS "
+    "the I/O path, so it benchmarks scan throughput.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            spark_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_nation_volume",
+    f"""
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS volume
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+      OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+""",
+    doc="TPC-H Q7-shape bilateral shipping volume: six-way join where "
+    "every dimension (supplier, customer, both nation legs) broadcasts "
+    "and the only fact-fact shuffle is lineitem-orders on orderkey; "
+    "the symmetric nation-pair disjunction filters after the cheap "
+    "broadcast probes.",
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        spark_dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("volume")
+    )
+
+
+@register(
+    "q_product_profit",
+    f"""
+  SELECT ns.n_name AS nation, year(o.o_orderdate) AS o_year,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.1 * p.p_retailprice * l.l_quantity")} AS profit
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'ECONOMY'
+  GROUP BY ns.n_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q9-shape product profit by nation and year (supply cost "
+    "modeled as 10% of part retail price — the testdata has no "
+    "partsupp table): part/supplier/nation broadcast, one "
+    "orderkey-shuffled fact-fact join, profit expression folded into "
+    "the decimal-exact aggregate.",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(spark_dsum(profit).alias("profit"))
+    )
+
+
+@register(
+    "q_top_supplier",
+    f"""
+  WITH rev AS (
+    SELECT l_suppkey,
+           {dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+  )
+  SELECT s.s_suppkey, s.s_name, r.total_revenue
+  FROM rev r
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    doc="TPC-H Q15-shape top supplier: quarter-filtered revenue "
+    "aggregate, then keep rows equal to the global max — the scalar "
+    "subquery decorrelates to a broadcast of one value over the "
+    "already-reduced per-supplier table (ties kept, unlike LIMIT 1).",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        spark_dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -48,6 +48,15 @@ PROBES = [
     "q_scd2_history",
     "q_hash_sample",
     "q_kmeans_step",
+    "q_pagerank",
+    "q_chunk_dedup",
+    "q_bm25",
+    "q_concurrency",
+    "q_zscore_anomaly",
+    "q_large_orders",
+    "q_logreg_grad",
+    "q_quantile_bucketing",
+    "q_per_group_sample",
 ]
 
 KEY_OFFSETS = {
