@@ -279,3 +279,83 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return user_sequences(events)
+
+
+# --- image resize kernel ---------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.LongType(), False),
+        T.StructField("new_bytes", T.LongType(), False),
+        T.StructField("new_width", T.IntegerType(), False),
+        T.StructField("new_height", T.IntegerType(), False),
+        T.StructField("resized_md5", T.StringType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched 'resize': a binary→binary kernel.
+
+    A real implementation decodes, bilinearly resizes to half resolution,
+    and re-encodes; the deterministic stand-in strides the payload
+    (every 2nd byte) and halves the md5-derived fake dimensions, so the
+    byte-level transform, output schema, and batch shape are exercised
+    end-to-end and stay oracle-checkable.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p)[::2] for p in pdf["payload"]]
+            dims = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "new_bytes": [len(r) for r in resized],
+                    "new_width": pd.array(
+                        [d["width"] // 2 for d in dims], dtype="Int32"
+                    ),
+                    "new_height": pd.array(
+                        [d["height"] // 2 for d in dims], dtype="Int32"
+                    ),
+                    "resized_md5": [
+                        hashlib.md5(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+@register(
+    "q_multimodal_resize",
+    """
+  SELECT doc_id AS asset_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+         CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT)
+           AS new_bytes,
+         CAST((16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER)) // 2
+              AS INTEGER) AS new_width,
+         CAST((16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER)) // 2
+              AS INTEGER) AS new_height,
+         md5(array_to_string(
+           list_transform(range(1, octet_length(encode(text)) + 1, 2),
+                          i -> substr(text, CAST(i AS INTEGER), 1)),
+           '')) AS resized_md5
+  FROM documents
+  WHERE doc_id % 3 = 0
+""",
+    doc="Multimodal resize plumbing: the image subset is kind-pruned "
+    "BEFORE any payload bytes reach Python (metadata predicate → "
+    "row-group skip), then an Arrow-batched binary→binary mapInPandas "
+    "kernel emits the downsampled payload's size, halved dimensions, "
+    "and content hash. Embarrassingly parallel — no shuffle anywhere; "
+    "the oracle recomputes the strided-byte transform in SQL (ASCII "
+    "payloads ⇒ byte i == char i).",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs).filter(F.col("kind") == "image")
+    return resize_media(media)

@@ -121,3 +121,17 @@ def test_tfidf_rare_term_outranks_common(spark, tmp_path):
     # 'shared' appears in every doc → idf 0; the doc-unique terms win
     assert top[1] == "unique1" and top[2] == "unique2"
     assert all(r.tfidf == 0.0 for r in rows if r.term == "shared")
+
+
+def test_multimodal_resize_halves(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        q_multimodal_resize,
+    )
+
+    rows = q_multimodal_resize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # strided payload: ceil(n/2) bytes, dims halve
+        assert r.new_bytes == (r.orig_bytes + 1) // 2
+        assert 8 <= r.new_width <= 135 and 8 <= r.new_height <= 135
+        assert len(r.resized_md5) == 32
