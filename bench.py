@@ -81,6 +81,17 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # generic window + broadcast-join warmers (compile WindowExec/BHJ
+    # codegen paths once, outside the timed region)
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _r = spark.range(1024).withColumn("g", _F.col("id") % 8)
+    materialize(
+        _r.withColumn(
+            "rn", _F.row_number().over(_W.partitionBy("g").orderBy("id"))
+        ).join(_F.broadcast(_r.groupBy("g").count()), "g")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
