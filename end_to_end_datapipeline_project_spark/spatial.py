@@ -116,3 +116,38 @@ def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:
 )
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_pairs(last_positions(spark, sf_dir))
+
+
+@register(
+    "q_geo_heatmap",
+    f"""
+  WITH __typed AS ({TYPED_SQL})
+  SELECT CAST(floor(lat / {_DLAT}) AS BIGINT) AS cell_y,
+         CAST(floor(lon / {_DLON}) AS BIGINT) AS cell_x,
+         count(*) AS n_pings,
+         count(DISTINCT user_id) AS n_users,
+         round(min(lat), 6) AS lat_min,
+         round(max(lat), 6) AS lat_max
+  FROM __typed
+  GROUP BY 1, 2
+""",
+    doc="Spatial heatmap rollup: every ping hashed to its grid cell (the "
+    "same cell geometry the radius join buckets with) and aggregated — "
+    "counts plus distinct users per cell. A pure hash aggregate on the "
+    "cell id: embarrassingly parallel, no sort, the standard "
+    "density-tile pipeline for map rendering at any scale.",
+)
+def q_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_typed(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.floor(F.col("lat") / _DLAT).cast("bigint").alias("cell_y"),
+            F.floor(F.col("lon") / _DLON).cast("bigint").alias("cell_x"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+        )
+    )

@@ -262,3 +262,62 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@register(
+    "q_stream_upsert",
+    """
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT user_id, event_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+""",
+    doc="Streaming foreachBatch upsert: every micro-batch is reduced to "
+    "its per-user latest row (deterministic (ts, event_id) tiebreak), "
+    "merged into a keyed parquet table, and re-written — the "
+    "CDC-into-serving-table topology. Idempotent under batch replay "
+    "(the merge is a keyed row_number, not an append), so exactly-once "
+    "end to end with at-least-once delivery. The final table equals "
+    "batch SQL's per-user argmax, which is the oracle.",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    target = f"{root}/state"
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merged = latest_per_user(batch_df)
+        if os.path.exists(target):
+            cur = batch_df.sparkSession.read.parquet(target)
+            merged = latest_per_user(cur.unionByName(merged))
+        # pin the merge result before overwriting its own input
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)

@@ -487,3 +487,87 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_value", 6).alias("avg_value"),
         F.round(F.col("avg_value") / base, 6).alias("seasonal_index"),
     )
+
+
+# --- last-touch attribution (as-of with tolerance) ------------------------
+
+
+@register(
+    "q_attribution",
+    """
+  WITH clicks AS (
+    SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+  ),
+  purch AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+  )
+  SELECT p.event_id, p.user_id,
+         p.ts AS purchase_ts,
+         c.ts AS last_click_ts,
+         CASE WHEN c.ts IS NOT NULL
+                   AND c.ts >= p.ts - INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS attributed,
+         p.value
+  FROM purch p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="Last-touch marketing attribution: each purchase is matched to "
+    "the user's most recent click at-or-before it (an as-of join), "
+    "attributed only when inside a 1-day window. Spark composes it as "
+    "the tagged-union + last(ignorenulls) window — one shuffle on "
+    "user_id regardless of history depth; the oracle is DuckDB's "
+    "native ASOF LEFT JOIN plus the tolerance predicate. Clicks are "
+    "deduped per (user, ts) so ties cannot make the match ambiguous.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("t"))
+        .distinct()
+        .select(
+            "user_id",
+            "t",
+            F.col("t").alias("click_ts"),
+            F.lit(0).alias("src"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("src"),
+        "event_id",
+        "value",
+    )
+    tagged = clicks.unionByName(purch)
+    # clicks sort before purchases at equal t (src 0 < 1): a click AT the
+    # purchase instant is visible, matching ASOF's >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_click = tagged.withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    attributed = F.when(
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.col("last_click_ts")
+            >= F.col("t") - F.expr("INTERVAL 1 DAY")
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return with_click.filter(F.col("src") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("purchase_ts"),
+        "last_click_ts",
+        attributed.alias("attributed"),
+        "value",
+    )

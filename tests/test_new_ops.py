@@ -366,3 +366,57 @@ def test_seasonality_index_centered(spark, sf_dir):
         tot = sum(r.n for r in rs)
         w_mean = sum(r.seasonal_index * r.n for r in rs) / tot
         assert abs(w_mean - 1.0) < 1e-3
+
+
+def test_attribution_window_semantics(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.timeseries import q_attribution
+
+    rows = q_attribution(spark, sf_dir).collect()
+    assert rows
+    import datetime
+
+    day = datetime.timedelta(days=1)
+    for r in rows:
+        if r.attributed:
+            assert r.last_click_ts is not None
+            assert r.last_click_ts <= r.purchase_ts
+            assert r.purchase_ts - r.last_click_ts <= day
+        elif r.last_click_ts is not None:
+            # unattributed with a click -> click is stale (> 1 day old)
+            assert r.purchase_ts - r.last_click_ts > day
+
+
+def test_geo_heatmap_covers_all_pings(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.spatial import q_geo_heatmap
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        events_typed,
+    )
+
+    rows = q_geo_heatmap(spark, sf_dir).collect()
+    total = events_typed(spark, sf_dir).count()
+    assert sum(r.n_pings for r in rows) == total
+    for r in rows:
+        assert 1 <= r.n_users <= r.n_pings
+
+
+def test_stream_upsert_keeps_latest(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        q_stream_upsert,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    final = {r.user_id: r for r in q_stream_upsert(spark, sf_dir).collect()}
+    ev = read_parquet_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(final) == n_users
+    # spot-check: the stored row is the user's max (ts, event_id)
+    import pyspark.sql.functions as F
+
+    latest = {
+        r.user_id: (r.mts, r.meid)
+        for r in ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mts"), F.max_by("event_id", F.struct("ts", "event_id")).alias("meid"))
+        .collect()
+    }
+    for uid, row in final.items():
+        assert row.ts == latest[uid][0]
