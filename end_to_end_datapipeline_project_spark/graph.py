@@ -12,7 +12,7 @@ joins"); this is part of the 100 TB LLM-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, spark_dsum
@@ -107,4 +107,233 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.select(
         F.col("id").alias("supp_id"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+# part co-order graph: parts are linked when they appear together in >= 2
+# distinct orders (the weight floor keeps the graph sparse — the raw
+# co-order graph has ~30x more edges, almost all weight-1 noise)
+_CO_ORDER_HALF_SQL = """
+  __half AS (
+    SELECT src, dst FROM (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey)
+    GROUP BY src, dst
+    HAVING count(*) >= 2
+  )"""
+
+
+def _co_order_half_edges(li: DataFrame) -> DataFrame:
+    """(src < dst) part pairs co-ordered in >= 2 distinct orders.
+
+    One shuffle on l_orderkey with a map-side-combined collect_set (orders
+    hold ~4 lines, so per-order sets are tiny), pairs exploded inside the
+    stage, then one (src, dst) counting shuffle.  Never materializes the
+    weight-1 noise the naive self-join + distinct would.
+    """
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+
+
+@register(
+    "q_triangle_count",
+    f"""
+  WITH {_CO_ORDER_HALF_SQL},
+  tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM __half e1
+    JOIN __half e2 ON e2.src = e1.dst
+    JOIN __half e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  )
+  SELECT node AS part_id, count(*) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri)
+  GROUP BY node
+""",
+    doc="Per-node triangle counting on the part co-order graph: edges "
+    "oriented src < dst so each triangle is enumerated exactly once by "
+    "the wedge join (e1.dst = e2.src) closed against the edge set. The "
+    "orientation bounds wedge fan-out; at 100 TB the refinement is "
+    "degree-ordering (orient low-degree -> high-degree), which makes "
+    "wedge count O(E^1.5) regardless of skew. Edge list is broadcast "
+    "on both probe sides — one shuffle total (the count).",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    half = _co_order_half_edges(li).localCheckpoint()
+    e1 = half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = half.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = half.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy(F.col("node").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+_LPA_ITERS = 2
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""
+  {out}_n AS (
+    SELECT e.dst AS id, l.label, count(*) AS cnt
+    FROM __full e JOIN {prev} l ON l.id = e.src
+    GROUP BY e.dst, l.label
+  ),
+  {out}_w AS (
+    SELECT id, label, row_number() OVER (
+      PARTITION BY id ORDER BY cnt DESC, label) AS rn
+    FROM {out}_n
+  ),
+  {out} AS (
+    SELECT n.id, coalesce(w.label, n.id) AS label
+    FROM __nodes n
+    LEFT JOIN {out}_w w ON w.id = n.id AND w.rn = 1
+  )"""
+
+
+@register(
+    "q_label_propagation",
+    f"""
+  WITH {_CO_ORDER_HALF_SQL},
+  __full AS (
+    SELECT src, dst FROM __half
+    UNION ALL SELECT dst AS src, src AS dst FROM __half
+  ),
+  __nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+  __l0 AS (SELECT id, id AS label FROM __nodes),
+  {_lpa_iter_sql("__l0", "__l1")},
+  {_lpa_iter_sql("__l1", "__l2")}
+  SELECT id AS part_id, label AS community FROM __l2
+""",
+    doc=f"Label propagation community detection ({_LPA_ITERS} synchronous "
+    "iterations) on the part co-order graph: each node adopts its "
+    "neighbors' modal label with a deterministic (count desc, label "
+    "asc) tiebreak, isolated nodes keep their own id. Per iteration: "
+    "one shuffle on dst for the label histogram; the O(|V|) label "
+    "vector broadcasts back over the checkpointed edge list, so "
+    "iterations never reshuffle the O(|E|) edges.",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    half = _co_order_half_edges(li)
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id"))
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "label")
+    for _ in range(_LPA_ITERS):
+        hist = (
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("id", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            hist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = nodes.join(winner, "id", "left").select(
+            "id", F.coalesce("new_label", "id").alias("label")
+        )
+    return labels.select(
+        F.col("id").alias("part_id"), F.col("label").alias("community")
+    )
+
+
+_BFS_HOPS = 3
+
+
+@register(
+    "q_bfs_hops",
+    f"""
+  WITH {_CO_ORDER_HALF_SQL},
+  __full AS (
+    SELECT src, dst FROM __half
+    UNION ALL SELECT dst AS src, src AS dst FROM __half
+  ),
+  __seed AS (SELECT min(l_partkey) AS id FROM lineitem),
+  __d1 AS (
+    SELECT DISTINCT f.dst AS id FROM __full f JOIN __seed s ON f.src = s.id),
+  __d2 AS (
+    SELECT DISTINCT f.dst AS id FROM __full f JOIN __d1 d ON f.src = d.id),
+  __d3 AS (
+    SELECT DISTINCT f.dst AS id FROM __full f JOIN __d2 d ON f.src = d.id)
+  SELECT id AS part_id, min(h) AS hops FROM (
+    SELECT id, 0 AS h FROM __seed
+    UNION ALL SELECT id, 1 AS h FROM __d1
+    UNION ALL SELECT id, 2 AS h FROM __d2
+    UNION ALL SELECT id, 3 AS h FROM __d3)
+  GROUP BY id
+""",
+    doc=f"Breadth-first hop distance (<= {_BFS_HOPS} hops) from the "
+    "lowest part id over the part co-order graph: per level, the "
+    "frontier broadcasts against the checkpointed edge list (frontier "
+    "is O(|V|), edges never move), reached nodes accumulate as (id, "
+    "level) and the final min-aggregate resolves multi-path visits. "
+    "The unrolled-level form is exactly what an iterative distributed "
+    "BFS computes level-synchronously at scale.",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    half = _co_order_half_edges(li)
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    seed = li.agg(F.min("l_partkey").alias("id"))
+    levels = [seed.withColumn("h", F.lit(0))]
+    frontier = seed
+    for lvl in range(1, _BFS_HOPS + 1):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("id", "src")).select(
+                    "src"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("h", F.lit(lvl)))
+    reached = levels[0]
+    for lv in levels[1:]:
+        reached = reached.unionAll(lv.select("id", "h"))
+    return reached.groupBy(F.col("id").alias("part_id")).agg(
+        F.min("h").alias("hops")
     )

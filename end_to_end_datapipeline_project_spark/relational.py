@@ -1689,3 +1689,334 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "q_market_share",
+    f"""
+  WITH all_sales AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           ns.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+  )
+  SELECT o_year,
+         round({dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+               / {dsum("volume")}, 9) AS mkt_share
+  FROM all_sales
+  GROUP BY o_year
+""",
+    doc="TPC-H Q8-shape market share: seven-way star join (every "
+    "dimension including both nation legs broadcasts; the only "
+    "fact-fact shuffle is lineitem-orders on orderkey) feeding a "
+    "conditional-aggregate ratio per order year. Both numerator and "
+    "denominator are decimal-exact sums, so the ratio is reproducible "
+    "at any parallelism.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(reg), F.col("nc_region") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    )
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0.0)
+    )
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            spark_dsum(nation_volume) / spark_dsum(volume), 9
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q_important_parts",
+    f"""
+  WITH pv AS (
+    SELECT l.l_partkey,
+           {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS part_value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+  )
+  SELECT l_partkey, part_value
+  FROM pv
+  WHERE part_value > (SELECT {dsum("part_value")} * 0.002 FROM pv)
+""",
+    doc="TPC-H Q11-shape value concentration: per-part supplied value "
+    "from one nation's suppliers, keeping parts above a fraction of "
+    "the global total. The scalar subquery decorrelates to a one-row "
+    "broadcast over the already-reduced per-part table; the inner and "
+    "outer aggregates share one shuffle (the grouped agg is computed "
+    "once and reused for the global re-aggregation).",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            spark_dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("part_value")
+        )
+    )
+    threshold = pv.agg(
+        (spark_dsum(F.col("part_value")) * 0.002).alias("threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q_shipmode_lateness",
+    """
+  SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+         SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS high_line_count,
+         SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS low_line_count
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+""",
+    doc="TPC-H Q12-shape lateness-by-priority: the testdata has no ship "
+    "mode or commit/receipt dates, so lines are bucketed by shipping "
+    "lateness (shipdate > orderdate + 60 days) and counted by order "
+    "priority class. One orderkey-shuffled join; the CASE buckets fold "
+    "into map-side partial counts over two output groups.",
+)
+def q_shipmode_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .withColumn("ship_bucket", F.when(late, "LATE").otherwise("ONTIME"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_mincost_supplier",
+    """
+  WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
+  ), eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+  ), ranked AS (
+    SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.nation,
+           round(ps.supply_cost, 6) AS supply_cost,
+           row_number() OVER (
+             PARTITION BY p.p_partkey
+             ORDER BY round(ps.supply_cost, 6), e.s_suppkey) AS rn
+    FROM ps
+    JOIN eu e ON e.s_suppkey = ps.l_suppkey
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+  )
+  SELECT p_partkey, p_name, s_name, s_acctbal, nation, supply_cost
+  FROM ranked WHERE rn = 1
+""",
+    doc="TPC-H Q2-shape min-cost supplier: the part-supplier catalog is "
+    "derived from lineitem (min observed unit price per pair — the "
+    "testdata has no partsupp), restricted to one region's suppliers, "
+    "then the correlated per-part MIN decorrelates to a row_number "
+    "window with an explicit supplier tiebreak so the survivor is "
+    "deterministic on both engines.",
+)
+def q_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supply_cost", "s_suppkey")
+    return (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .withColumn("supply_cost", F.round("supply_cost", 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "nation", "supply_cost")
+    )
+
+
+@register(
+    "q_promo_part_suppliers",
+    f"""
+  WITH agg AS (
+    SELECT l.l_suppkey, l.l_partkey,
+           {dsum("CASE WHEN year(l.l_shipdate) = 1997 THEN l.l_quantity ELSE 0 END")}
+             AS qty_1997,
+           {dsum("l.l_quantity")} AS total_qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY l.l_suppkey, l.l_partkey
+  )
+  SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5'
+    AND s.s_suppkey IN (
+      SELECT l_suppkey FROM agg WHERE qty_1997 > 0.2 * total_qty)
+""",
+    doc="TPC-H Q20-shape supplier promotion: suppliers in one nation "
+    "whose 1997 shipments of name-matched parts exceed 20% of their "
+    "all-time volume for that part (availqty stands in as total "
+    "shipped — no partsupp in the testdata). The IN-subquery becomes "
+    "a left-semi join against the already-reduced (supplier, part) "
+    "aggregate; part is broadcast into the lineitem scan so the only "
+    "shuffle is the grouped aggregation.",
+)
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    qty_1997 = F.when(
+        F.year("l_shipdate") == 1997, F.col("l_quantity")
+    ).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            spark_dsum(qty_1997).alias("qty_1997"),
+            spark_dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+    )
+    qualifying = agg.filter(
+        F.col("qty_1997") > 0.2 * F.col("total_qty")
+    ).select("l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    """
+  SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE o.o_orderstatus = 'F'
+    AND n.n_name = 'NATION_1'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+  GROUP BY s.s_suppkey, s.s_name
+  ORDER BY numwait DESC, s_suppkey
+  LIMIT 20
+""",
+    doc="TPC-H Q21-shape sole-late-supplier: lateness is modeled as "
+    "shipdate > orderdate + 90 days (no receipt/commit dates in the "
+    "testdata). Instead of the two correlated EXISTS probes (three "
+    "scans of lineitem), the Spark plan decorrelates to ONE grouped "
+    "pass per (orderkey, suppkey) computing each supplier's lateness "
+    "plus per-order supplier/late-supplier counts via a window — a "
+    "supplier qualifies when it is late, the order has >1 supplier, "
+    "and it is the only late one. Deterministic top-20 by (numwait "
+    "desc, suppkey).",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"), F.sum(late).alias("n_late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn(
+        "n_suppliers", F.count(F.lit(1)).over(w)
+    ).withColumn("n_late_suppliers", F.sum("is_late").over(w))
+    sole_late = flagged.filter(
+        (F.col("is_late") == 1)
+        & (F.col("n_suppliers") > 1)
+        & (F.col("n_late_suppliers") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
