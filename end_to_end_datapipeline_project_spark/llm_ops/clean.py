@@ -445,3 +445,73 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, 6).alias("target_share"),
         F.round(target / actual, 6).alias("weight"),
     )
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+# the synthetic corpus carries no PII, so the query injects a deterministic
+# PII suffix (email + phone + IPv4 derived from doc_id) before scrubbing —
+# proving detection AND redaction end-to-end, not just a no-op rewrite
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@register(
+    "q_pii_scrub",
+    f"""
+  WITH __aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-01'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             AS aug
+    FROM documents)
+  SELECT doc_id,
+         len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(
+           regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}')) AS n_ips,
+         len(regexp_extract_all(
+           regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}')) AS n_phones,
+         md5(regexp_replace(
+           regexp_replace(
+             regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_sig
+  FROM __aug
+""",
+    doc="PII scrubbing: email / IPv4 / phone regexes redact to typed "
+    "placeholders in a fixed cascade (emails first so their dotted "
+    "domains can't be half-eaten by the IP pattern), with per-kind hit "
+    "counts and an md5 signature of the fully-scrubbed text. The "
+    "corpus is synthetic, so a deterministic PII suffix derived from "
+    "doc_id is injected first — every row exercises all three "
+    "detectors. Pure map-side regex pass: one scan, zero shuffles.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    no_email = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _PII_IP, "<IP>")
+    no_phone = F.regexp_replace(no_ip, _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.regexp_count(no_ip, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(no_phone).alias("scrub_sig"),
+    )

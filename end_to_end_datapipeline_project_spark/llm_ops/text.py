@@ -854,3 +854,132 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double").alias("entropy"),
         )
     )
+
+
+# --- model-based quality filtering ----------------------------------------
+
+# fixed logistic-regression weights (intercept, ln n_tok, type-token
+# ratio, stopword ratio, avg token length) — stand-in for a trained
+# fastText/LR quality classifier served as pure column expressions
+_QC_W = (-2.0, 0.55, 1.8, -3.0, 0.25)
+
+
+@register(
+    "q_quality_classifier",
+    f"""
+  WITH __f AS (
+    SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+             / len(toks) AS stop_ratio,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks) AS avg_len
+    FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+    WHERE len(toks) > 0)
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({_QC_W[0]!r} + {_QC_W[1]!r} * ln(n_tok)
+               + {_QC_W[2]!r} * ttr + {_QC_W[3]!r} * stop_ratio
+               + {_QC_W[4]!r} * avg_len))), 6) AS quality_score,
+         round(1.0 / (1.0 + exp(-({_QC_W[0]!r} + {_QC_W[1]!r} * ln(n_tok)
+               + {_QC_W[2]!r} * ttr + {_QC_W[3]!r} * stop_ratio
+               + {_QC_W[4]!r} * avg_len))), 6) >= 0.5 AS keep
+  FROM __f
+""",
+    doc="Model-based quality filtering: a fixed-weight logistic classifier "
+    "(the serving half of q_logreg_grad) scored as pure column "
+    "expressions over per-doc lexical features — token count, "
+    "type-token ratio, stopword ratio, mean token length. No UDF, no "
+    "shuffle: feature extraction and the sigmoid all run inside the "
+    "scan stage's codegen, which is exactly how a trained filter "
+    "should serve over 100 TB. Identical weight literals on both "
+    "engines; score rounded to 6.",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_tok = F.size("toks").cast("double")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter("toks", lambda t: t.isin("the", "a"))).cast("double")
+        / n_tok
+    )
+    avg_len = (
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_tok
+    )
+    w0, w1, w2, w3, w4 = _QC_W
+    z = w0 + w1 * F.log(n_tok) + w2 * ttr + w3 * stop_ratio + w4 * avg_len
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+_OOV_VOCAB_K = 20
+
+
+@register(
+    "q_oov_rate",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+  ),
+  __vocab AS (
+    SELECT tok FROM (
+      SELECT tok, count(*) AS c FROM __tok GROUP BY tok
+      ORDER BY c DESC, tok LIMIT {_OOV_VOCAB_K})
+  )
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS oov_rate
+  FROM __tok t
+  LEFT JOIN __vocab v ON v.tok = t.tok
+  GROUP BY t.doc_id
+""",
+    doc=f"Tokenizer-vocabulary coverage: build the top-{_OOV_VOCAB_K} "
+    "vocabulary (count desc, token asc tiebreak — deterministic at the "
+    "boundary) and score every document's out-of-vocabulary token "
+    "fraction against it. The vocabulary is O(K) and broadcasts; the "
+    "token stream joins map-side, so the only corpus shuffle is the "
+    "per-doc aggregation — the standard pre-tokenization health check "
+    "before committing a vocab to a 100 TB run.",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_OOV_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

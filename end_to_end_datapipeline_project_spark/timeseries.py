@@ -571,3 +571,156 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         attributed.alias("attributed"),
         "value",
     )
+
+
+@register(
+    "q_ohlc_bars",
+    """
+  WITH __ranked AS (
+    SELECT user_id, CAST(ts AS DATE) AS bar_date, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events)
+  SELECT user_id, bar_date,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         count(*) AS n_ticks
+  FROM __ranked
+  GROUP BY user_id, bar_date
+""",
+    doc="OHLC downsampling: per (user, day) candlestick bars — open/close "
+    "are the first/last tick by (ts, event_id) so survivors are "
+    "deterministic under timestamp ties, high/low/count are plain "
+    "order-independent aggregates. One (user, day) shuffle shared by "
+    "the two rank windows and the final hash agg; at 100 TB this is "
+    "the standard trade-bar rollup and partitions by day for pruning.",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    bar = ev.withColumn("bar_date", F.to_date("ts"))
+    wa = Window.partitionBy("user_id", "bar_date").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bar_date").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        bar.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "bar_date")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@register(
+    "q_rolling_median",
+    """
+  SELECT event_id, user_id, ts, value,
+         round(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+  FROM events
+  WHERE event_type = 'purchase'
+""",
+    doc="Trailing 5-row exact median per user (robust smoother): Spark "
+    "evaluates the exact `percentile(value, 0.5)` aggregate over the "
+    "rows frame — both engines linearly interpolate the middle pair on "
+    "even counts; rounded to 6 to absorb last-ulp interpolation "
+    "differences. One user-keyed shuffle + in-partition sort; the "
+    "bounded frame keeps per-row work O(frame), skew-safe at scale.",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
+    )
+
+
+_EWMA_SPAN = 10
+_EWMA_DECAY = 1.0 - 2.0 / (_EWMA_SPAN + 1)  # (1 - alpha), alpha = 2/(span+1)
+
+
+def _ewma_sql() -> str:
+    # identical double literals on both engines => identical arithmetic
+    lags = ",\n           ".join(
+        f"lag(value, {k}) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) AS v{k}"
+        for k in range(1, _EWMA_SPAN)
+    )
+    num = " + ".join(
+        f"{_EWMA_DECAY ** k!r} * coalesce(v{k}, 0.0)"
+        for k in range(_EWMA_SPAN)
+    )
+    den = " + ".join(
+        f"{_EWMA_DECAY ** k!r} * (CASE WHEN v{k} IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        for k in range(_EWMA_SPAN)
+    )
+    return f"""
+  WITH __lagged AS (
+    SELECT event_id, user_id, ts, value, value AS v0,
+           {lags}
+    FROM events
+    WHERE event_type = 'purchase')
+  SELECT event_id, user_id, ts, value,
+         round(({num}) / ({den}), 6) AS ewma10
+  FROM __lagged
+"""
+
+
+@register(
+    "q_ewma",
+    _ewma_sql(),
+    doc=f"Span-{_EWMA_SPAN} truncated EWMA per user: the recursive "
+    "definition is unrolled to a fixed lag-chain (weights (1-a)^k over "
+    "the last 10 observations, renormalized over the available prefix "
+    "at partition starts), so it is a single window — no recursion, no "
+    "self-join, one user-keyed shuffle. Weight literals are generated "
+    "once and shared with the oracle so both engines run identical "
+    "IEEE arithmetic; rounded to 6.",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.select(
+        "event_id", "user_id", "ts", "value", F.col("value").alias("v0")
+    )
+    for k in range(1, _EWMA_SPAN):
+        df = df.withColumn(f"v{k}", F.lag("value", k).over(w))
+    num = None
+    den = None
+    for k in range(_EWMA_SPAN):
+        wk = _EWMA_DECAY ** k
+        nterm = F.lit(wk) * F.coalesce(F.col(f"v{k}"), F.lit(0.0))
+        dterm = F.lit(wk) * F.when(
+            F.col(f"v{k}").isNotNull(), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma10"),
+    )

@@ -141,3 +141,58 @@ def test_disjunctive_pushdown_reaches_scan(spark):
     assert "l_quantity" in plan.split("PushedFilters")[1][:400] or (
         "GreaterThanOrEqual(l_quantity" in plan
     )
+
+
+def test_triangle_counts_are_consistent(spark):
+    """Sum of per-node triangle counts = 3 * number of triangles, and every
+    count is positive (nodes enter the result only via a triangle)."""
+    rows = all_queries()["q_triangle_count"](spark, SF).collect()
+    assert rows, "co-order graph at sf0.001 must contain triangles"
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+    assert all(r.n_triangles > 0 for r in rows)
+
+
+def test_label_propagation_labels_are_node_ids(spark):
+    """Every community label is itself a node id, and there are fewer (or
+    equal) communities than nodes."""
+    rows = all_queries()["q_label_propagation"](spark, SF).collect()
+    ids = {r.part_id for r in rows}
+    labels = {r.community for r in rows}
+    assert labels <= ids
+    assert len(labels) <= len(ids)
+
+
+def test_bfs_hops_levels_are_connected(spark):
+    """Hop levels start at 0 (exactly one seed) and are contiguous."""
+    rows = all_queries()["q_bfs_hops"](spark, SF).collect()
+    by_hop = {}
+    for r in rows:
+        by_hop[r.hops] = by_hop.get(r.hops, 0) + 1
+    assert by_hop.get(0) == 1
+    assert set(by_hop) == set(range(max(by_hop) + 1))
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """Injected PII is always detected (>=1 of each kind) and never
+    survives scrubbing (signatures exist for every doc)."""
+    rows = all_queries()["q_pii_scrub"](spark, SF).collect()
+    assert rows
+    assert all(r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1 for r in rows)
+    assert all(r.scrub_sig and len(r.scrub_sig) == 32 for r in rows)
+
+
+def test_quality_classifier_scores_are_probabilities(spark):
+    rows = all_queries()["q_quality_classifier"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.keep == (r.quality_score >= 0.5)
+
+
+def test_oov_rate_bounds_and_token_totals(spark):
+    rows = all_queries()["q_oov_rate"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-6

@@ -142,3 +142,46 @@ def test_stats_moments_match_closed_form(spark, tmp_path):
     assert (r.n, r.mean_value, r.var_value, r.stddev_value) == (3, 2.0, 1.0, 1.0)
     # value and user_id are perfectly correlated here
     assert r.corr_value_user == 1.0
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.registry import all_queries
+
+    rows = all_queries()["q_ohlc_bars"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_ticks >= 1
+        if r.n_ticks == 1:
+            assert r.open == r.close == r.high == r.low
+
+
+def test_rolling_median_is_bounded_by_window_extremes(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.registry import all_queries
+
+    rows = all_queries()["q_rolling_median"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append(r.value)
+        frame = hist[-5:]
+        assert min(frame) - 1e-6 <= r.med5 <= max(frame) + 1e-6
+
+
+def test_ewma_equals_pandas_reference(spark, sf_dir):
+    """Truncated span-10 EWMA matches a hand-rolled per-user reference."""
+    from end_to_end_datapipeline_project_spark.registry import all_queries
+    from end_to_end_datapipeline_project_spark.timeseries import _EWMA_DECAY, _EWMA_SPAN
+
+    rows = all_queries()["q_ewma"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append(r.value)
+        window = hist[-_EWMA_SPAN:][::-1]  # most recent first
+        num = sum(_EWMA_DECAY**k * v for k, v in enumerate(window))
+        den = sum(_EWMA_DECAY**k for k in range(len(window)))
+        assert abs(r.ewma10 - num / den) < 1e-5
