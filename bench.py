@@ -61,6 +61,16 @@ HEADLINE = [
     "q_zscore_anomaly",
     "q_concurrency",
     "q_logreg_grad",
+    "q_market_share",
+    "q_waiting_suppliers",
+    "q_triangle_count",
+    "q_label_propagation",
+    "q_ohlc_bars",
+    "q_ewma",
+    "q_pii_scrub",
+    "q_quality_classifier",
+    "q_cdc_compact",
+    "q_correlation_matrix",
 ]
 
 

@@ -87,12 +87,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.src", "p.dst").distinct()
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # computed once, reused by all iterations
-    nodes = li.select(F.col("l_suppkey").alias("id")).distinct()
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
     )
-    contrib = edges.join(F.broadcast(deg), "src").localCheckpoint()
+    nodes = li.select(F.col("l_suppkey").alias("id")).distinct()
+    # outdeg via a src-partitioned window (no groupBy + rejoin), and ONE
+    # checkpoint of the weighted edge list reused by all iterations
+    contrib = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")
+    ).localCheckpoint()
     pr = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(PR_ITERS):
         # pr is O(|V|): broadcast it so iterations shuffle only messages

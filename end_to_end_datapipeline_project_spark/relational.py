@@ -2020,3 +2020,41 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "q_cdc_compact",
+    """
+  WITH __ranked AS (
+    SELECT user_id, value, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM events)
+  SELECT user_id, round(value, 6) AS last_value, n_changes
+  FROM __ranked
+  WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="CDC log compaction: a change stream (events keyed by user) "
+    "collapses to current state — latest change per key wins by (ts, "
+    "event_id), and keys whose latest change is a tombstone ('error') "
+    "drop out entirely. One key-partitioned shuffle serves both the "
+    "rank and the per-key change count; this is the batch dual of the "
+    "foreachBatch serving-table upsert (q_stream_upsert), and at "
+    "100 TB it runs per partition-key range with WindowGroupLimit "
+    "pushing the rn=1 filter into the sort.",
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.round("value", 6).alias("last_value"),
+            "n_changes",
+        )
+    )

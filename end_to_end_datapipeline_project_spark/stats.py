@@ -787,3 +787,80 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("med"), 6).alias("median"),
         F.round(F.min("mad"), 6).alias("mad"),
     )
+
+
+# --- pairwise correlation matrix ------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    cols = _CORR_COLS
+    return [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+
+def _corr_matrix_sql() -> str:
+    sums = []
+    for c in _CORR_COLS:
+        sums.append(f"{dsum(c)} AS s_{c}")
+        sums.append(f"{dsum(f'{c} * {c}')} AS ss_{c}")
+    for x, y in _corr_pairs():
+        sums.append(f"{dsum(f'{x} * {y}')} AS sp_{x}_{y}")
+    selects = []
+    for x, y in _corr_pairs():
+        selects.append(
+            f"""
+    SELECT '{x}' AS col_x, '{y}' AS col_y,
+           round((n * sp_{x}_{y} - s_{x} * s_{y})
+                 / sqrt((n * ss_{x} - s_{x} * s_{x})
+                        * (n * ss_{y} - s_{y} * s_{y})), 6) AS corr
+    FROM __m"""
+        )
+    u = "\n    UNION ALL".join(selects)
+    return f"""
+  WITH __m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {", ".join(sums)}
+    FROM lineitem)
+  {u}
+"""
+
+
+@register(
+    "q_correlation_matrix",
+    _corr_matrix_sql(),
+    doc="Pairwise Pearson correlation matrix over lineitem's numeric "
+    "columns from ONE scan: all 14 decimal-exact power sums (n, Σx, "
+    "Σx², Σxy per pair) come out of a single global aggregate, then "
+    "each coefficient is closed-form arithmetic over that one row — "
+    "merge-order-independent, so bit-stable at any parallelism. The "
+    "long (col_x, col_y, corr) output shape is what a feature-"
+    "selection pass feeds on; rounded to 6 (libm sqrt).",
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(spark_dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(spark_dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for x, y in _corr_pairs():
+        aggs.append(spark_dsum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+    m = li.agg(*aggs)
+    pair_rows = []
+    for x, y in _corr_pairs():
+        n, sx, sy = F.col("n"), F.col(f"s_{x}"), F.col(f"s_{y}")
+        ssx, ssy, sp = F.col(f"ss_{x}"), F.col(f"ss_{y}"), F.col(f"sp_{x}_{y}")
+        corr = F.round(
+            (n * sp - sx * sy)
+            / F.sqrt((n * ssx - sx * sx) * (n * ssy - sy * sy)),
+            6,
+        )
+        pair_rows.append(
+            m.select(
+                F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), corr.alias("corr")
+            )
+        )
+    out = pair_rows[0]
+    for p in pair_rows[1:]:
+        out = out.unionAll(p)
+    return out
