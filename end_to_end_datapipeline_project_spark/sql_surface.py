@@ -215,3 +215,167 @@ def q_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types_total",
         F.explode("hot").alias("event_type", "n"),
     ).select("user_id", "event_type", "n", "n_types_total")
+
+
+# --- scalar-function parity sweeps ----------------------------------------
+
+# Curated function surfaces where Spark and DuckDB agree exactly; each
+# sweep packs many calls into one scan so the whole family is covered by
+# a single oracle-checked query (zero shuffles — pure map-side codegen).
+
+
+@register(
+    "q_string_functions",
+    """
+  SELECT doc_id,
+         length(text) AS n_chars,
+         upper(substr(text, 1, 3)) AS up3,
+         reverse(substr(text, 1, 5)) AS rev5,
+         lpad(lang, 5, '_') AS lang_pad,
+         repeat(lang, 2) AS lang2,
+         instr(text, 'agg') AS agg_pos,
+         split_part(text, ' ', 2) AS word2,
+         translate(lang, 'en', 'EN') AS lang_tr,
+         levenshtein(lang, source) AS lev,
+         ascii(source) AS src_ascii,
+         concat_ws('|', lang, source) AS lang_src,
+         replace(lang, 'e', '3') AS lang_leet,
+         md5(substr(text, 1, 16)) AS prefix_sig
+  FROM documents
+""",
+    doc="String-function parity sweep: length/case/reverse/pad/repeat/"
+    "find/split_part/translate/levenshtein/ascii/concat_ws/replace/md5 "
+    "in one scan-stage projection — every call is JVM-codegen'd, zero "
+    "shuffles, and the md5 signature pins exact byte-level agreement.",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.upper(F.substring("text", 1, 3)).alias("up3"),
+        F.reverse(F.substring("text", 1, 5)).alias("rev5"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.instr("text", "agg").alias("agg_pos"),
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("word2"),
+        F.translate("lang", "en", "EN").alias("lang_tr"),
+        F.levenshtein("lang", "source").alias("lev"),
+        F.ascii("source").alias("src_ascii"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.expr("replace(lang, 'e', '3')").alias("lang_leet"),
+        F.md5(F.substring("text", 1, 16)).alias("prefix_sig"),
+    )
+
+
+@register(
+    "q_datetime_functions",
+    """
+  SELECT o_orderkey,
+         year(o_orderdate) AS y,
+         quarter(o_orderdate) AS q,
+         month(o_orderdate) AS m,
+         day(o_orderdate) AS d,
+         dayofweek(o_orderdate) + 1 AS dow,
+         weekofyear(o_orderdate) AS iso_week,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(last_day(o_orderdate) AS DATE) AS month_end,
+         o_orderdate + INTERVAL 3 DAY AS plus3,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS days_since_epoch_start,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_sec,
+         make_date(year(o_orderdate), month(o_orderdate), 1) AS first_of_month
+  FROM orders
+""",
+    doc="Datetime-function parity sweep: calendar parts, ISO week, "
+    "truncation, last_day, interval arithmetic, day difference, "
+    "formatting, epoch seconds, make_date — one scan, zero shuffles. "
+    "Cross-engine notes are encoded in the oracle itself (DuckDB "
+    "dayofweek is 0-based Sunday vs Spark's 1-based; epoch() is "
+    "fractional vs unix_timestamp's floor).",
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.quarter(od).alias("q"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.dayofweek(od).alias("dow"),
+        F.weekofyear(od).alias("iso_week"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.last_day(od).alias("month_end"),
+        (od + F.expr("INTERVAL 3 DAYS")).alias("plus3"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+        F.unix_timestamp(od).alias("unix_sec"),
+        F.make_date(F.year(od), F.month(od), F.lit(1)).alias("first_of_month"),
+    )
+
+
+@register(
+    "q_array_functions",
+    """
+  WITH __v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10) AS INTEGER)) AS ia
+    FROM embeddings)
+  SELECT vec_id,
+         len(v) AS n_dims,
+         round(v[1], 6) AS first_dim,
+         round(v[2] + v[3] + v[4], 6) AS slice_sum,
+         round(list_aggregate(v, 'max'), 6) AS vmax,
+         round(list_aggregate(v, 'min'), 6) AS vmin,
+         round(list_sort(v)[3], 6) AS third_smallest,
+         len(list_distinct(ia)) AS n_distinct_deciles,
+         list_contains(ia, 5) AS has_half,
+         coalesce(list_position(ia, 5), 0) AS half_pos,
+         round(list_reverse(v)[1], 6) AS last_dim
+  FROM __v
+""",
+    doc="Array-function parity sweep over the embedding vectors: "
+    "size/index/slice arithmetic, min/max aggregation, sort-then-index, "
+    "distinct cardinality on a quantized copy, membership + position, "
+    "reverse indexing — all higher-order array expressions inside the "
+    "scan stage (no explode, no shuffle, no UDF), which is how vector "
+    "feature engineering should run over 100 TB of embeddings.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10).cast("int"),
+        ).alias("ia"),
+    )
+    return d.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round(F.element_at("v", 1), 6).alias("first_dim"),
+        F.round(
+            F.element_at("v", 2) + F.element_at("v", 3) + F.element_at("v", 4), 6
+        ).alias("slice_sum"),
+        F.round(F.array_max("v"), 6).alias("vmax"),
+        F.round(F.array_min("v"), 6).alias("vmin"),
+        F.round(F.element_at(F.sort_array("v"), 3), 6).alias("third_smallest"),
+        F.size(F.array_distinct("ia")).alias("n_distinct_deciles"),
+        F.array_contains("ia", 5).alias("has_half"),
+        F.array_position("ia", 5).alias("half_pos"),
+        F.round(F.element_at(F.reverse("v"), 1), 6).alias("last_dim"),
+    )

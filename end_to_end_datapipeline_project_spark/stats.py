@@ -846,7 +846,10 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x, y in _corr_pairs():
         aggs.append(spark_dsum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
     m = li.agg(*aggs)
-    pair_rows = []
+    # one aggregate row fans out to the 6 pair rows via a struct-array
+    # explode — a union of per-pair selects would rescan lineitem per
+    # branch (measured: 12 scans); this form is ONE scan by construction
+    structs = []
     for x, y in _corr_pairs():
         n, sx, sy = F.col("n"), F.col(f"s_{x}"), F.col(f"s_{y}")
         ssx, ssy, sp = F.col(f"ss_{x}"), F.col(f"ss_{y}"), F.col(f"sp_{x}_{y}")
@@ -855,12 +858,11 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * ssx - sx * sx) * (n * ssy - sy * sy)),
             6,
         )
-        pair_rows.append(
-            m.select(
+        structs.append(
+            F.struct(
                 F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), corr.alias("corr")
             )
         )
-    out = pair_rows[0]
-    for p in pair_rows[1:]:
-        out = out.unionAll(p)
-    return out
+    return m.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_x", "p.col_y", "p.corr"
+    )

@@ -57,6 +57,17 @@ PROBES = [
     "q_logreg_grad",
     "q_quantile_bucketing",
     "q_per_group_sample",
+    "q_market_share",
+    "q_waiting_suppliers",
+    "q_triangle_count",
+    "q_label_propagation",
+    "q_ohlc_bars",
+    "q_ewma",
+    "q_pii_scrub",
+    "q_quality_classifier",
+    "q_oov_rate",
+    "q_cdc_compact",
+    "q_correlation_matrix",
 ]
 
 KEY_OFFSETS = {
