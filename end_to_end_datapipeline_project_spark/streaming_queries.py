@@ -321,3 +321,63 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+@register(
+    "q_stream_session_window",
+    """
+  WITH __clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+  ),
+  __lagged AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM __clicks
+  ),
+  __flag AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts >= prev_ts + INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_session
+    FROM __lagged
+  ),
+  __sess AS (
+    SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM __flag
+  )
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_clicks
+  FROM __sess
+  GROUP BY user_id, session_no
+""",
+    doc="STREAMING session windows: file source → 1-day watermark → "
+    "session_window(gap=30 min) per user over click events, "
+    "Trigger.AvailableNow into a memory sink (complete mode). This is "
+    "Spark's stateful session-*merging* operator actually running in a "
+    "streaming plan — state per in-flight session, evicted once the "
+    "watermark passes session_end — unlike q_session_window, which "
+    "exercises the same operator in batch mode. Oracle reproduces the "
+    "gap-merge (new session on gap >= timeout) with lag + cumsum.",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_clicks",
+        )
+    )
+    _MEM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark, sessions, f"stream_session_window_{_MEM_SEQ[0]}", complete=True
+    )
