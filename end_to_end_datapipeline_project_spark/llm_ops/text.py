@@ -983,3 +983,75 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "q_feature_hashing",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+  )
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+              % {_FH_BUCKETS} AS INT) AS bucket,
+         count(*) AS cnt
+  FROM __tok
+  GROUP BY doc_id, bucket
+""",
+    doc=f"Feature hashing (the hashing trick): tokens map to "
+    f"{_FH_BUCKETS} buckets via the first 8 md5 hex digits mod D — "
+    "md5 is bit-identical across engines, so the sparse (doc, bucket, "
+    "count) vectors are exactly reproducible, unlike murmur-based "
+    "HashingTF whose seed is engine-private. No vocabulary state at "
+    "all — the defining property that lets featurization run "
+    "embarrassingly parallel over 100 TB with one (doc, bucket) "
+    "shuffle.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    ).cast("int")
+    return (
+        tok.withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_inverted_index",
+    f"""
+  WITH __tok AS (
+    SELECT DISTINCT doc_id, tok
+    FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+  )
+  SELECT tok AS token,
+         count(*) AS df,
+         array_agg(doc_id ORDER BY doc_id) AS postings
+  FROM __tok
+  GROUP BY tok
+""",
+    doc="Inverted-index construction: token → sorted posting list + "
+    "document frequency. Postings sort inside each token's aggregate "
+    "(order-insensitive to shuffle arrival), so the index is "
+    "deterministic; one (token) shuffle after per-doc distinct. At "
+    "100 TB posting lists for stopword-class tokens are the skew "
+    "risk — the production layout shards them as (token, block) "
+    "segments, which this per-token build is the correctness oracle "
+    "for.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
