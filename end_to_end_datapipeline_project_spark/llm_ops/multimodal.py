@@ -359,3 +359,78 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs).filter(F.col("kind") == "image")
     return resize_media(media)
+
+
+# --- audio segmentation ---------------------------------------------------
+
+AUDIO_WIN = 64  #: segment window (bytes)
+AUDIO_HOP = 32  #: hop between segment starts (overlapping, STFT-style)
+
+AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("seg_no", T.IntegerType(), False),
+        T.StructField("seg_bytes", T.LongType(), False),
+        T.StructField("seg_md5", T.StringType(), False),
+    ]
+)
+
+
+def segment_audio(media: DataFrame) -> DataFrame:
+    """Overlapping fixed-window segmentation of audio payloads — the
+    framing pass every audio featurizer (STFT, wav2vec chunking) starts
+    with.  1→N generator ``mapInPandas``: windows are cut *inside* the
+    Python kernel from each binary payload, so the corpus is scanned
+    once and nothing is exploded JVM-side before the kernel.  A real
+    deployment swaps the md5 stand-in for the DSP transform; the
+    batching, schema, and overlap arithmetic are exactly what it runs.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "seg_no": [],
+                "seg_bytes": [],
+                "seg_md5": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i, start in enumerate(range(0, max(len(b), 1), AUDIO_HOP)):
+                    seg = b[start : start + AUDIO_WIN]
+                    if not seg:
+                        break
+                    out["asset_id"].append(int(asset_id))
+                    out["seg_no"].append(i)
+                    out["seg_bytes"].append(len(seg))
+                    out["seg_md5"].append(hashlib.md5(seg).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("asset_id", "payload").mapInPandas(
+        kernel, AUDIO_SEG_SCHEMA
+    )
+
+
+@register(
+    "q_multimodal_audio_segments",
+    f"""
+  SELECT doc_id AS asset_id,
+         CAST(s.i / {AUDIO_HOP} AS INTEGER) AS seg_no,
+         CAST(length(substr(text, s.i + 1, {AUDIO_WIN})) AS BIGINT) AS seg_bytes,
+         md5(substr(text, s.i + 1, {AUDIO_WIN})) AS seg_md5
+  FROM documents
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(0, greatest(length(text), 1), {AUDIO_HOP})) AS i) s
+  WHERE doc_id % 3 = 1
+""",
+    doc=f"Audio segmentation: {AUDIO_WIN}-byte windows every {AUDIO_HOP} "
+    "bytes (50% overlap) over audio-kind payloads only — kind pruning "
+    "keeps image/video bytes out of the Python path entirely. The "
+    "corpus is ASCII, so the oracle reproduces byte windows with "
+    "character substr; segment content is md5-signed, making the "
+    "whole Arrow kernel value-checkable.",
+)
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs).filter(F.col("kind") == "audio")
+    return segment_audio(media)

@@ -791,7 +791,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- pairwise correlation matrix ------------------------------------------
 
-_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
 
 
 def _corr_pairs():
