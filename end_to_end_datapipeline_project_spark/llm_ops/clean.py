@@ -34,6 +34,41 @@ from .text import TOKENS_SQL, tokens_col
 # --- repetition signals ---------------------------------------------------
 
 
+def _run_stats(sorted_arr: F.Column) -> F.Column:
+    """Distinct count + longest equal-run over a *sorted* array in one
+    linear ``F.aggregate`` pass — ``struct(uniq, maxrun)``.  The max run
+    length of a sorted array is the max frequency of any element, so
+    sort-then-scan replaces a (doc, gram) count shuffle with per-row
+    JVM work inside the scan stage.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("uniq"),
+    )
+
+    def merge(acc: F.Column, x: F.Column) -> F.Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            F.when(same, acc["uniq"]).otherwise(acc["uniq"] + 1).alias("uniq"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        merge,
+        lambda acc: F.struct(
+            acc["uniq"].alias("uniq"), acc["maxrun"].alias("maxrun")
+        ),
+    )
+
+
+
 @register(
     "q_gopher_repetition",
     f"""
@@ -76,62 +111,47 @@ from .text import TOKENS_SQL, tokens_col
 """,
     doc="Gopher-style repetition filter: distinct-token fraction, "
     "top-token fraction, top-bigram fraction, and the keep decision — "
-    "ONE generator emits every token ('t') and bigram ('b') tagged "
-    "with its kind, then a two-level aggregation keyed (doc, kind, "
-    "gram) → (doc) computes all three signals in a single pass: two "
-    "map-side-combinable shuffles total (vs three independent "
-    "aggregations), no global state, linear per-row cost. Ratios are "
-    "exact integer divisions so thresholds are engine-stable.",
+    "ZERO shuffles: every signal is per-doc, so tokens/bigrams are "
+    "sorted in-array and distinct-count + max-frequency fall out of a "
+    "single linear F.aggregate run-length pass inside the scan stage. "
+    "Nothing is exploded, nothing leaves the mapper; at 100 TB the "
+    "corpus streams through once with no exchange. Ratios are exact "
+    "integer divisions so thresholds are engine-stable.",
 )
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col().alias("toks"))
-    # one generator: every token tagged 't', every bigram tagged 'b'
-    grams = toks.select(
+    # Zero-shuffle form: per-doc signals need no cross-row state, so the
+    # whole query is a map over the scan.  Token/bigram frequencies come
+    # from sort + longest-run (_run_stats) instead of exploding every
+    # gram into a (doc, kind, gram) shuffle — at 100 TB that explode
+    # shuffled ~200 rows per doc; this shuffles nothing.
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = toks.select(
         "doc_id",
-        F.explode(
-            F.concat(
-                F.transform(
-                    "toks", lambda t: F.struct(F.lit("t").alias("kind"), t.alias("gram"))
-                ),
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
-                    lambda i: F.struct(
-                        F.lit("b").alias("kind"),
-                        F.when(
-                            F.size("toks") >= 2,
-                            F.concat_ws(
-                                " ",
-                                F.element_at("toks", i),
-                                F.element_at("toks", i + 1),
-                            ),
-                        ).alias("gram"),
-                    ),
-                ),
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.kind", "g.gram").filter(F.col("gram").isNotNull())
-    counted = grams.groupBy("doc_id", "kind", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.size("toks").cast("long").alias("n"),
+        _run_stats(F.array_sort("toks")).alias("ts"),
+        _run_stats(F.array_sort(bigrams)).alias("bs"),
     )
-    t = F.col("kind") == "t"
-    b = F.col("kind") == "b"
-    scored = counted.groupBy("doc_id").agg(
-        F.sum(F.when(t, F.col("cnt")).otherwise(0)).alias("n"),
-        F.sum(F.when(t, 1).otherwise(0)).alias("n_uniq"),
-        F.max(F.when(t, F.col("cnt")).otherwise(0)).alias("top_tok"),
-        F.max(F.when(b, F.col("cnt")).otherwise(0)).alias("top_bg"),
-    )
-    n, n_uniq = F.col("n"), F.col("n_uniq")
-    uniq_frac = n_uniq.cast("double") / n
+    n = F.col("n")
+    uniq_frac = F.col("ts.uniq").cast("double") / n
     bg_frac = F.coalesce(
-        F.col("top_bg").cast("double") / F.nullif(n - 1, F.lit(0)), F.lit(0.0)
+        F.col("bs.maxrun").cast("double") / F.nullif(n - 1, F.lit(0)),
+        F.lit(0.0),
     )
-    return scored.select(
+    return stats.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(uniq_frac, 6).alias("uniq_frac"),
-        F.round(F.col("top_tok").cast("double") / n, 6).alias(
+        F.round(F.col("ts.maxrun").cast("double") / n, 6).alias(
             "top_token_frac"
         ),
         F.round(bg_frac, 6).alias("top_bigram_frac"),
