@@ -508,6 +508,7 @@ def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_PREFIX = 24
 FUZZY_BLOCK = 8
 FUZZY_MAX_DIST = 6
+FUZZY_BLOCK_CAP = 64
 
 
 @register(
@@ -519,10 +520,16 @@ FUZZY_MAX_DIST = 6
            substr(lower(trim(text)), 1, {FUZZY_BLOCK})
              || ':' || CAST(length(text) // 16 AS VARCHAR) AS block
     FROM documents
+  ),
+  __capped AS (
+    SELECT doc_id, probe, block,
+           count(*) OVER (PARTITION BY block) AS block_n
+    FROM __keys
+    QUALIFY block_n <= {FUZZY_BLOCK_CAP}
   )
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          levenshtein(a.probe, b.probe) AS edit_dist
-  FROM __keys a JOIN __keys b
+  FROM __capped a JOIN __capped b
     ON a.block = b.block AND a.doc_id < b.doc_id
   WHERE levenshtein(a.probe, b.probe) <= {FUZZY_MAX_DIST}
 """,
@@ -532,10 +539,13 @@ FUZZY_MAX_DIST = 6
     f"{FUZZY_MAX_DIST} on the {FUZZY_PREFIX}-char probe verifies. "
     "Candidates ∝ Σ block-size²: prefix alone collapses under shared "
     "boilerplate (the ×10 scale probe measured 146× runtime growth before "
-    "the length bucket was added — SCALING.md); the compound key keeps "
-    "blocks small under exactly that skew. Edit distance ≤ 6 implies "
-    "length difference ≤ 6, so a 16-wide bucket only misses pairs "
-    "spanning a boundary — cap/shingle blocks further for exact recall.",
+    "the length bucket was added — SCALING.md), so blocks larger than "
+    f"{FUZZY_BLOCK_CAP} are dropped outright (standard record-linkage "
+    "practice: an oversized block means the key carries no signal there; "
+    "a complementary pass — q_sorted_neighborhood — covers its recall). "
+    "The cap makes worst-case candidate count linear in corpus size. "
+    "Edit distance ≤ 6 implies length difference ≤ 6, so a 16-wide "
+    "bucket only misses pairs spanning a boundary.",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -549,6 +559,12 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") / 16).cast("long").cast("string"),
         ).alias("block"),
     )
+    # drop degenerate oversized blocks before the self-join; the count
+    # window shares the join's hash partitioning on block, so the cap
+    # costs no extra exchange
+    keys = keys.withColumn(
+        "block_n", F.count(F.lit(1)).over(Window.partitionBy("block"))
+    ).filter(F.col("block_n") <= FUZZY_BLOCK_CAP).drop("block_n")
     a, b = keys.alias("a"), keys.alias("b")
     pairs = a.join(
         b,

@@ -830,7 +830,7 @@ def _corr_matrix_sql() -> str:
     "q_correlation_matrix",
     _corr_matrix_sql(),
     doc="Pairwise Pearson correlation matrix over lineitem's numeric "
-    "columns from ONE scan: all 14 decimal-exact power sums (n, Σx, "
+    "columns from ONE scan: all 10 decimal-exact power sums (n, Σx, "
     "Σx², Σxy per pair) come out of a single global aggregate, then "
     "each coefficient is closed-form arithmetic over that one row — "
     "merge-order-independent, so bit-stable at any parallelism. The "

@@ -104,9 +104,13 @@ def build(spark, k: int) -> str:
                         r = r.withColumn(col, F.col(col) + F.lit(i * off))
                 if table == "documents":
                     # vary text across replicas so near-dup structure stays
-                    # ~constant per replica instead of creating k-cliques
+                    # ~constant per replica instead of creating k-cliques.
+                    # APPEND the marker: a prepended one gave every doc in a
+                    # replica the same leading 8 chars, collapsing all
+                    # prefix-blocked queries into one giant block — probe
+                    # artifact, not a property of the data distribution
                     r = r.withColumn(
-                        "text", F.concat(F.lit(f"replica{i} "), F.col("text"))
+                        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                     )
                 reps.append(r)
             big = reps[0]
