@@ -43,10 +43,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(zip(schema.names, [f.dataType.typeName() for f in schema.fields])).get(
-        "ts"
-    ) in ("long", "bigint"):
+    ts_type = dict(
+        zip(schema.names, [f.dataType.typeName() for f in schema.fields])
+    ).get("ts")
+    if ts_type in ("long", "bigint"):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); with the session timezone
+        # pinned to UTC (session.py) the cast is value-identical.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
