@@ -716,3 +716,75 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag_hours")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_table_diff",
+    """
+  WITH base AS (
+    SELECT o_orderkey,
+           md5(concat_ws('|',
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             o_orderstatus)) AS fp
+    FROM orders WHERE o_orderkey % 89 <> 0
+  ),
+  curr AS (
+    SELECT o_orderkey,
+           md5(concat_ws('|',
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 97 = 0 THEN 10 ELSE 0 END
+               AS VARCHAR),
+             o_orderstatus)) AS fp
+    FROM orders WHERE o_orderkey % 83 <> 0
+  )
+  SELECT CASE WHEN b.fp IS NULL THEN 'added'
+              WHEN c.fp IS NULL THEN 'removed'
+              WHEN b.fp <> c.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         count(*) AS n_rows
+  FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey
+  GROUP BY 1
+""",
+    doc="Snapshot reconciliation (anti-entropy table diff): two versions "
+    "of the orders table — simulated here as deterministic "
+    "modular-arithmetic edits (÷89 rows absent from base ⇒ added, ÷83 "
+    "absent from current ⇒ removed, ÷97 price-bumped ⇒ changed) — are "
+    "reduced map-side to (key, md5 fingerprint of the payload), full "
+    "outer joined on the key, and classified. Only 8-byte keys + "
+    "16-byte digests ever shuffle, never the wide payload, so "
+    "reconciling two 100 TB snapshots moves ~24 bytes/row; prices are "
+    "fingerprinted as integer cents so both engines hash identical "
+    "strings.",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.filter("o_orderkey % 89 <> 0").select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", cents, F.col("o_orderstatus"))).alias("bfp"),
+    )
+    curr = orders.filter("o_orderkey % 83 <> 0").select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                cents
+                + F.when(F.col("o_orderkey") % 97 == 0, F.lit(10)).otherwise(
+                    F.lit(0)
+                ),
+                F.col("o_orderstatus"),
+            )
+        ).alias("cfp"),
+    )
+    joined = base.join(curr, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("bfp").isNull(), "added")
+        .when(F.col("cfp").isNull(), "removed")
+        .when(F.col("bfp") != F.col("cfp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -2058,3 +2058,77 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    """
+  SELECT o_orderpriority,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+  FROM orders
+  GROUP BY o_orderpriority
+""",
+    doc="Exact distinct counting via fixed-size mergeable bitmaps "
+    "(bitmap_bit_position / bitmap_construct_agg per 32k-id bucket, then "
+    "bitmap_count summed per group). Unlike count_distinct — whose "
+    "Expand doubles the shuffled rows — the map side emits one ≤4 KB "
+    "bitmap per (group, bucket) regardless of row count, and bitmaps "
+    "OR-merge associatively, so the pattern scales to 100 TB facts with "
+    "dense integer keys. Oracle = plain COUNT(DISTINCT), proving the "
+    "bitmap rewrite exact.",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias(
+            "distinct_customers"
+        )
+    )
+
+
+@register(
+    "q_pareto_frontier",
+    """
+  SELECT p.p_partkey, p.p_retailprice, p.p_size
+  FROM part p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+""",
+    doc="Pareto frontier (skyline: minimize p_retailprice, maximize "
+    "p_size). The oracle is the quadratic NOT-EXISTS dominance test; "
+    "Spark computes the identical set in O(n log n): collapse to "
+    "per-price levels (one hash agg), running max of size over "
+    "price-ascending levels, then a row survives iff it has its "
+    "level's max size and strictly-cheaper levels never reached it. "
+    "The level window is a single partition but over |distinct prices| "
+    "rows only; at 100 TB, pre-filter with per-partition local "
+    "skylines (skyline(U partitions) = skyline(U local skylines)) "
+    "before the global pass.",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    lvl = part.groupBy("p_retailprice").agg(F.max("p_size").alias("lvl_max"))
+    w = Window.orderBy("p_retailprice")
+    lvl = lvl.withColumn(
+        "cm", F.max("lvl_max").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("strict_cm", F.lag("cm").over(w))
+    return (
+        part.join(lvl, "p_retailprice")
+        .filter(
+            (F.col("strict_cm").isNull() | (F.col("strict_cm") < F.col("p_size")))
+            & (F.col("p_size") == F.col("lvl_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

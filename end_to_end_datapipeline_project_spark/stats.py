@@ -866,3 +866,63 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(F.array(*structs)).alias("p")).select(
         "p.col_x", "p.col_y", "p.corr"
     )
+
+
+@register(
+    "q_anova",
+    f"""
+  WITH g AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           {dsum("l_quantity")} AS sx,
+           {dsum("l_quantity * l_quantity")} AS sxx
+    FROM lineitem GROUP BY l_returnflag
+  ),
+  t AS (
+    SELECT count(*) AS k,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           {dsum("sx")} AS gsx,
+           {dsum("sxx")} AS gsxx,
+           {dsum("sx * sx / n")} AS gsb
+    FROM g
+  )
+  SELECT k, n_total,
+         round(gsb - gsx * gsx / n_total, 6) AS ss_between,
+         round(gsxx - gsb, 6) AS ss_within,
+         round(((gsb - gsx * gsx / n_total) / (k - 1))
+               / ((gsxx - gsb) / (n_total - k)), 6) AS f_stat
+  FROM t
+""",
+    doc="One-way ANOVA (F-statistic for l_quantity across l_returnflag "
+    "groups) from decimal-exact per-group power sums: SS_between = "
+    "Σ(sx²/n) − (Σsx)²/N, SS_within = Σsxx − Σ(sx²/n). Two hash "
+    "aggregates — the second over k rows — so the whole test is one "
+    "scan + one tiny shuffle; the power sums are associative, making "
+    "the F value bit-stable under any partial-agg merge order at "
+    "1000-way parallelism (a float one-pass variance would not be).",
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(x).alias("sx"),
+        spark_dsum(x * x).alias("sxx"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        spark_dsum(F.col("sx")).alias("gsx"),
+        spark_dsum(F.col("sxx")).alias("gsxx"),
+        spark_dsum(F.col("sx") * F.col("sx") / F.col("n")).alias("gsb"),
+    )
+    k, n = F.col("k"), F.col("n_total")
+    ssb = F.col("gsb") - F.col("gsx") * F.col("gsx") / n
+    ssw = F.col("gsxx") - F.col("gsb")
+    return t.select(
+        "k",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+    )

@@ -420,3 +420,105 @@ def test_stream_upsert_keeps_latest(spark, sf_dir):
     }
     for uid, row in final.items():
         assert row.ts == latest[uid][0]
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.relational import (
+        q_bitmap_distinct,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    got = {
+        r.o_orderpriority: r.distinct_customers
+        for r in q_bitmap_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.d
+        for r in read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_pareto_frontier_is_mutually_nondominating(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.relational import (
+        q_pareto_frontier,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    sky = q_pareto_frontier(spark, sf_dir).collect()
+    assert len(sky) > 0
+    for p in sky:
+        for q in sky:
+            dominates = (
+                q.p_retailprice <= p.p_retailprice
+                and q.p_size >= p.p_size
+                and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+            )
+            assert not dominates
+    # every non-frontier point is dominated by some frontier point
+    part = read_parquet_table(spark, sf_dir, "part")
+    frontier_keys = {p.p_partkey for p in sky}
+    sample = (
+        part.filter(~F.col("p_partkey").isin(*frontier_keys)).limit(50).collect()
+    )
+    for row in sample:
+        assert any(
+            q.p_retailprice <= row.p_retailprice
+            and q.p_size >= row.p_size
+            and (q.p_retailprice < row.p_retailprice or q.p_size > row.p_size)
+            for q in sky
+        )
+
+
+def test_anova_sums_of_squares_decompose(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_anova
+
+    [row] = q_anova(spark, sf_dir).collect()
+    assert row.k >= 2
+    assert row.ss_between >= 0 and row.ss_within >= 0 and row.f_stat >= 0
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    assert row.n_total == n
+    # SS_between + SS_within == total SS about the grand mean
+    [tot] = (
+        li.select(
+            (
+                F.sum(F.col("l_quantity") * F.col("l_quantity"))
+                - F.pow(F.sum("l_quantity"), 2) / n
+            ).alias("sst")
+        )
+    ).collect()
+    assert abs((row.ss_between + row.ss_within) - tot.sst) < 1e-2
+
+
+def test_table_diff_statuses_partition_the_keyspace(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_table_diff,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    got = {r.status: r.n_rows for r in q_table_diff(spark, sf_dir).collect()}
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    n = {
+        name: orders.filter(cond).count()
+        for name, cond in [
+            ("added", "o_orderkey % 89 = 0 AND o_orderkey % 83 <> 0"),
+            ("removed", "o_orderkey % 83 = 0 AND o_orderkey % 89 <> 0"),
+            (
+                "changed",
+                "o_orderkey % 97 = 0 AND o_orderkey % 89 <> 0 "
+                "AND o_orderkey % 83 <> 0",
+            ),
+        ]
+    }
+    assert got["added"] == n["added"]
+    assert got["removed"] == n["removed"]
+    assert got["changed"] == n["changed"]
+    assert (
+        sum(got.values())
+        == orders.filter("o_orderkey % 89 <> 0 OR o_orderkey % 83 <> 0").count()
+    )
