@@ -788,3 +788,56 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q_event_transitions",
+    """
+  WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  ),
+  cnt AS (
+    SELECT prev_type AS from_event, event_type AS to_event,
+           count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+  )
+  SELECT from_event, to_event, n_transitions,
+         round(CAST(n_transitions AS DOUBLE)
+               / sum(n_transitions) OVER (PARTITION BY from_event), 6) AS p
+  FROM cnt
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag window (deterministic (ts, event_id) order) gives "
+    "each event its predecessor, pair counts hash-aggregate, and a "
+    "window over the tiny |event_types|² matrix row-normalizes into "
+    "probabilities. Two shuffles total — one user-keyed sort window "
+    "over the facts, one k²-row agg; the normalization never touches "
+    "the fact table.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_event"),
+            F.col("event_type").alias("to_event"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("from_event")
+    return cnt.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_total),
+            6,
+        ).alias("p"),
+    )

@@ -926,3 +926,98 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw, 6).alias("ss_within"),
         F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
     )
+
+
+@register(
+    "q_moments",
+    f"""
+  WITH s AS (
+    SELECT event_type, count(*) AS n,
+           {dsum("value")} AS s1,
+           {dsum("value * value")} AS s2,
+           {dsum("value * value * value")} AS s3,
+           {dsum("value * value * value * value")} AS s4
+    FROM events GROUP BY event_type
+  )
+  SELECT event_type, n,
+         round(s1 / n, 6) AS mean,
+         round(s2 / n - (s1 / n) * (s1 / n), 6) AS m2,
+         round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+               / power(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+         round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+               / power(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis
+  FROM s
+""",
+    doc="Population skewness and excess kurtosis per group from "
+    "decimal-exact raw power sums S1..S4 (central moments recovered "
+    "algebraically). One scan, one hash agg; the quartic sums stay "
+    "within DECIMAL(30,6) for value ≤ ~500 up to ~10^12 rows, so the "
+    "shape statistics are deterministic under any 1000-way partial-agg "
+    "merge order — the distribution-shape profile a data-quality tier "
+    "computes per column at 100 TB.",
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    x = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(x).alias("s1"),
+        spark_dsum(x * x).alias("s2"),
+        spark_dsum(x * x * x).alias("s3"),
+        spark_dsum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(m2, 6).alias("m2"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "q_target_encoding",
+    f"""
+  WITH g AS (
+    SELECT o_orderpriority, count(*) AS n, {dsum("o_totalprice")} AS sx
+    FROM orders GROUP BY o_orderpriority
+  )
+  SELECT o.o_orderkey, o.o_orderpriority,
+         round((g.sx - o.o_totalprice) / (g.n - 1), 6) AS loo_target_enc
+  FROM orders o JOIN g USING (o_orderpriority)
+""",
+    doc="Leave-one-out target encoding of o_orderpriority against "
+    "o_totalprice: per-category (n, Σtarget) reduce to a k-row table "
+    "that broadcasts back over the facts, each row's own target "
+    "subtracted to prevent leakage — (Σ−x)/(n−1). The encode pass is "
+    "map-side-only after one tiny agg shuffle; at 100 TB the category "
+    "table stays O(k) regardless of fact size, the standard trick for "
+    "high-signal categorical features in training pipelines.",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(F.col("o_totalprice")).alias("sx"),
+    )
+    return (
+        orders.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("sx") - F.col("o_totalprice")) / (F.col("n") - 1), 6
+            ).alias("loo_target_enc"),
+        )
+    )

@@ -724,3 +724,74 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 6).alias("ewma10"),
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_acf",
+    f"""
+  WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, {dsum("o_totalprice")} AS rev
+    FROM orders GROUP BY 1
+  ),
+  m AS (
+    SELECT {dsum("rev")} / count(*) AS mu FROM daily
+  ),
+  lagged AS (
+    SELECT rev, mu,
+           {", ".join(f"lag(rev, {k}) OVER (ORDER BY d) AS l{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+    FROM daily CROSS JOIN m
+  ),
+  sums AS (
+    SELECT {dsum("(rev - mu) * (rev - mu)")} AS den,
+           {", ".join(f"{dsum(f'(rev - mu) * (l{k} - mu)')} AS num{k}, count(l{k}) AS n{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+    FROM lagged
+  )
+  SELECT u.lag, round(u.num / sums.den, 6) AS acf, u.n_pairs
+  FROM sums, LATERAL (VALUES
+    {", ".join(f"({k}, num{k}, n{k})" for k in range(1, _ACF_MAX_LAG + 1))}
+  ) AS u(lag, num, n_pairs)
+""",
+    doc=f"Autocorrelation function of daily order revenue at lags 1.."
+    f"{_ACF_MAX_LAG}: the series collapses to one row per day (hash "
+    "agg), all 7 lag columns come from ONE window sort pass, and the "
+    "numerators/denominator are decimal-quantized sums so both engines "
+    "agree bit-for-bit. The ordered window is a single partition but "
+    "over |distinct days| rows only (the fact table never sorts); at "
+    "100 TB the day-series is still tiny — the pattern holds.",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(spark_dsum(F.col("o_totalprice")).alias("rev"))
+    mu = daily.agg(
+        (spark_dsum(F.col("rev")) / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.crossJoin(F.broadcast(mu))
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lagged = lagged.withColumn(f"l{k}", F.lag("rev", k).over(w))
+    dev = F.col("rev") - F.col("mu")
+    aggs = [spark_dsum(dev * dev).alias("den")]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        aggs.append(
+            spark_dsum(dev * (F.col(f"l{k}") - F.col("mu"))).alias(f"num{k}")
+        )
+        aggs.append(F.count(f"l{k}").alias(f"n{k}"))
+    sums = lagged.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(F.col(f"num{k}") / F.col("den"), 6).alias("acf"),
+                F.col(f"n{k}").alias("n_pairs"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    return sums.select(F.explode(pairs).alias("p")).select(
+        "p.lag", "p.acf", "p.n_pairs"
+    )

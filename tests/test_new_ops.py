@@ -522,3 +522,77 @@ def test_table_diff_statuses_partition_the_keyspace(spark, sf_dir):
         sum(got.values())
         == orders.filter("o_orderkey % 89 <> 0 OR o_orderkey % 83 <> 0").count()
     )
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_event_transitions,
+    )
+
+    rows = q_event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0 and r.n_transitions > 0
+        by_from.setdefault(r.from_event, 0.0)
+        by_from[r.from_event] += r.p
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4
+
+
+def test_acf_lag_bounds_and_pair_counts(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.timeseries import q_acf
+
+    rows = sorted(q_acf(spark, sf_dir).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    n_days = (
+        read_parquet_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs == n_days - r.lag
+
+
+def test_moments_match_builtin_aggregates(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_moments
+
+    got = {r.event_type: r for r in q_moments(spark, sf_dir).collect()}
+    ref = {
+        r.event_type: r
+        for r in read_parquet_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.skewness("value").alias("sk"),
+            F.kurtosis("value").alias("ku"),
+        )
+        .collect()
+    }
+    for et, r in got.items():
+        assert abs(r.skewness - ref[et].sk) < 1e-3
+        assert abs(r.excess_kurtosis - ref[et].ku) < 1e-3
+
+
+def test_target_encoding_excludes_own_row(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_target_encoding
+
+    enc = q_target_encoding(spark, sf_dir)
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    assert enc.count() == orders.count()
+    # manual check on one category
+    rows = enc.filter(F.col("o_orderpriority") == "1-URGENT").limit(5).collect()
+    cat = orders.filter(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sx")
+    ).collect()[0]
+    prices = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.filter(F.col("o_orderpriority") == "1-URGENT").collect()
+    }
+    for r in rows:
+        expect = (cat.sx - prices[r.o_orderkey]) / (cat.n - 1)
+        assert abs(r.loo_target_enc - expect) < 1e-4
