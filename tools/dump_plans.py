@@ -105,6 +105,21 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("!Exchange", "sort+run-length in-array: all three repetition signals computed map-side — zero shuffles"),
         ("!Generate", "nothing exploded; grams never become rows"),
     ],
+    "q_bitmap_distinct": [
+        ("partial_bitmap_construct_agg", "bitmaps build map-side and OR-merge"),
+        ("!Expand", "no count_distinct Expand doubling the shuffled rows"),
+    ],
+    "q_pareto_frontier": [
+        ("Window", "skyline via running-max window over price levels"),
+        ("!BroadcastNestedLoopJoin", "never the quadratic dominance join"),
+        ("!CartesianProduct", "never the quadratic dominance join"),
+    ],
+    "q_target_encoding": [
+        ("BroadcastHashJoin", "O(k) category stats broadcast back over facts"),
+    ],
+    "q_event_transitions": [
+        ("partial_count", "transition pairs combine map-side before the k² agg"),
+    ],
 }
 
 
