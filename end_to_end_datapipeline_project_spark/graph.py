@@ -338,3 +338,80 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.groupBy(F.col("id").alias("part_id")).agg(
         F.min("h").alias("hops")
     )
+
+
+_COSINE_TOPK = 100
+
+
+@register(
+    "q_item_cosine",
+    f"""
+  WITH __oi AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  ),
+  __ni AS (
+    SELECT l_partkey, count(*) AS n FROM __oi GROUP BY 1
+  ),
+  __pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+    FROM __oi a JOIN __oi b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+  )
+  SELECT part_a, part_b, n_co,
+         round(n_co / sqrt(na.n * nb.n), 6) AS cosine
+  FROM __pairs
+  JOIN __ni na ON na.l_partkey = part_a
+  JOIN __ni nb ON nb.l_partkey = part_b
+  ORDER BY round(n_co / sqrt(na.n * nb.n), 6) DESC, part_a, part_b
+  LIMIT {_COSINE_TOPK}
+""",
+    doc=f"Item-item collaborative-filtering scores: cosine similarity "
+    "over co-purchase vectors, cos(i,j) = n_ij / √(n_i·n_j), top-"
+    f"{_COSINE_TOPK} with a total-order tiebreak. Co-occurrence pairs "
+    "come from the per-order collect_set explode (never a row-level "
+    "self-join), the per-item order counts broadcast back over the "
+    "≥2-support pairs, and the top-k is TakeOrderedAndProject — no "
+    "global sort. The classic 'customers also bought' precompute at "
+    "catalog scale.",
+)
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    oi = li.select("l_orderkey", "l_partkey").distinct()
+    ni = oi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    sets = oi.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    na = F.broadcast(ni.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")))
+    nb = F.broadcast(ni.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")))
+    scored = (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(
+                F.col("n_co") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), "part_a", "part_b"
+    ).limit(_COSINE_TOPK)

@@ -1055,3 +1055,108 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
+
+
+@register(
+    "q_naive_bayes",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, source, unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __classes AS (
+    SELECT source AS c, count(DISTINCT doc_id) AS n_docs FROM __tok GROUP BY 1
+  ),
+  __prior AS (
+    SELECT c, round(ln(CAST(n_docs AS DOUBLE)
+                       / (SELECT sum(n_docs) FROM __classes)), 6) AS lp
+    FROM __classes
+  ),
+  __tc AS (
+    SELECT source AS c, token, count(*) AS cnt FROM __tok GROUP BY 1, 2
+  ),
+  __ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS total FROM __tc GROUP BY 1),
+  __v AS (SELECT count(DISTINCT token) AS vocab FROM __tc),
+  __scores AS (
+    SELECT t.doc_id, t.source AS true_source, cl.c,
+           max(p.lp) + CAST(SUM(CAST(round(ln(
+               (coalesce(tc.cnt, 0) + 1.0) / (ct.total + v.vocab)), 6)
+             AS DECIMAL(30,6))) AS DOUBLE) AS score
+    FROM __tok t
+    CROSS JOIN (SELECT c FROM __classes) cl
+    LEFT JOIN __tc tc ON tc.c = cl.c AND tc.token = t.token
+    JOIN __ct ct ON ct.c = cl.c
+    JOIN __prior p ON p.c = cl.c
+    CROSS JOIN __v v
+    GROUP BY t.doc_id, t.source, cl.c
+  ),
+  __pred AS (
+    SELECT doc_id, true_source, c AS pred_source,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, c) AS rn
+    FROM __scores
+  )
+  SELECT true_source, pred_source, count(*) AS n_docs
+  FROM __pred WHERE rn = 1
+  GROUP BY 1, 2
+""",
+    doc="Multinomial Naive Bayes trained AND applied in one plan: "
+    "per-class priors and Laplace-smoothed token likelihoods are "
+    "aggregates ≪ corpus (broadcast), each doc token fans out over the "
+    "k classes, per-(doc, class) log-scores decimal-sum rounded terms, "
+    "deterministic argmax (score desc, class asc), and the output is "
+    "the k×k confusion matrix. The token stream shuffles once (the "
+    "per-doc-class agg) — model tables never shuffle; at 100 TB the "
+    "class fan-out is the only volume multiplier and k is small.",
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens_col()).alias("token")
+    )
+    classes = tok.groupBy(F.col("source").alias("c")).agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    total_docs = classes.agg(F.sum("n_docs").alias("nd"))
+    prior = classes.crossJoin(F.broadcast(total_docs)).select(
+        "c", F.round(F.log(F.col("n_docs") / F.col("nd")), 6).alias("lp")
+    )
+    tc = tok.groupBy(F.col("source").alias("c"), "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ct = tc.groupBy("c").agg(F.sum("cnt").alias("total"))
+    vocab = tc.agg(F.count_distinct("token").alias("vocab"))
+    scored = (
+        tok.crossJoin(F.broadcast(classes.select("c")))
+        .join(F.broadcast(tc), ["c", "token"], "left")
+        .join(F.broadcast(ct), "c")
+        .join(F.broadcast(prior), "c")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "term",
+            F.round(
+                F.log(
+                    (F.coalesce("cnt", F.lit(0)) + 1.0)
+                    / (F.col("total") + F.col("vocab"))
+                ),
+                6,
+            ),
+        )
+        .groupBy(
+            "doc_id", F.col("source").alias("true_source"), "c"
+        )
+        .agg(
+            (F.max("lp") + spark_dsum(F.col("term"))).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_source", F.col("c").alias("pred_source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

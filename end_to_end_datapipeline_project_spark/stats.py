@@ -1021,3 +1021,111 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_target_enc"),
         )
     )
+
+
+#: (feature name, Spark column expr SQL, DuckDB expr SQL) — identical
+#: semantics, both engines bucket the same way
+_IG_FEATURES = [
+    ("priority", "o_orderpriority", "o_orderpriority"),
+    (
+        "month",
+        "CAST(month(o_orderdate) AS STRING)",
+        "CAST(month(o_orderdate) AS VARCHAR)",
+    ),
+    (
+        "price_bucket",
+        "CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS STRING)",
+        "CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)",
+    ),
+]
+
+
+def _ig_oracle() -> str:
+    cells = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS val, o_orderstatus AS y FROM orders"
+        for name, expr, _ in ((n, d, d) for n, _, d in _IG_FEATURES)
+    )
+    return f"""
+  WITH __cells AS (
+    {cells}
+  ),
+  __fvy AS (
+    SELECT feature, val, y, count(*) AS n FROM __cells GROUP BY 1, 2, 3
+  ),
+  __fv AS (SELECT feature, val, CAST(sum(n) AS BIGINT) AS nf
+           FROM __fvy GROUP BY 1, 2),
+  __fy AS (SELECT feature, y, CAST(sum(n) AS BIGINT) AS ny
+           FROM __fvy GROUP BY 1, 2),
+  __ft AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nt
+           FROM __fvy GROUP BY 1),
+  __hy AS (
+    SELECT f.feature,
+           {dsum("round(-(CAST(ny AS DOUBLE) / nt) * ln(CAST(ny AS DOUBLE) / nt), 6)")} AS h_target
+    FROM __fy f JOIN __ft USING (feature) GROUP BY f.feature
+  ),
+  __hcond AS (
+    SELECT c.feature,
+           {dsum("round((CAST(c.n AS DOUBLE) / t.nt) * -ln(CAST(c.n AS DOUBLE) / v.nf), 6)")} AS h_cond
+    FROM __fvy c
+    JOIN __fv v USING (feature, val)
+    JOIN __ft t USING (feature)
+    GROUP BY c.feature
+  )
+  SELECT h.feature, round(h.h_target - c.h_cond, 6) AS info_gain
+  FROM __hy h JOIN __hcond c USING (feature)
+"""
+
+
+@register(
+    "q_info_gain",
+    _ig_oracle(),
+    doc="Information gain of three candidate features (priority, order "
+    "month, 50k price bucket) against o_orderstatus — the feature-"
+    "selection scan of a training pipeline. Spark evaluates all three "
+    "features in ONE pass: each row explodes into (feature, value, "
+    "target) cells, one hash agg builds every contingency table, and "
+    "the entropies are computed over the tiny cell tables "
+    "(round-then-decimal-sum ⇒ engine-exact). The oracle recomputes "
+    "via three scans — same cells, proving the single-pass explode "
+    "rewrite.",
+)
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cells = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.expr(expr).alias("val"),
+                    )
+                    for name, expr, _ in _IG_FEATURES
+                ]
+            )
+        ).alias("f"),
+        F.col("o_orderstatus").alias("y"),
+    ).select("f.feature", "f.val", "y")
+    fvy = cells.groupBy("feature", "val", "y").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fv = fvy.groupBy("feature", "val").agg(F.sum("n").alias("nf"))
+    fy = fvy.groupBy("feature", "y").agg(F.sum("n").alias("ny"))
+    ft = fvy.groupBy("feature").agg(F.sum("n").alias("nt"))
+    py = F.col("ny").cast("double") / F.col("nt")
+    hy = (
+        fy.join(ft, "feature")
+        .groupBy("feature")
+        .agg(spark_dsum(F.round(-py * F.log(py), 6)).alias("h_target"))
+    )
+    pcell = F.col("n").cast("double") / F.col("nt")
+    pcond = F.col("n").cast("double") / F.col("nf")
+    hcond = (
+        fvy.join(fv, ["feature", "val"])
+        .join(ft, "feature")
+        .groupBy("feature")
+        .agg(spark_dsum(F.round(pcell * -F.log(pcond), 6)).alias("h_cond"))
+    )
+    return hy.join(hcond, "feature").select(
+        "feature",
+        F.round(F.col("h_target") - F.col("h_cond"), 6).alias("info_gain"),
+    )

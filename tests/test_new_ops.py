@@ -596,3 +596,55 @@ def test_target_encoding_excludes_own_row(spark, sf_dir):
     for r in rows:
         expect = (cat.sx - prices[r.o_orderkey]) / (cat.n - 1)
         assert abs(r.loo_target_enc - expect) < 1e-4
+
+
+def test_naive_bayes_confusion_matrix_is_complete(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.text import q_naive_bayes
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    rows = q_naive_bayes(spark, sf_dir).collect()
+    n_docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    # self-trained NB must beat the 1/k random baseline on its train set
+    diag = sum(r.n_docs for r in rows if r.true_source == r.pred_source)
+    k = len({r.true_source for r in rows})
+    assert diag / n_docs > 1.0 / k
+
+
+def test_info_gain_bounded_by_target_entropy(spark, sf_dir):
+    import math
+
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_info_gain
+
+    rows = {r.feature: r.info_gain for r in q_info_gain(spark, sf_dir).collect()}
+    assert set(rows) == {"priority", "month", "price_bucket"}
+    counts = [
+        r.n
+        for r in read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    total = sum(counts)
+    h_target = -sum((c / total) * math.log(c / total) for c in counts)
+    for ig in rows.values():
+        assert -1e-4 <= ig <= h_target + 1e-4
+
+
+def test_item_cosine_scores_valid(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.graph import q_item_cosine
+
+    rows = q_item_cosine(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_co >= 2
+        assert 0.0 < r.cosine <= 1.0
+    # descending by cosine (with total-order tiebreak)
+    keys = [(-r.cosine, r.part_a, r.part_b) for r in rows]
+    assert keys == sorted(keys)
