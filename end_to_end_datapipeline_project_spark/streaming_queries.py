@@ -386,3 +386,147 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, sessions, f"stream_session_window_{_MEM_SEQ[0]}", complete=True
     )
+
+
+def _events_stream_with_flush(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame:
+    """Events file-source stream staged with two far-future sentinel files
+    (event_type='__flush__') and maxFilesPerTrigger=1.
+
+    Outer joins / append-mode aggregates only emit unmatched or closed
+    state when the watermark passes it, and the watermark computed at the
+    end of batch N is applied in batch N+1 — so a single-batch
+    AvailableNow run would never flush. The two sentinel micro-batches
+    advance the watermark past all real data and then evict with it,
+    exactly what a production stream's continuing traffic does.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import datetime
+
+    stage = (
+        f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+        f"/events_flush_{tag}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = dict(
+        zip(schema.names, [f.dataType.typeName() for f in schema.fields])
+    ).get("ts")
+    # sentinel event types MUST pass the query's own predicates: Catalyst
+    # pushes filters below EventTimeWatermark, so a row the filter drops
+    # never reaches the watermark tracker (verified empirically) — each
+    # sentinel file therefore carries one row per filtered type, with
+    # negative user/event ids the query strips from its output.
+    sentinel_types = ["purchase", "error"]
+    for i, day in ((1, 1), (2, 5)):
+        sentinel = f"{stage}/zz_flush_{i}.parquet"
+        if not os.path.exists(sentinel):
+            n = len(sentinel_types)
+            when = datetime.datetime(2200, 1, day)
+            if ts_type in ("long", "bigint"):
+                nanos = int(
+                    (when - datetime.datetime(1970, 1, 1)).total_seconds()
+                ) * 1_000_000_000
+                ts_val = pa.array([nanos] * n, pa.int64())
+            else:
+                ts_val = pa.array([when] * n, pa.timestamp("us"))
+            cols, names = [], []
+            for f in schema.fields:
+                names.append(f.name)
+                if f.name == "ts":
+                    cols.append(ts_val)
+                elif f.name == "event_type":
+                    cols.append(pa.array(sentinel_types, pa.string()))
+                elif f.dataType.typeName() in ("long", "bigint"):
+                    cols.append(
+                        pa.array(range(-1, -n - 1, -1), pa.int64())
+                    )
+                elif f.dataType.typeName() == "double":
+                    cols.append(pa.array([0.0] * n, pa.float64()))
+                else:
+                    cols.append(pa.array(["__flush__"] * n, pa.string()))
+            pq.write_table(pa.table(cols, names=names), sentinel)
+        os.utime(sentinel, (4102444800 + i, 4102444800 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if ts_type in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+@register(
+    "q_stream_left_outer",
+    """
+  SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+         p.user_id,
+         CAST(floor(epoch(e.ts)) AS BIGINT)
+           - CAST(floor(epoch(p.ts)) AS BIGINT) AS lag_sec
+  FROM events p LEFT JOIN events e
+    ON p.user_id = e.user_id
+   AND e.event_type = 'error'
+   AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+  WHERE p.event_type = 'purchase'
+""",
+    doc="Stream-stream LEFT OUTER join under watermarks (purchases with "
+    "their errors within 1h, or NULL if none): unmatched left rows are "
+    "held in state and emitted with NULLs only once the watermark "
+    "passes their join window — the sentinel micro-batches in the "
+    "staged source advance the watermark past all real data, which is "
+    "what live traffic does in production. State on both sides stays "
+    "bounded by watermark + range condition; batch oracle = plain "
+    "LEFT JOIN.",
+)
+def q_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_with_flush(spark, sf_dir, "left_outer")
+    purchases = (
+        src.withWatermark("ts", "1 day")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    errors = (
+        _events_stream_with_flush(spark, sf_dir, "left_outer")
+        .withWatermark("ts", "1 day")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "error_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias("lag_sec"),
+    )
+    _MEM_SEQ[0] += 1
+    result = run_stream_to_memory(
+        spark, joined, f"stream_left_outer_{_MEM_SEQ[0]}", complete=False
+    )
+    # strip the watermark-flush sentinels (negative ids, see
+    # _events_stream_with_flush)
+    return result.filter(F.col("purchase_id") >= 0)

@@ -304,3 +304,35 @@ def test_transform_with_state_user_activity(spark, sf_dir):
         F.count_distinct("event_type").alias("n_types"),
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_left_outer_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        q_stream_left_outer,
+    )
+
+    got = q_stream_left_outer(spark, sf_dir)
+    ev = read_parquet_table(spark, sf_dir, "events")
+    p = ev.filter("event_type='purchase'").selectExpr(
+        "event_id purchase_id", "user_id pu", "ts pts"
+    )
+    e = ev.filter("event_type='error'").selectExpr(
+        "event_id error_id", "user_id eu", "ts ets"
+    )
+    batch = p.join(
+        e,
+        (F.col("pu") == F.col("eu"))
+        & (F.col("ets") >= F.col("pts"))
+        & (F.col("ets") < F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    assert got.count() == batch.count()
+    # every unmatched purchase was flushed with a NULL once the sentinel
+    # batches advanced the watermark past its join window
+    assert (
+        got.filter("error_id IS NULL").count()
+        == batch.filter("error_id IS NULL").count()
+    )
