@@ -1129,3 +1129,92 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         F.round(F.col("h_target") - F.col("h_cond"), 6).alias("info_gain"),
     )
+
+
+# --- privacy tier: DP histogram + k-anonymity audit -----------------------
+
+_DP_EPSILON = 1.0
+
+
+def _laplace_sql(fn: str) -> str:
+    """Inverse-CDF Laplace(b=1/eps) noise from the md5-derived uniform."""
+    u = _uniform_sql(fn)
+    return (
+        f"(CASE WHEN {u} < 0.5 THEN ln(2 * {u})"
+        f" ELSE -ln(2 * (1 - {u})) END) / {_DP_EPSILON}"
+    )
+
+
+@register(
+    "q_dp_histogram",
+    f"""
+  WITH c AS (
+    SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+  ),
+  hh AS (
+    SELECT o_orderpriority, n, md5(o_orderpriority) AS h FROM c
+  )
+  SELECT o_orderpriority,
+         round(n + {_laplace_sql("strpos")}, 6) AS noisy_count
+  FROM hh
+""",
+    doc=f"Differentially-private histogram (ε={_DP_EPSILON}, "
+    "sensitivity-1 counts): Laplace noise via inverse-CDF transform of "
+    "an md5-derived uniform — reproducible across engines, runs, and "
+    "cluster sizes, unlike rand(). The noise is injected AFTER the "
+    "exact aggregate, so the plan is the plain count histogram plus a "
+    "map over k group rows; at 100 TB the DP release step costs "
+    "nothing beyond the aggregate it protects. (A production release "
+    "would use a sealed seed rather than the group name.)",
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    return c.withColumn("h", F.md5("o_orderpriority")).selectExpr(
+        "o_orderpriority",
+        f"round(n + {_laplace_sql('instr')}, 6) AS noisy_count",
+    )
+
+
+_K_ANON = 5
+
+
+@register(
+    "q_k_anonymity",
+    f"""
+  WITH classes AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS sz
+    FROM customer GROUP BY 1, 2
+  )
+  SELECT {_K_ANON} AS k,
+         count(*) AS n_classes,
+         CAST(sum(sz) AS BIGINT) AS n_rows,
+         CAST(min(sz) AS BIGINT) AS k_min,
+         CAST(sum(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_classes,
+         CAST(sum(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+           AS rows_to_suppress
+  FROM classes
+""",
+    doc=f"k-anonymity audit (k={_K_ANON}) over the quasi-identifier pair "
+    "(c_nationkey, c_mktsegment): equivalence-class sizes from one "
+    "hash agg, then the release decision inputs — minimum class size, "
+    "violating classes, and rows needing suppression — from a second "
+    "agg over the class table (≪ data). The pre-release privacy check "
+    "a training-data pipeline runs before exporting user-derived "
+    "tables.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    small = F.when(F.col("sz") < _K_ANON, 1).otherwise(0)
+    return classes.agg(
+        F.lit(_K_ANON).alias("k"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("sz").alias("n_rows"),
+        F.min("sz").alias("k_min"),
+        F.sum(small).alias("violating_classes"),
+        F.sum(small * F.col("sz")).alias("rows_to_suppress"),
+    )

@@ -648,3 +648,45 @@ def test_item_cosine_scores_valid(spark, sf_dir):
     # descending by cosine (with total-order tiebreak)
     keys = [(-r.cosine, r.part_a, r.part_b) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_dp_histogram_noise_is_bounded_and_deterministic(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_dp_histogram
+
+    got = {
+        r.o_orderpriority: r.noisy_count
+        for r in q_dp_histogram(spark, sf_dir).collect()
+    }
+    again = {
+        r.o_orderpriority: r.noisy_count
+        for r in q_dp_histogram(spark, sf_dir).collect()
+    }
+    assert got == again  # hash-derived noise: reproducible
+    true = {
+        r.o_orderpriority: r.n
+        for r in read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, v in got.items():
+        # Laplace(b=1) tail: |noise| > 20 has probability ~2e-9
+        assert abs(v - true[k]) < 20
+        assert v != true[k]
+
+
+def test_k_anonymity_audit_consistency(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_k_anonymity
+
+    [row] = q_k_anonymity(spark, sf_dir).collect()
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    assert row.n_rows == cust.count()
+    assert (
+        row.n_classes
+        == cust.select("c_nationkey", "c_mktsegment").distinct().count()
+    )
+    assert 0 <= row.violating_classes <= row.n_classes
+    assert row.rows_to_suppress < row.violating_classes * row.k
+    assert row.k_min >= 1
