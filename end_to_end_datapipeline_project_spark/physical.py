@@ -264,3 +264,35 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("by").alias("max_by"),
         )
     )
+
+
+# --- mergeable HLL sketch persistence -------------------------------------
+
+
+def hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, event_type) HLL sketches of user_id — the mergeable
+    partial aggregate a pipeline PERSISTS so any later rollup (per week,
+    per type, overall) is a cheap sketch union instead of a rescan.
+
+    At 100 TB this is the distinct-counting playbook: each partition/day
+    reduces to a ~KB binary sketch; sketches OR-merge associatively, so
+    re-aggregation across arbitrary dimensions never touches the facts
+    again (Apache DataSketches HLL, built into Spark ≥3.5 as
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+    """
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .groupBy("day", "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sketch"))
+    )
+
+
+def hll_rollup(sketches: DataFrame, *keys: str) -> DataFrame:
+    """Union persisted sketches up to ``keys`` and estimate distincts —
+    no rescan of the base table."""
+    return sketches.groupBy(*keys).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "approx_distinct_users"
+        )
+    )

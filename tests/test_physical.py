@@ -55,3 +55,37 @@ def test_zorder_files_cover_narrow_squares(spark, sf_dir):
     for r in rows:
         assert r.max_bx - r.min_bx <= 31, r
         assert r.max_by - r.min_by <= 31, r
+
+
+def test_hll_sketches_merge_and_estimate(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from end_to_end_datapipeline_project_spark.physical import (
+        hll_daily_sketches,
+        hll_rollup,
+    )
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    sketches = hll_daily_sketches(spark, sf_dir).cache()
+    per_type = {
+        r.event_type: r.approx_distinct_users
+        for r in hll_rollup(sketches, "event_type").collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in read_parquet_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    for et, est in per_type.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05
+    # mergeability: union of per-day sketches == overall distinct estimate
+    [overall] = hll_rollup(sketches).collect()
+    [direct] = (
+        read_parquet_table(spark, sf_dir, "events")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("d"))
+        .collect()
+    )
+    assert overall.approx_distinct_users == direct.d
+    sketches.unpersist()
