@@ -415,3 +415,144 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("cosine"), "part_a", "part_b"
     ).limit(_COSINE_TOPK)
+
+
+_SSSP_ROUNDS = 3
+
+#: weighted co-order edges: weight 1/n_co (stronger co-occurrence = closer)
+_WEIGHTED_EDGES_SQL = """
+  __whalf AS (
+    SELECT src, dst, 1.0 / count(*) AS w FROM (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey)
+    GROUP BY src, dst
+    HAVING count(*) >= 2
+  ),
+  __wfull AS (
+    SELECT src, dst, w FROM __whalf
+    UNION ALL SELECT dst AS src, src AS dst, w FROM __whalf
+  )"""
+
+
+def _sssp_iter_sql(prev: str, out: str) -> str:
+    return f"""
+  {out} AS (
+    SELECT id, min(d) AS d FROM (
+      SELECT id, d FROM {prev}
+      UNION ALL
+      SELECT e.dst AS id, p.d + e.w AS d
+      FROM {prev} p JOIN __wfull e ON e.src = p.id)
+    GROUP BY id
+  )"""
+
+
+@register(
+    "q_shortest_path",
+    f"""
+  WITH {_WEIGHTED_EDGES_SQL},
+  __seed AS (SELECT min(l_partkey) AS id, 0.0 AS d FROM lineitem),
+  {_sssp_iter_sql("__seed", "__d1")},
+  {_sssp_iter_sql("__d1", "__d2")},
+  {_sssp_iter_sql("__d2", "__d3")}
+  SELECT id AS part_id, round(d, 6) AS dist FROM __d3
+""",
+    doc=f"Weighted single-source shortest path ({_SSSP_ROUNDS} Bellman-"
+    "Ford relaxation rounds, min-plus semiring) from the lowest part id "
+    "over the co-order graph, edge weight 1/co-order-count. Per round: "
+    "the O(|reached|) distance vector broadcasts over the checkpointed "
+    "edge list, relaxed candidates union with current distances, one "
+    "min-aggregate shuffle. Identical structure to the level-"
+    "synchronous BFS but on a semiring — the template for any "
+    "fixed-round iterative graph metric at 100 TB (edges never move; "
+    "only the frontier vector does).",
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    oi = li.select("l_orderkey", "l_partkey").distinct()
+    sets = oi.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    half = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("w"))
+        .filter(F.col("w") <= 0.5)
+    )
+    edges = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint()
+    dist = li.agg(F.min("l_partkey").alias("id")).withColumn(
+        "d", F.lit(0.0)
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist.withColumnRenamed("id", "src")), "src"
+            )
+            .select(F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.select("id", "d")
+            .unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        F.col("id").alias("part_id"), F.round("d", 6).alias("dist")
+    )
+
+
+@register(
+    "q_degree_distribution",
+    f"""
+  WITH {_CO_ORDER_HALF_SQL},
+  __deg AS (
+    SELECT node, count(*) AS deg FROM (
+      SELECT src AS node FROM __half
+      UNION ALL SELECT dst AS node FROM __half)
+    GROUP BY node
+  )
+  SELECT CAST(floor(ln(CAST(deg AS DOUBLE)) / ln(2.0)) AS BIGINT)
+           AS log2_bucket,
+         count(*) AS n_nodes,
+         CAST(min(deg) AS BIGINT) AS min_deg,
+         CAST(max(deg) AS BIGINT) AS max_deg
+  FROM __deg GROUP BY 1
+""",
+    doc="Log2-binned degree distribution of the part co-order graph — "
+    "the skew diagnostic run before any iterative graph job: a heavy "
+    "tail here predicts hot reducers in message-passing (mitigation: "
+    "high-degree-vertex mirroring / degree-ordered orientation). Degree "
+    "per node is one count shuffle over the edge list; the histogram "
+    "aggregates the O(|V|) degree table.",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    half = _co_order_half_edges(li)
+    deg = (
+        half.select(F.col("src").alias("node"))
+        .unionAll(half.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    bucket = F.floor(
+        F.log(F.col("deg").cast("double")) / F.log(F.lit(2.0))
+    ).cast("bigint")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

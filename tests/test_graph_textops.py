@@ -196,3 +196,22 @@ def test_oov_rate_bounds_and_token_totals(spark):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-6
+
+
+def test_shortest_path_distances_valid(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from end_to_end_datapipeline_project_spark.graph import q_shortest_path
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    rows = {r.part_id: r.dist for r in q_shortest_path(spark, sf_dir).collect()}
+    seed = (
+        read_parquet_table(spark, sf_dir, "lineitem")
+        .agg(F.min("l_partkey"))
+        .collect()[0][0]
+    )
+    assert rows[seed] == 0.0
+    assert all(d >= 0.0 for d in rows.values())
+    # every non-seed reached node is at most 3 edges away, each edge
+    # weight <= 0.5 (support floor of 2) => dist <= 1.5
+    assert all(d <= 1.5 for d in rows.values())
