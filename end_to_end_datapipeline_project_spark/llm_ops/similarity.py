@@ -360,14 +360,25 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_to_centroid = dot(F.col("v"), F.col("cv")) / (
         F.col("norm") * F.col("cnorm")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("centroid_id")
-    )
+    # argmax via max_by, NOT a row_number window: the 64 candidate rows
+    # per vector are produced consecutively by the broadcast cross join,
+    # so the partial aggregate collapses them to one row inside the scan
+    # stage — the shuffle carries n rows, never 64n copies of the
+    # embedding (the window form was 15x super-linear in the x10 probe)
     assign = (
         vecs.crossJoin(F.broadcast(centroids))
         .withColumn("cos_c", cos_to_centroid)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    F.col("cos_c").alias("c"),
+                    (-F.col("centroid_id")).alias("t"),
+                ),
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),
+        )
         .select("vec_id", "v", "centroid_id")
     )
     dims = assign.select(

@@ -1218,3 +1218,134 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(small).alias("violating_classes"),
         F.sum(small * F.col("sz")).alias("rows_to_suppress"),
     )
+
+
+@register(
+    "q_abtest",
+    f"""
+  WITH g AS (
+    SELECT event_type,
+           count(*) AS n,
+           {dsum("value")} AS sx,
+           {dsum("value * value")} AS sxx
+    FROM events WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+  ),
+  w AS (
+    SELECT max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+           max(CASE WHEN event_type = 'purchase' THEN sx END) AS sx1,
+           max(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx1,
+           max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+           max(CASE WHEN event_type = 'click' THEN sx END) AS sx2,
+           max(CASE WHEN event_type = 'click' THEN sxx END) AS sxx2
+    FROM g
+  )
+  SELECT n1, n2,
+         round(sx1 / n1 - sx2 / n2, 6) AS mean_diff,
+         round((sx1 / n1 - sx2 / n2)
+               / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                      + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2), 6)
+           AS t_stat,
+         round(pow(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                   + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2, 2)
+               / (pow(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)
+                  + pow(((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2, 2)
+                    / (n2 - 1)), 6) AS welch_df
+  FROM w
+""",
+    doc="Two-sample Welch t-test (purchase vs click event values): "
+    "means, t statistic, and Satterthwaite degrees of freedom — all "
+    "from the same decimal-exact per-group power sums as q_stats, so "
+    "one scan + one two-row aggregate. The experiment-readout "
+    "primitive: at 100 TB per-variant sums partial-aggregate map-side "
+    "and the test itself is O(1) arithmetic on the final row.",
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    x = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(x).alias("sx"),
+        spark_dsum(x * x).alias("sxx"),
+    )
+    pick = lambda et, c: F.max(F.when(F.col("event_type") == et, F.col(c)))
+    w = g.agg(
+        pick("purchase", "n").alias("n1"),
+        pick("purchase", "sx").alias("sx1"),
+        pick("purchase", "sxx").alias("sxx1"),
+        pick("click", "n").alias("n2"),
+        pick("click", "sx").alias("sx2"),
+        pick("click", "sxx").alias("sxx2"),
+    )
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    ) / F.col("n1")
+    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")) / (
+        F.col("n2") - 1
+    ) / F.col("n2")
+    diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
+    return w.select(
+        "n1",
+        "n2",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(diff / F.sqrt(v1 + v2), 6).alias("t_stat"),
+        F.round(
+            F.pow(v1 + v2, 2)
+            / (
+                F.pow(v1, 2) / (F.col("n1") - 1)
+                + F.pow(v2, 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "q_benford",
+    """
+  WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+  ),
+  c AS (
+    SELECT digit, count(*) AS n FROM d GROUP BY digit
+  ),
+  t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+  SELECT digit, n,
+         round(n / t.total, 6) AS observed_p,
+         round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+         round(pow(n / t.total - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+               / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS chi2_term
+  FROM c CROSS JOIN t
+""",
+    doc="Benford first-digit conformance check on o_totalprice: observed "
+    "leading-digit frequencies vs log10(1 + 1/d) expectation with "
+    "per-digit chi-square terms — the classic fraud / synthetic-data "
+    "screen a DQ tier runs on monetary columns. First digit via "
+    "integer-string slicing (identical in both engines, no float "
+    "log10 edge cases); one scan, 9-row output.",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    bp = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    obs = F.col("n") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(bp, 6).alias("benford_p"),
+        F.round(F.pow(obs - bp, 2) / bp, 6).alias("chi2_term"),
+    )

@@ -690,3 +690,41 @@ def test_k_anonymity_audit_consistency(spark, sf_dir):
     assert 0 <= row.violating_classes <= row.n_classes
     assert row.rows_to_suppress < row.violating_classes * row.k
     assert row.k_min >= 1
+
+
+def test_abtest_consistent_with_group_stats(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_abtest
+
+    [row] = q_abtest(spark, sf_dir).collect()
+    ev = read_parquet_table(spark, sf_dir, "events")
+    stats = {
+        r.event_type: r
+        for r in ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .collect()
+    }
+    p, c = stats["purchase"], stats["click"]
+    assert row.n1 == p.n and row.n2 == c.n
+    assert abs(row.mean_diff - (p.m - c.m)) < 1e-4
+    import math
+
+    se = math.sqrt(p.v / p.n + c.v / c.n)
+    assert abs(row.t_stat - (p.m - c.m) / se) < 1e-3
+    assert min(p.n, c.n) - 1 <= row.welch_df <= p.n + c.n - 2
+
+
+def test_benford_probabilities_form_distribution(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_benford
+
+    rows = q_benford(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.chi2_term >= 0
