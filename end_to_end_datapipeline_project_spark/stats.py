@@ -1349,3 +1349,50 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bp, 6).alias("benford_p"),
         F.round(F.pow(obs - bp, 2) / bp, 6).alias("chi2_term"),
     )
+
+
+@register(
+    "q_weighted_median",
+    f"""
+  WITH w AS (
+    SELECT l_returnflag, l_extendedprice,
+           sum(l_quantity) OVER (
+             PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cumw,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+    FROM lineitem
+  )
+  SELECT l_returnflag,
+         round(min(l_extendedprice), 6) AS weighted_median,
+         round(CAST(max(total_w) AS DOUBLE), 6) AS total_weight
+  FROM w WHERE cumw >= total_w / 2
+  GROUP BY l_returnflag
+""",
+    doc="Quantity-weighted median price per group: one partitioned sort "
+    "window builds the cumulative weight (default RANGE frame ⇒ price "
+    "ties share one cumw, so the crossing point is deterministic), the "
+    "median is min(price) past half the total weight. One shuffle (the "
+    "window sort); at 100 TB swap in approx_percentile over repeated "
+    "rows or a weighted GK sketch — this exact form is that path's "
+    "oracle, like q_quantiles.",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    wp = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(wp.orderBy("l_extendedprice"))
+        .alias("cumw"),
+        F.sum("l_quantity").over(wp).alias("total_w"),
+    )
+    return (
+        w.filter(F.col("cumw") >= F.col("total_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 6).alias("weighted_median"),
+            F.round(F.max("total_w").cast("double"), 6).alias("total_weight"),
+        )
+    )

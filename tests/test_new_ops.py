@@ -728,3 +728,29 @@ def test_benford_probabilities_form_distribution(spark, sf_dir):
     assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert r.chi2_term >= 0
+
+
+def test_weighted_median_between_min_and_max(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+    from end_to_end_datapipeline_project_spark.stats import q_weighted_median
+
+    got = {r.l_returnflag: r for r in q_weighted_median(spark, sf_dir).collect()}
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    bounds = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.sum("l_quantity").alias("w"),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        b = bounds[flag]
+        assert b.lo <= r.weighted_median <= b.hi
+        assert r.total_weight == float(b.w)
+        # quantity weights are mild, so the weighted median should sit
+        # within 20% of the unweighted one
+        assert abs(r.weighted_median - b.p50) / b.p50 < 0.2
