@@ -508,3 +508,98 @@ def q_logreg_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grad"
         ),
     )
+
+
+# --- first principal component via distributed power iteration ------------
+
+_PCA_ITERS = 2
+
+#: (vec_id, dim, xd): the exploded double-precision coordinate stream
+_PCA_COORDS_SQL = """
+  __coords AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS xd
+    FROM embeddings
+  )"""
+
+
+def _pca_iter_sql(prev: str, out: str) -> str:
+    from ..registry import dsum
+
+    return f"""
+  {out}_s AS (
+    SELECT c.vec_id,
+           round({dsum("c.xd * v.val")}, 6) AS s
+    FROM __coords c JOIN {prev} v ON v.dim = c.dim
+    GROUP BY c.vec_id
+  ),
+  {out}_u AS (
+    SELECT c.dim, {dsum("s.s * c.xd")} AS u
+    FROM __coords c JOIN {out}_s s ON s.vec_id = c.vec_id
+    GROUP BY c.dim
+  ),
+  {out}_n AS (
+    SELECT sqrt({dsum("u * u")}) AS nrm FROM {out}_u
+  ),
+  {out} AS (
+    SELECT dim, round(u / nrm, 6) AS val, nrm
+    FROM {out}_u CROSS JOIN {out}_n
+  )"""
+
+
+@register(
+    "q_pca_power",
+    f"""
+  WITH {_PCA_COORDS_SQL},
+  __v0 AS (
+    SELECT DISTINCT dim, 0.125 AS val FROM __coords
+  ),
+  {_pca_iter_sql("__v0", "__v1")},
+  {_pca_iter_sql("__v1", "__v2")}
+  SELECT dim, val AS pc1_component, round(nrm, 6) AS eigenvalue_est
+  FROM __v2
+""",
+    doc=f"First principal direction of the raw (uncentered) embedding "
+    f"second-moment matrix via {_PCA_ITERS} distributed power "
+    "iterations — WITHOUT ever materializing the d×d covariance: each "
+    "iteration is v ← normalize(Σᵢ (xᵢ·v)·xᵢ), i.e. one broadcast "
+    "join for the per-vector projections and one dim-keyed shuffle "
+    "for the weighted recombination (the classic allreduce shape, "
+    "same as q_logreg_grad). Projections and component sums are "
+    "decimal-quantized so both engines iterate on identical vectors; "
+    "‖u‖ after the last step estimates the top eigenvalue. At 100 TB "
+    "this streams the corpus twice per iteration with O(d) state — "
+    "the covariance matrix (d² floats) never exists anywhere.",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import spark_dsum
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("xd"),
+    )
+    v = coords.select("dim").distinct().withColumn("val", F.lit(0.125))
+    for _ in range(_PCA_ITERS):
+        s = (
+            coords.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.round(spark_dsum(F.col("xd") * F.col("val")), 6).alias("s"))
+        )
+        u = (
+            coords.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(spark_dsum(F.col("s") * F.col("xd")).alias("u"))
+        )
+        nrm = u.agg(F.sqrt(spark_dsum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("u") / F.col("nrm"), 6).alias("val"), "nrm"
+        )
+    return v.select(
+        "dim",
+        F.col("val").alias("pc1_component"),
+        F.round("nrm", 6).alias("eigenvalue_est"),
+    )

@@ -135,3 +135,19 @@ def test_multimodal_resize_halves(spark, sf_dir):
         assert r.new_bytes == (r.orig_bytes + 1) // 2
         assert 8 <= r.new_width <= 135 and 8 <= r.new_height <= 135
         assert len(r.resized_md5) == 32
+
+
+def test_pca_power_returns_unit_direction(spark, sf_dir):
+    import math
+
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        q_pca_power,
+    )
+
+    rows = q_pca_power(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm = math.sqrt(sum(r.pc1_component**2 for r in rows))
+    assert abs(norm - 1.0) < 1e-3
+    ev = {r.eigenvalue_est for r in rows}
+    assert len(ev) == 1
+    assert ev.pop() > 0

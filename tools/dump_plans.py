@@ -120,6 +120,10 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
     "q_event_transitions": [
         ("partial_count", "transition pairs combine map-side before the k² agg"),
     ],
+    "q_kmeans_step": [
+        ("partial_max_by", "argmax collapses the 64 candidates per vector inside the scan stage"),
+        ("!Window", "no row_number window: embeddings never shuffle x64"),
+    ],
 }
 
 
