@@ -108,6 +108,11 @@ def main() -> None:
         t0 = time.time()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # untimed: release the previous query's localCheckpoint / broadcast
+        # blocks (ContextCleaner frees them only after a JVM GC, and letting
+        # them pile up makes later heavy queries pay a multi-second stall
+        # inside their timed window)
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

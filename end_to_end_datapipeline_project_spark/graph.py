@@ -76,24 +76,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = li.groupBy("l_partkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
-    half = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), "
-                "y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst").distinct()
+    # checkpoint the HALF edge list (src < dst): both directions and the
+    # outdeg annotation derive from it with a union + broadcast join —
+    # zero extra shuffles — so the materialized footprint is 4x smaller
+    # than checkpointing the annotated directed list
+    half = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+        .localCheckpoint()
+    )
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = li.select(F.col("l_suppkey").alias("id")).distinct()
-    # outdeg via a src-partitioned window (no groupBy + rejoin), and ONE
-    # checkpoint of the weighted edge list reused by all iterations
-    contrib = edges.withColumn(
-        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")).cast("double")
-    ).localCheckpoint()
+    # outdeg is O(|V|): aggregate it small and broadcast it back — a
+    # src-partitioned window would shuffle AND sort the whole edge list
+    # just to annotate it
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    contrib = edges.join(F.broadcast(outdeg), "src")
     pr = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(PR_ITERS):
         # pr is O(|V|): broadcast it so iterations shuffle only messages
