@@ -164,3 +164,88 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats, "user_id BIGINT, n_events BIGINT, n_orders BIGINT"
         )
     )
+
+
+# --- Spark 4 Python DataSource API ----------------------------------------
+
+_PYDS_N = 10_000
+_PYDS_PARTS = 8
+
+
+def _make_rangesq_source():
+    """Build the DataSource class lazily (the datasource module import is
+    deferred so merely importing udx never requires it)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _RangeSqPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class RangeSqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 10))
+            self.parts = int(options.get("parts", 1))
+
+        def partitions(self):
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                _RangeSqPartition(lo, min(lo + step, self.n))
+                for lo in range(0, self.n, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, (i * i) % 97)
+
+    class RangeSqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "rangesq"
+
+        def schema(self):
+            return "id bigint, residue bigint"
+
+        def reader(self, schema):
+            return RangeSqReader(self.options)
+
+    return RangeSqSource
+
+
+@register(
+    "q_python_datasource",
+    f"""
+  SELECT residue, count(*) AS n, CAST(min(id) AS BIGINT) AS first_id
+  FROM (
+    SELECT i AS id, (i * i) % 97 AS residue
+    FROM generate_series(0, {_PYDS_N - 1}) AS t(i))
+  GROUP BY residue
+""",
+    doc="Custom source via the Spark 4 Python DataSource API: a "
+    f"partition-aware reader ({_PYDS_PARTS} splits of a {_PYDS_N}-row "
+    "deterministic sequence) registered with spark.dataSource.register "
+    "and consumed like any built-in format — partitions() drives "
+    "parallel reads, each executor runs the Python generator for its "
+    "split (Arrow-batched). The extension point for bespoke feeds "
+    "(internal APIs, queues, proprietary formats) to enter the engine "
+    "as first-class DataFrames; the quadratic-residue payload keeps "
+    "the output SQL-reproducible for the oracle.",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.dataSource.register(_make_rangesq_source())
+    except Exception as exc:  # already registered in this session
+        if "already" not in str(exc).lower():
+            raise
+    src = (
+        spark.read.format("rangesq")
+        .option("n", _PYDS_N)
+        .option("parts", _PYDS_PARTS)
+        .load()
+    )
+    return src.groupBy("residue").agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("first_id")
+    )

@@ -754,3 +754,18 @@ def test_weighted_median_between_min_and_max(spark, sf_dir):
         # quantity weights are mild, so the weighted median should sit
         # within 20% of the unweighted one
         assert abs(r.weighted_median - b.p50) / b.p50 < 0.2
+
+
+def test_python_datasource_partitioned_read(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.udx import (
+        _PYDS_N,
+        q_python_datasource,
+    )
+
+    rows = q_python_datasource(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == _PYDS_N
+    # quadratic residues mod 97: (97+1)/2 = 49 distinct values
+    assert len(rows) == 49
+    # re-running with the source already registered must not fail
+    again = q_python_datasource(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
