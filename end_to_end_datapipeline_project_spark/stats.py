@@ -1396,3 +1396,136 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("total_w").cast("double"), 6).alias("total_weight"),
         )
     )
+
+
+@register(
+    "q_mannwhitney",
+    """
+  WITH pooled AS (
+    SELECT event_type, value,
+           rank() OVER (ORDER BY value) AS r_lo,
+           count(*) OVER (PARTITION BY value) AS n_ties
+    FROM events WHERE event_type IN ('purchase', 'click')
+  ),
+  ranked AS (
+    SELECT event_type,
+           r_lo + (n_ties - 1) / 2.0 AS avg_rank
+    FROM pooled
+  ),
+  g AS (
+    SELECT count(*) FILTER (event_type = 'purchase') AS n1,
+           count(*) FILTER (event_type = 'click') AS n2,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                              THEN avg_rank ELSE 0 END AS DECIMAL(30,6)))
+                AS DOUBLE) AS r1
+    FROM ranked
+  )
+  SELECT n1, n2,
+         round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+         round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 6) AS z_score
+  FROM g
+""",
+    doc="Mann-Whitney U test (purchase vs click values), the "
+    "nonparametric companion to q_abtest: tie-averaged ranks computed "
+    "as rank() + (ties−1)/2 — one global sort window (RANGE peers make "
+    "tie groups deterministic) — then U from the decimal-summed rank "
+    "total and the normal-approximation z. At 100 TB replace the "
+    "global sort with a two-pass histogram rank (bucket counts, then "
+    "prefix sums); this exact form is that path's oracle.",
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pooled = ev.select(
+        "event_type",
+        "value",
+        F.rank().over(Window.orderBy("value")).alias("r_lo"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("n_ties"),
+    )
+    ranked = pooled.select(
+        "event_type",
+        (F.col("r_lo") + (F.col("n_ties") - 1) / 2.0).alias("avg_rank"),
+    )
+    is_p = F.col("event_type") == "purchase"
+    g = ranked.agg(
+        F.count(F.when(is_p, 1)).alias("n1"),
+        F.count(F.when(~is_p, 1)).alias("n2"),
+        spark_dsum(F.when(is_p, F.col("avg_rank")).otherwise(0.0)).alias("r1"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    return g.select(
+        "n1",
+        "n2",
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            (u - n1 * n2 / 2.0)
+            / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "q_gini",
+    f"""
+  WITH seg AS (
+    SELECT c.c_mktsegment AS segment, o.o_totalprice AS x,
+           row_number() OVER (
+             PARTITION BY c.c_mktsegment
+             ORDER BY o.o_totalprice, o.o_orderkey) AS i,
+           count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  )
+  SELECT segment, CAST(max(n) AS BIGINT) AS n_orders,
+         round(2.0 * {dsum("i * x")}
+               / (max(n) * {dsum("x")})
+               - (max(n) + 1.0) / max(n), 6) AS gini
+  FROM seg GROUP BY segment
+""",
+    doc="Gini concentration coefficient of order revenue per market "
+    "segment: G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over values sorted "
+    "within segment (row_number with an o_orderkey tiebreak makes the "
+    "index — and therefore the decimal-summed i·x products — fully "
+    "deterministic despite ties). One partitioned sort window + one "
+    "hash agg; the revenue-inequality lens on customer concentration.",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("x"),
+            "o_orderkey",
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("segment").orderBy("x", "o_orderkey")
+            ),
+        )
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("segment"))
+        )
+    )
+    return seg.groupBy("segment").agg(
+        F.max("n").alias("n_orders"),
+        F.round(
+            2.0
+            * spark_dsum(F.col("i") * F.col("x"))
+            / (F.max("n") * spark_dsum(F.col("x")))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

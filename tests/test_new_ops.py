@@ -769,3 +769,22 @@ def test_python_datasource_partitioned_read(spark, sf_dir):
     # re-running with the source already registered must not fail
     again = q_python_datasource(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_mannwhitney_u_in_valid_range(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_mannwhitney
+
+    [row] = q_mannwhitney(spark, sf_dir).collect()
+    assert 0 <= row.u_stat <= row.n1 * row.n2
+    # same populations => no extreme effect
+    assert abs(row.z_score) < 10
+
+
+def test_gini_bounded_zero_one(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.stats import q_gini
+
+    rows = q_gini(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_orders > 0
