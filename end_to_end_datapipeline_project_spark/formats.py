@@ -176,3 +176,112 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         spark_dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@register(
+    "q_schema_evolution",
+    """
+  WITH v1 AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+  ),
+  v2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+  ),
+  merged AS (
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM v2
+  )
+  SELECT coalesce(o_orderpriority, '__pre_evolution__') AS priority,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           AS total_price
+  FROM merged GROUP BY 1
+""",
+    doc="Additive schema evolution on a parquet dataset: generation 1 "
+    "lands without o_orderpriority, generation 2 adds it; a single "
+    "mergeSchema read unifies both generations (missing column ⇒ NULL) "
+    "and downstream code coalesces a sentinel. This is the contract "
+    "for 100 TB datasets that gain columns over years of landing — no "
+    "rewrite of old partitions, schema resolved per file footer at "
+    "scan time; the oracle reproduces the union-with-NULLs semantics.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    stage = _stage(sf_dir, "evolving_orders")
+    marker = f"{stage}/_STAGED"
+    if not os.path.exists(marker):
+        orders.filter("o_orderkey % 2 = 0").select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{stage}/gen=1")
+        orders.filter("o_orderkey % 2 = 1").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{stage}/gen=2")
+        open(marker, "w").write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{stage}/gen=1", f"{stage}/gen=2"
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("__pre_evolution__")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        spark_dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "q_corrupt_records",
+    """
+  WITH lines AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 41 = 0 THEN NULL ELSE o_totalprice END
+             AS price,
+           o_orderkey % 41 = 0 AS corrupt
+    FROM orders
+  )
+  SELECT corrupt, count(*) AS n_rows,
+         CAST(SUM(CAST(coalesce(price, 0.0) AS DECIMAL(30,6))) AS DOUBLE)
+           AS total_price
+  FROM lines GROUP BY corrupt
+""",
+    doc="PERMISSIVE-mode quarantine for malformed vendor rows: a staged "
+    "CSV where every 41st row carries a non-numeric price is read with "
+    "the declared schema + columnNameOfCorruptRecord; bad rows land "
+    "with data columns NULL and the raw line preserved in the "
+    "quarantine column for reprocessing, good rows flow through. The "
+    "complement of the FAILFAST round-trips: at 100 TB you quarantine "
+    "and continue, never silently drop — counts per class prove "
+    "nothing is lost.",
+)
+def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    stage = _stage(sf_dir, "corrupt_orders_csv")
+    marker = f"{stage}/_STAGED"
+    if not os.path.exists(marker):
+        orders.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 41 == 0, F.lit("N/A"))
+            .otherwise(F.col("o_totalprice").cast("string"))
+            .alias("price"),
+        ).write.mode("overwrite").option("header", "false").csv(stage)
+        open(marker, "w").write("ok")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(stage)
+    )
+    return df.groupBy(F.col("_bad").isNotNull().alias("corrupt")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        spark_dsum(F.coalesce("price", F.lit(0.0))).alias("total_price"),
+    )

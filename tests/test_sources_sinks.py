@@ -184,3 +184,27 @@ def test_jsonl_roundtrip_preserves_text_exactly(spark, tmp_path):
     write_jsonl(df, path)
     back = {r.doc_id: r.text for r in read_jsonl(spark, path, DOCS_JSONL_SCHEMA).collect()}
     assert back == {i: t for i, t in enumerate(texts)}
+
+
+def test_schema_evolution_null_fills_old_generation(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from end_to_end_datapipeline_project_spark.formats import q_schema_evolution
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    rows = {r.priority: r.n_orders for r in q_schema_evolution(spark, sf_dir).collect()}
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    assert rows["__pre_evolution__"] == orders.filter("o_orderkey % 2 = 0").count()
+    assert sum(rows.values()) == orders.count()
+
+
+def test_corrupt_records_quarantined_not_dropped(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.formats import q_corrupt_records
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    rows = {r.corrupt: r for r in q_corrupt_records(spark, sf_dir).collect()}
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    n_bad = orders.filter("o_orderkey % 41 = 0").count()
+    assert rows[True].n_rows == n_bad
+    assert rows[True].total_price == 0.0
+    assert rows[False].n_rows == orders.count() - n_bad
