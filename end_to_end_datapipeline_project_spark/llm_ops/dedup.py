@@ -941,3 +941,107 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --- prefix-filtered exact set-similarity join (AllPairs/PPJoin) ----------
+
+_PF_THRESHOLD = 0.95
+
+
+@register(
+    "q_prefix_filter_join",
+    f"""
+  WITH __t AS (
+    SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __sz AS (SELECT doc_id, count(*) AS sz FROM __t GROUP BY doc_id),
+  __pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+    FROM __t a JOIN __t b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT p.doc_a, p.doc_b, p.overlap,
+         round(CAST(p.overlap AS DOUBLE)
+               / (sa.sz + sb.sz - p.overlap), 6) AS jaccard
+  FROM __pairs p
+  JOIN __sz sa ON sa.doc_id = p.doc_a
+  JOIN __sz sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.overlap AS DOUBLE) / (sa.sz + sb.sz - p.overlap)
+        >= {_PF_THRESHOLD}
+""",
+    doc=f"EXACT set-similarity self-join (word-set Jaccard ≥ "
+    f"{_PF_THRESHOLD}) via prefix filtering: tokens are globally "
+    "ranked rarest-first, each doc indexes only its first "
+    "|x|−⌈t·|x|⌉+1 rarest tokens (if J(x,y) ≥ t then overlap ≥ t·|x|, "
+    "so similar pairs MUST collide inside the prefix), candidates are "
+    "verified with a full-overlap count. The oracle is the "
+    "brute-force all-shared-tokens join — hash-matching it proves the "
+    "pruning loses nothing. At 100 TB the prefix index is the "
+    "difference between joining on every stopword posting list and "
+    "joining on rare tokens only (AllPairs / PPJoin).",
+)
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _PF_THRESHOLD
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    ).distinct()
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # global rarest-first token ranking (vocab-sized; deterministic tiebreak)
+    rank = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy("df", "token")),
+        )
+        .select("token", "rnk")
+    )
+    ranked = (
+        tok.join(F.broadcast(rank), "token")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rnk")
+            ),
+        )
+        .join(F.broadcast(sz), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1
+    ).select("doc_id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    overlap = (
+        cand.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(tok.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    jac = F.col("overlap").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("overlap")
+    )
+    return (
+        overlap.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= t)
+        .select(
+            "doc_a", "doc_b", "overlap", F.round(jac, 6).alias("jaccard")
+        )
+    )

@@ -151,3 +151,40 @@ def test_pca_power_returns_unit_direction(spark, sf_dir):
     ev = {r.eigenvalue_est for r in rows}
     assert len(ev) == 1
     assert ev.pop() > 0
+
+
+def test_prefix_filter_join_matches_bruteforce(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        _PF_THRESHOLD,
+        q_prefix_filter_join,
+    )
+    from end_to_end_datapipeline_project_spark.llm_ops.text import tokens_col
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_prefix_filter_join(spark, sf_dir).collect()
+    }
+    assert got
+    # brute force on a small sample of pairs: every qualifying pair in
+    # the sample must be present with the same jaccard
+    docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
+        .collect()
+    )
+    sets = {r.doc_id: set(r.toks) for r in docs}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / len(sets[a] | sets[b])
+            if jac >= _PF_THRESHOLD:
+                assert (a, b) in got
+                assert abs(got[(a, b)] - jac) < 1e-5
+            else:
+                assert (a, b) not in got
