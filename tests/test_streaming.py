@@ -336,3 +336,37 @@ def test_stream_left_outer_matches_batch(spark, sf_dir):
         got.filter("error_id IS NULL").count()
         == batch.filter("error_id IS NULL").count()
     )
+
+
+def test_checkpoint_recovery_resumes_with_state(spark, tmp_path):
+    """Restarting from the checkpoint processes ONLY new files, and the
+    recovered dropDuplicates state still suppresses a replayed key."""
+    bronze_dir = str(tmp_path / "bronze")
+    _write(bronze_dir, "s1", [rec("1000", f"{DAY} 12:00:00")])
+
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_silver_stream(
+        bronze_to_silver_stream(read_bronze_stream(spark, bronze_dir), DAY),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 1
+
+    # "crash" over; new landing file arrives containing one genuinely new
+    # record AND a replay of the already-processed (vehicle, time) key
+    _write(
+        bronze_dir,
+        "s2",
+        [rec("1000", f"{DAY} 12:00:00"), rec("2000", f"{DAY} 12:00:15")],
+    )
+    q2 = write_silver_stream(
+        bronze_to_silver_stream(read_bronze_stream(spark, bronze_dir), DAY),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == 2  # replayed key suppressed by recovered state
+    assert set(r.VehicleNumber for r in back.collect()) == {"1000", "2000"}
