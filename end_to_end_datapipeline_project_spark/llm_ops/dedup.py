@@ -1045,3 +1045,99 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "overlap", F.round(jac, 6).alias("jaccard")
         )
     )
+
+
+# --- content-defined chunking (rolling-hash boundaries) -------------------
+
+#: boundary probability 1/8 → mean chunk ≈ 8 tokens
+_CDC_MOD = 8
+_CDC_WIN = 4
+
+
+@register(
+    "q_cdc_chunks",
+    f"""
+  WITH __t AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks
+    FROM documents
+    WHERE trim(text) <> '' AND len({TOKENS_SQL}) >= 1
+  ),
+  __wb AS (
+    SELECT doc_id, toks,
+      list_sort(list_distinct(list_append(
+        list_filter(list_transform(range({_CDC_WIN}, greatest(len(toks), {_CDC_WIN}) + 1),
+          i -> CASE WHEN i <= len(toks) AND
+                    (strpos('0123456789abcdef',
+                       substr(md5(array_to_string(toks[i-{_CDC_WIN - 1}:i], ' ')), 1, 1)) - 1)
+                    % {_CDC_MOD} = 0
+               THEN i ELSE -1 END), x -> x > 0),
+        len(toks)))) AS ends
+    FROM __t),
+  __ch AS (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(ends) + 1),
+        k -> md5(array_to_string(
+          toks[CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END : ends[k]],
+          ' ')))) AS chunk_fp
+    FROM __wb)
+  SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+  FROM __ch GROUP BY chunk_fp
+  HAVING count(DISTINCT doc_id) >= 2
+""",
+    doc=f"Content-defined chunking: a rolling hash over {_CDC_WIN}-token "
+    "windows cuts a chunk boundary wherever the hash's first nibble ≡ 0 "
+    f"(mod {_CDC_MOD}), giving ~{_CDC_MOD}-token variable chunks whose "
+    "boundaries are CONTENT-anchored — insert a sentence and only the "
+    "chunks touching it change, unlike fixed-width chunking where "
+    "everything downstream shifts (the q_chunk_dedup failure mode). "
+    "Boundary detection, segmentation, and chunk fingerprints are all "
+    "in-array higher-order expressions — zero shuffles until the final "
+    "fingerprint aggregate — so the map side streams 100 TB of text "
+    "and only 16-byte digests ever move. Output: chunks shared by ≥2 "
+    "docs, the cross-document boilerplate CDC dedup exists to find.",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, m = _CDC_WIN, _CDC_MOD
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    ends = f"""
+      array_sort(array_union(
+        filter(transform(sequence({w}, greatest(size(toks), {w})),
+          i -> IF(i <= size(toks) AND
+                  (instr('0123456789abcdef',
+                     substr(md5(concat_ws(' ', slice(toks, i - {w - 1}, {w}))), 1, 1)) - 1)
+                  % {m} = 0,
+                  i, -1)),
+        x -> x > 0),
+        array(size(toks))))
+    """
+    chunks = (
+        tok.withColumn("ends", F.expr(ends))
+        .withColumn(
+            "starts",
+            F.expr(
+                "zip_with(array_prepend(slice(ends, 1, size(ends) - 1), 0), "
+                "ends, (p, e) -> p + 1)"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                "zip_with(starts, ends, "
+                "(s, e) -> md5(concat_ws(' ', slice(toks, s, e - s + 1))))"
+            ),
+        )
+        .select("doc_id", F.explode("fps").alias("chunk_fp"))
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
