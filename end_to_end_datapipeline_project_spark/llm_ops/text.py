@@ -1160,3 +1160,96 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_source", F.col("c").alias("pred_source"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q_dataset_card",
+    f"""
+  WITH __base AS (
+    SELECT doc_id, lang, source, n_chars,
+           len({TOKENS_SQL}) AS n_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __tok AS (
+    SELECT unnest({TOKENS_SQL}) AS token
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __m AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tokens) AS DOUBLE) AS n_tokens_total,
+           CAST(sum(n_chars) AS DOUBLE) AS n_chars_total,
+           count(DISTINCT fp) AS n_unique,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources
+    FROM __base
+  ),
+  __v AS (SELECT count(DISTINCT token) AS vocab FROM __tok)
+  SELECT u.metric, round(u.value, 6) AS value
+  FROM __m, __v, LATERAL (VALUES
+    ('n_docs', CAST(n_docs AS DOUBLE)),
+    ('n_tokens_total', n_tokens_total),
+    ('avg_doc_tokens', n_tokens_total / n_docs),
+    ('avg_token_chars', n_chars_total / n_tokens_total),
+    ('exact_dup_rate', 1.0 - CAST(n_unique AS DOUBLE) / n_docs),
+    ('n_langs', CAST(n_langs AS DOUBLE)),
+    ('n_sources', CAST(n_sources AS DOUBLE)),
+    ('vocab_size', CAST(vocab AS DOUBLE))
+  ) AS u(metric, value)
+""",
+    doc="Dataset-card statistics in one pass: corpus size, token volume, "
+    "per-doc averages, exact-duplicate rate (content-fingerprint "
+    "distinct ratio), language/source diversity, vocabulary size — the "
+    "summary block a training-data release publishes. Two aggregates "
+    "over one scan (global stats + vocab) fanned out to metric rows "
+    "via a literal VALUES — never one scan per metric.",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("double").alias("n_tokens_total"),
+        F.sum("n_chars").cast("double").alias("n_chars_total"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    v = docs.select(F.explode(tokens_col()).alias("token")).agg(
+        F.count_distinct("token").alias("vocab")
+    )
+    pairs = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_tokens_total", F.col("n_tokens_total")),
+        ("avg_doc_tokens", F.col("n_tokens_total") / F.col("n_docs")),
+        ("avg_token_chars", F.col("n_chars_total") / F.col("n_tokens_total")),
+        (
+            "exact_dup_rate",
+            1.0 - F.col("n_unique").cast("double") / F.col("n_docs"),
+        ),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("vocab_size", F.col("vocab").cast("double")),
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(k).alias("metric"), F.round(c, 6).alias("value"))
+            for k, c in pairs
+        ]
+    )
+    return (
+        m.crossJoin(F.broadcast(v))
+        .select(F.explode(arr).alias("p"))
+        .select("p.metric", "p.value")
+    )
