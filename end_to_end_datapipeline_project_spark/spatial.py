@@ -151,3 +151,93 @@ def q_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("lat"), 6).alias("lat_max"),
         )
     )
+
+
+# --- trajectory similarity (Hausdorff) ------------------------------------
+
+_TRAJ_USERS = 12
+
+
+@register(
+    "q_trajectory_hausdorff",
+    f"""
+  WITH __typed AS ({TYPED_SQL}),
+  __pts AS (
+    SELECT user_id, lat, lon FROM __typed WHERE user_id < {_TRAJ_USERS}
+  ),
+  __d AS (
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           a.lat AS alat, a.lon AS alon,
+           min(round({haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)) AS min_d
+    FROM __pts a JOIN __pts b ON a.user_id < b.user_id
+    GROUP BY 1, 2, 3, 4
+  ),
+  __h AS (
+    SELECT user_a, user_b, max(min_d) AS h_ab
+    FROM __d GROUP BY 1, 2
+  ),
+  __d2 AS (
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           b.lat AS blat, b.lon AS blon,
+           min(round({haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)) AS min_d
+    FROM __pts a JOIN __pts b ON a.user_id < b.user_id
+    GROUP BY 1, 2, 3, 4
+  ),
+  __h2 AS (
+    SELECT user_a, user_b, max(min_d) AS h_ba
+    FROM __d2 GROUP BY 1, 2
+  )
+  SELECT h.user_a, h.user_b,
+         round(greatest(h.h_ab, h2.h_ba), 6) AS hausdorff_km
+  FROM __h h JOIN __h2 h2 USING (user_a, user_b)
+""",
+    doc=f"Symmetric Hausdorff distance between user GPS trajectories "
+    f"(first {_TRAJ_USERS} users): H(A,B) = max(h(A→B), h(B→A)) with "
+    "h(A→B) = max over a of min over b of haversine(a,b) — the "
+    "trajectory-similarity primitive behind top-k trajectory search "
+    "(REPOSE, ICDE'21). Each directed distance is a per-point min "
+    "then per-pair max — two grouped aggregates over the pairwise "
+    "block join. At 100 TB the pairwise stage is bounded by the same "
+    "grid-cell blocking as q_radius_join (only near cells compared) "
+    "plus reference-point pruning; this exact form is that path's "
+    "correctness oracle.",
+)
+def q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        events_typed(spark, sf_dir)
+        .filter(F.col("user_id") < _TRAJ_USERS)
+        .select("user_id", "lat", "lon")
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    d = F.round(
+        haversine_km(
+            F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+        ),
+        6,
+    )
+    joined = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.col("a.lat").alias("alat"),
+        F.col("a.lon").alias("alon"),
+        F.col("b.lat").alias("blat"),
+        F.col("b.lon").alias("blon"),
+        d.alias("dist"),
+    )
+    h_ab = (
+        joined.groupBy("user_a", "user_b", "alat", "alon")
+        .agg(F.min("dist").alias("min_d"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("min_d").alias("h_ab"))
+    )
+    h_ba = (
+        joined.groupBy("user_a", "user_b", "blat", "blon")
+        .agg(F.min("dist").alias("min_d"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("min_d").alias("h_ba"))
+    )
+    return h_ab.join(h_ba, ["user_a", "user_b"]).select(
+        "user_a",
+        "user_b",
+        F.round(F.greatest("h_ab", "h_ba"), 6).alias("hausdorff_km"),
+    )

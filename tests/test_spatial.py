@@ -55,3 +55,20 @@ def test_grid_join_matches_brute_force_on_boundary_points(spark):
     want = {tuple(r) for r in _brute_force(points).collect()}
     assert got == want
     assert any(a == 1 and b == 2 for a, b, _ in want)  # boundary pair found
+
+
+def test_trajectory_hausdorff_metric_properties(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.spatial import (
+        _TRAJ_USERS,
+        q_trajectory_hausdorff,
+    )
+
+    rows = q_trajectory_hausdorff(spark, sf_dir).collect()
+    # all unordered user pairs present exactly once
+    n = len({r.user_a for r in rows} | {r.user_b for r in rows})
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.user_a < r.user_b < _TRAJ_USERS
+        assert r.hausdorff_km >= 0.0
+        # the synthetic box is ~45km x ~70km; Hausdorff is bounded by it
+        assert r.hausdorff_km < 120.0
