@@ -603,3 +603,81 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("pc1_component"),
         F.round("nrm", 6).alias("eigenvalue_est"),
     )
+
+
+@register(
+    "q_ann_recall",
+    f"""
+  WITH {VECS_SQL},
+  __queries AS (SELECT * FROM __normed WHERE vec_id < 5),
+  __exact AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {COS_SQL} DESC, b.vec_id) AS rnk
+      FROM __queries a JOIN __normed b ON a.vec_id <> b.vec_id)
+    WHERE rnk <= 5
+  ),
+  __centroids AS (
+    SELECT vec_id AS centroid_id, v, norm FROM __normed
+    WHERE vec_id % {N_CENTROIDS_MOD} = 0
+  ),
+  __assign AS (
+    SELECT vec_id, v, norm, centroid_id FROM (
+      SELECT a.vec_id, a.v, a.norm, b.centroid_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                        b.centroid_id) AS rn
+      FROM __normed a CROSS JOIN __centroids b)
+    WHERE rn = 1
+  ),
+  __q2 AS (SELECT * FROM __assign WHERE vec_id < 5),
+  __ivf AS (
+    SELECT query_id, neighbor_id FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {COS_SQL} DESC, b.vec_id) AS rnk
+      FROM __q2 a JOIN __assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+    WHERE rnk <= 5
+  )
+  SELECT e.query_id,
+         CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+  FROM __exact e
+  LEFT JOIN __ivf i
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+""",
+    doc="ANN index evaluation: recall@5 of the IVF-bucketed search "
+    "against the exact brute-force top-5, per query — the quality "
+    "gauge that decides nprobe/centroid-count trade-offs before an "
+    "approximate index serves production traffic. Both paths run in "
+    "the same plan over the same normalized vectors; the exact side's "
+    "per-query top-k joins the IVF side's and counts hits. At 100 TB "
+    "you run this on a sampled query set, exactly as here (5 probes).",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        q_ann_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (F.col("neighbor_id") == F.col("ivf_neighbor")),
+            "left",
+        )
+        .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            (F.count("ivf_neighbor").cast("double") / 5).alias("recall_at_5")
+        )
+    )

@@ -217,3 +217,14 @@ def test_cdc_chunks_boundaries_are_content_anchored(spark, sf_dir):
         shared = q_cdc_chunks(spark, d).collect()
     # the two docs share their content-anchored tail chunks
     assert len(shared) >= 1
+
+
+def test_ann_recall_bounded(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        q_ann_recall,
+    )
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.recall_at_5 <= 1.0
