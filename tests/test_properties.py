@@ -143,3 +143,91 @@ def test_sessionize_gap_invariants(spark_prop, rows):
         srows = sorted(srows, key=lambda r: r.lo)
         for a, b in zip(srows, srows[1:]):
             assert (b.lo - a.hi).total_seconds() > 3600
+
+
+_points = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(1, 15)),  # (price, size)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_points)
+def test_pareto_frontier_matches_bruteforce(spark_prop, tmp_path_factory, pts):
+    from end_to_end_datapipeline_project_spark.relational import (
+        q_pareto_frontier,
+    )
+
+    spark = spark_prop
+    rows = [
+        (i, f"p{i}", "B", "T", size, float(price))
+        for i, (price, size) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    sf = str(tmp_path_factory.mktemp("pareto"))
+    df.write.mode("overwrite").parquet(f"{sf}/part.parquet")
+
+    got = {r.p_partkey for r in q_pareto_frontier(spark, sf).collect()}
+
+    def dominated(i):
+        pi, si = pts[i]
+        return any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts)
+            if j != i
+        )
+
+    expect = {i for i in range(len(pts)) if not dominated(i)}
+    assert got == expect
+
+
+_wm_rows = st.lists(
+    st.tuples(st.integers(1, 10), st.integers(1, 9)),  # (price, weight)
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_wm_rows)
+def test_weighted_median_matches_bruteforce(spark_prop, tmp_path_factory, rows):
+    from end_to_end_datapipeline_project_spark.stats import q_weighted_median
+
+    spark = spark_prop
+    li = [
+        (
+            i, 1, 1, 1,
+            float(w),
+            float(price),
+            0.0, 0.0, "A", "F",
+            BASE,
+        )
+        for i, (price, w) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = str(tmp_path_factory.mktemp("wmed"))
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    [got] = q_weighted_median(spark, sf).collect()
+
+    total = sum(w for _, w in rows)
+    cum = 0.0
+    expect = None
+    for price, w in sorted(rows):
+        cum += w
+        if cum >= total / 2:
+            expect = float(price)
+            break
+    assert got.weighted_median == expect
+    assert got.total_weight == float(total)
