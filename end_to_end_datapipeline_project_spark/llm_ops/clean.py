@@ -1,6 +1,9 @@
 """Corpus-cleaning operators: repetition filters, blocklist scrubbing,
 test-set decontamination, and sequence packing.
 
+LLM-pipeline extension surface (SURVEY.md §7.2 M4; the reference cleans
+only GPS pings, gtfstransformerSilver.py:41-45 — no text tier exists there).
+
 These are the quality/safety passes an LLM training-data pipeline runs
 between raw scraping and tokenization:
 

@@ -1,6 +1,9 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
+LLM-pipeline extension surface (SURVEY.md §7.2 M4; no binary columns exist
+in the reference data model, SURVEY.md §1.2).
+
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
 shape — is real and tested.  The actual media *decode* kernels are stubbed
 (no image/audio libraries in this container): ``decode_image``/

@@ -1,5 +1,8 @@
 """Similarity search over the ``embeddings`` table (array<float>, 64-dim).
 
+LLM-pipeline extension surface (SURVEY.md §7.2 M4; no counterpart in the
+reference, which has a single fact table and no arrays).
+
 - ``q_embedding_neardup`` / ``q_ann_topk`` — brute-force cosine, the
   correctness baseline.  The dot product is a built-in higher-order
   ``aggregate`` over ``zip_with`` — pure Catalyst expressions, no UDF.

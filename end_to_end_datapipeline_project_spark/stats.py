@@ -1,5 +1,9 @@
 """Statistical aggregates and the skew-handling (salted) shuffle pattern.
 
+Extension surface beyond the reference (SURVEY.md §2.5: no statistics tier
+there beyond avg/max, gtfsGold.py:94-102); part of the 100 TB analytics
+playbook from SURVEY.md §7.2 M4.
+
 - ``q_quantiles``: exact interpolated percentiles (Spark ``percentile`` ≡
   DuckDB ``quantile_cont``).  At 100 TB the engine's default is
   ``approx_percentile`` (GK-sketch, mergeable, one pass, no global sort);

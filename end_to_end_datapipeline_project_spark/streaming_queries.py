@@ -1,5 +1,9 @@
 """Driver-checkable streaming queries.
 
+The reference has no streaming engine (SURVEY.md §2.10: a 15 s polling
+loop, main.py:39-46); this tier is the idiomatic Structured-Streaming
+upgrade SURVEY.md §1.3 prescribes.
+
 ``q_stream_event_counts`` executes a *real Structured Streaming plan*
 (file source → watermark → event-time tumbling window → stateful agg)
 with ``Trigger.AvailableNow`` into a memory sink — batch-parity semantics,
