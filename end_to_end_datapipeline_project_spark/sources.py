@@ -62,6 +62,11 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     epoch exceeds double's 53-bit integer range).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle-parity confs must hold even on a vanilla driver session
+    # (SURVEY.md §7.4: pinned UTC, ANSI on) — the session factory sets
+    # them too, but the driver contract may hand us any SparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
