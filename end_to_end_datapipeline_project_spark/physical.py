@@ -296,3 +296,48 @@ def hll_rollup(sketches: DataFrame, *keys: str) -> DataFrame:
             "approx_distinct_users"
         )
     )
+
+
+@register(
+    "q_dynamic_partition_pruning",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __picked AS (
+    SELECT d FROM (SELECT DISTINCT date AS d FROM __dedup)
+    WHERE CAST(strftime(d, '%d') AS BIGINT) % 10 = 3
+  )
+  SELECT s.date, count(*) AS n_events,
+         {dsum("s.value")} AS sum_value
+  FROM __dedup s JOIN __picked p ON s.date = p.d
+  GROUP BY s.date
+""",
+    doc="Dynamic partition pruning: the fact side is the date-partitioned "
+    "silver table, the dim side is a selective date filter only known "
+    "at runtime (day-of-month % 10 = 3) — Catalyst injects the dim's "
+    "build-side values as a runtime IN-subquery into the fact scan's "
+    "PartitionFilters, so only ~1/10 of the partitions are read even "
+    "though no literal date predicate exists in the query. THE "
+    "mechanism that makes star-schema joins over 100 TB partitioned "
+    "facts read only the joined slice; plan-asserted via "
+    "`dynamicpruning` in tools/dump_plans.py.",
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver_dir = _stage(sf_dir, "silver_events")
+    if not os.path.exists(f"{silver_dir}/_SUCCESS"):
+        events_cleansed(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "date"
+        ).parquet(silver_dir)
+    silver = spark.read.parquet(silver_dir)
+    dim = (
+        silver.select(F.col("date").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") % 10 == 3)
+    )
+    return (
+        silver.join(F.broadcast(dim), silver.date == dim.d)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            spark_dsum(F.col("value")).alias("sum_value"),
+        )
+    )

@@ -89,3 +89,17 @@ def test_hll_sketches_merge_and_estimate(spark, sf_dir):
     )
     assert overall.approx_distinct_users == direct.d
     sketches.unpersist()
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.physical import (
+        q_dynamic_partition_pruning,
+    )
+
+    df = q_dynamic_partition_pruning(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    # every surviving date satisfies the dim predicate
+    for r in df.collect():
+        assert r.date.day % 10 == 3

@@ -124,6 +124,9 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("partial_max_by", "argmax collapses the 64 candidates per vector inside the scan stage"),
         ("!Window", "no row_number window: embeddings never shuffle x64"),
     ],
+    "q_dynamic_partition_pruning": [
+        ("dynamicpruning", "runtime dim values injected into the fact scan's partition filters"),
+    ],
 }
 
 
