@@ -226,7 +226,10 @@ N_SEEDS = 8
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # the shingle set feeds FOUR consumers (signatures, both verify probe
+    # sides, sizes) and ends in a distinct — checkpoint it once instead of
+    # re-running the explode+shuffle per consumer
+    sh = shingles(docs).localCheckpoint()
     # all N_SEEDS min-hashes in ONE hash-aggregate pass over the shingles
     # (vs. exploding shingles × seeds through the shuffle: 8× less shuffle
     # volume — the thing that matters at 100 TB), then unpivot the compact
