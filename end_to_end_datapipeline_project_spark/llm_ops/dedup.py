@@ -948,79 +948,59 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- prefix-filtered exact set-similarity join (AllPairs/PPJoin) ----------
 
-_PF_THRESHOLD = 0.95
+_PF_THRESHOLD = 0.8
 
 
 @register(
     "q_prefix_filter_join",
     f"""
-  WITH __t AS (
-    SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS token
-    FROM documents WHERE trim(text) <> ''
-  ),
-  __sz AS (SELECT doc_id, count(*) AS sz FROM __t GROUP BY doc_id),
-  __pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
-    FROM __t a JOIN __t b ON a.token = b.token AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-  )
-  SELECT p.doc_a, p.doc_b, p.overlap,
-         round(CAST(p.overlap AS DOUBLE)
-               / (sa.sz + sb.sz - p.overlap), 6) AS jaccard
-  FROM __pairs p
-  JOIN __sz sa ON sa.doc_id = p.doc_a
-  JOIN __sz sb ON sb.doc_id = p.doc_b
-  WHERE CAST(p.overlap AS DOUBLE) / (sa.sz + sb.sz - p.overlap)
-        >= {_PF_THRESHOLD}
+  WITH {SHINGLES_SQL},
+  {JACCARD_VERIFY_SQL}
+  SELECT doc_a, doc_b, shared, round(jaccard, 6) AS jaccard
+  FROM __jac WHERE jaccard >= {_PF_THRESHOLD}
 """,
-    doc=f"EXACT set-similarity self-join (word-set Jaccard ≥ "
-    f"{_PF_THRESHOLD}) via prefix filtering: tokens are globally "
+    doc=f"EXACT set-similarity self-join (shingle-set Jaccard >= "
+    f"{_PF_THRESHOLD}) via prefix filtering: shingles are globally "
     "ranked rarest-first, each doc indexes only its first "
-    "|x|−⌈t·|x|⌉+1 rarest tokens (if J(x,y) ≥ t then overlap ≥ t·|x|, "
-    "so similar pairs MUST collide inside the prefix), candidates are "
-    "verified with a full-overlap count. The oracle is the "
-    "brute-force all-shared-tokens join — hash-matching it proves the "
-    "pruning loses nothing. At 100 TB the prefix index is the "
-    "difference between joining on every stopword posting list and "
-    "joining on rare tokens only (AllPairs / PPJoin).",
+    "|x|-ceil(t|x|)+1 rarest shingles (if J(x,y) >= t then overlap >= "
+    "t*|x|, so similar pairs MUST collide inside the prefix), and "
+    "candidates are verified with a full-overlap count. The oracle is "
+    "the brute-force all-shared-shingles join - hash-matching it "
+    "proves the pruning loses nothing. At 100 TB the prefix index is "
+    "the difference between joining every posting list and joining "
+    "only the rare tail (AllPairs / PPJoin); shingles (not unigrams) "
+    "keep the token universe large enough for the prefix to select.",
 )
 def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _PF_THRESHOLD
-    docs = read_parquet_table(spark, sf_dir, "documents").filter(
-        F.trim("text") != ""
-    )
-    tok = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("token")
-    ).distinct()
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # global rarest-first token ranking (vocab-sized; deterministic tiebreak)
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sh = shingles(docs).localCheckpoint()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # global rarest-first ranking (aggregate << corpus; deterministic)
     rank = (
-        tok.groupBy("token")
+        sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy("df", "token")),
+            "rnk", F.row_number().over(Window.orderBy("df", "shingle"))
         )
-        .select("token", "rnk")
+        .select("shingle", "rnk")
     )
     ranked = (
-        tok.join(F.broadcast(rank), "token")
+        sh.join(rank, "shingle")
         .withColumn(
             "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("rnk")
-            ),
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("rnk")),
         )
         .join(F.broadcast(sz), "doc_id")
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1
-    ).select("doc_id", "token")
+    ).select("doc_id", "shingle")
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -1030,22 +1010,22 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     overlap = (
-        cand.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(tok.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "token"])
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
-    jac = F.col("overlap").cast("double") / (
-        F.col("sa") + F.col("sb") - F.col("overlap")
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return (
         overlap.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= t)
         .select(
-            "doc_a", "doc_b", "overlap", F.round(jac, 6).alias("jaccard")
+            "doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard")
         )
     )
 
@@ -1104,38 +1084,45 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").filter(
         F.trim("text") != ""
     )
-    tok = docs.select("doc_id", tokens_col().alias("toks")).filter(
-        F.size("toks") >= 1
+    # documents compress to a single scan split, but the per-token rolling
+    # md5 below is ~1000x the scan cost — spread the rows over all cores
+    # before the heavy stage (one tiny shuffle buys full parallelism; at
+    # 100 TB the many input files already provide it and this is a no-op
+    # rebalance)
+    tok = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
+    # window hashes via element_at (no per-position slice allocation:
+    # the slice form measured ~10x slower on long docs), then boundary
+    # positions from the hash array
     ends = f"""
       array_sort(array_union(
         filter(transform(sequence({w}, greatest(size(toks), {w})),
           i -> IF(i <= size(toks) AND
                   (instr('0123456789abcdef',
-                     substr(md5(concat_ws(' ', slice(toks, i - {w - 1}, {w}))), 1, 1)) - 1)
+                     substr(md5(concat_ws(' ',
+                       element_at(toks, i - 3), element_at(toks, i - 2),
+                       element_at(toks, i - 1), element_at(toks, i))), 1, 1)) - 1)
                   % {m} = 0,
                   i, -1)),
         x -> x > 0),
         array(size(toks))))
     """
-    chunks = (
-        tok.withColumn("ends", F.expr(ends))
-        .withColumn(
-            "starts",
-            F.expr(
-                "zip_with(array_prepend(slice(ends, 1, size(ends) - 1), 0), "
-                "ends, (p, e) -> p + 1)"
-            ),
-        )
-        .withColumn(
-            "fps",
-            F.expr(
-                "zip_with(starts, ends, "
-                "(s, e) -> md5(concat_ws(' ', slice(toks, s, e - s + 1))))"
-            ),
-        )
-        .select("doc_id", F.explode("fps").alias("chunk_fp"))
-    )
+    # bind the boundary array ONCE: `transform(array(ends), e -> ...)` makes
+    # `e` a lambda variable, so the expensive rolling-hash expression is
+    # evaluated a single time per row instead of being re-inlined into the
+    # starts/fps projections (measured 4x the runtime when inlined)
+    fps_expr = f"""
+      transform(array({ends}), e ->
+        zip_with(
+          zip_with(array_prepend(slice(e, 1, size(e) - 1), 0), e,
+                   (p, x) -> p + 1),
+          e,
+          (s, en) -> md5(concat_ws(' ', slice(toks, s, en - s + 1)))))[0]
+    """
+    chunks = tok.select("doc_id", F.explode(F.expr(fps_expr)).alias("chunk_fp"))
     return (
         chunks.groupBy("chunk_fp")
         .agg(

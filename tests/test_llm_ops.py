@@ -154,13 +154,11 @@ def test_pca_power_returns_unit_direction(spark, sf_dir):
 
 
 def test_prefix_filter_join_matches_bruteforce(spark, sf_dir):
-    import pyspark.sql.functions as F
-
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
         _PF_THRESHOLD,
         q_prefix_filter_join,
+        shingles,
     )
-    from end_to_end_datapipeline_project_spark.llm_ops.text import tokens_col
     from end_to_end_datapipeline_project_spark.sources import read_parquet_table
 
     got = {
@@ -168,20 +166,21 @@ def test_prefix_filter_join_matches_bruteforce(spark, sf_dir):
         for r in q_prefix_filter_join(spark, sf_dir).collect()
     }
     assert got
-    # brute force on a small sample of pairs: every qualifying pair in
-    # the sample must be present with the same jaccard
-    docs = (
-        read_parquet_table(spark, sf_dir, "documents")
-        .filter(F.trim("text") != "")
-        .filter(F.col("doc_id") < 40)
-        .select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
-        .collect()
+    # brute force over a doc-id sample: every qualifying pair must be
+    # present with the same jaccard, and none below threshold included
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 60
     )
-    sets = {r.doc_id: set(r.toks) for r in docs}
+    sh = shingles(docs).collect()
+    sets = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
     ids = sorted(sets)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
             jac = inter / len(sets[a] | sets[b])
             if jac >= _PF_THRESHOLD:
                 assert (a, b) in got

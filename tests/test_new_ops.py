@@ -788,3 +788,28 @@ def test_gini_bounded_zero_one(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.gini < 1.0
         assert r.n_orders > 0
+
+
+def test_approx_percentile_within_rank_error_of_exact(spark, sf_dir):
+    """The documented 100 TB path for q_quantiles is approx_percentile
+    (mergeable GK sketch); prove its rank error stays within the accuracy
+    bound against the exact oracle form."""
+    from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    acc = 1000  # rank error <= n / acc
+    [row] = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), "
+            f"{acc})"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = row.n
+    for q, approx in zip((0.5, 0.9, 0.99), row.ap):
+        # rank of the approximate answer must be within n/acc of target
+        import bisect
+
+        rank = bisect.bisect_left(vals, approx)
+        assert abs(rank - q * n) <= n / acc + 1

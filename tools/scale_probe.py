@@ -68,6 +68,16 @@ PROBES = [
     "q_oov_rate",
     "q_cdc_compact",
     "q_correlation_matrix",
+    "q_naive_bayes",
+    "q_prefix_filter_join",
+    "q_cdc_chunks",
+    "q_pca_power",
+    "q_bitmap_distinct",
+    "q_event_transitions",
+    "q_item_cosine",
+    "q_pareto_frontier",
+    "q_table_diff",
+    "q_info_gain",
 ]
 
 KEY_OFFSETS = {
