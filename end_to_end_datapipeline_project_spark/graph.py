@@ -80,18 +80,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outdeg annotation derive from it with a union + broadcast join —
     # zero extra shuffles — so the materialized footprint is 4x smaller
     # than checkpointing the annotated directed list
+    # pairs distinct on ONE packed long (src << 32 | dst) instead of a
+    # two-long struct: ~40% less shuffle payload through the dedup
+    # exchange (valid while supplier keys < 2^31, which holds at any
+    # TPC-H scale factor; partkey-sized graphs keep the struct form)
     half = (
         sets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ss, (x, i) -> "
                     "transform(slice(ss, i + 2, size(ss)), "
-                    "y -> struct(x AS src, y AS dst))))"
+                    "y -> x * 4294967296 + y)))"
                 )
-            ).alias("p")
+            ).alias("e")
         )
-        .select("p.src", "p.dst")
         .distinct()
+        .select(
+            F.expr("e DIV 4294967296").alias("src"),
+            F.expr("e % 4294967296").alias("dst"),
+        )
         .localCheckpoint()
     )
     edges = half.unionAll(
