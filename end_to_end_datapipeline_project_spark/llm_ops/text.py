@@ -1057,9 +1057,8 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_naive_bayes",
-    f"""
+#: shared WITH-prelude: train NB, score every doc, rank classes per doc
+_NB_WITH = f"""
   WITH __tok AS (
     SELECT doc_id, source, unnest({TOKENS_SQL}) AS token
     FROM documents WHERE trim(text) <> ''
@@ -1095,7 +1094,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY score DESC, c) AS rn
     FROM __scores
-  )
+  )"""
+
+
+@register(
+    "q_naive_bayes",
+    f"""
+  {_NB_WITH}
   SELECT true_source, pred_source, count(*) AS n_docs
   FROM __pred WHERE rn = 1
   GROUP BY 1, 2
@@ -1252,4 +1257,82 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.crossJoin(F.broadcast(v))
         .select(F.explode(arr).alias("p"))
         .select("p.metric", "p.value")
+    )
+
+
+@register(
+    "q_classifier_metrics",
+    f"""
+  {_NB_WITH},
+  __cm AS (
+    SELECT true_source, pred_source, count(*) AS n
+    FROM __pred WHERE rn = 1 GROUP BY 1, 2
+  ),
+  __classes2 AS (
+    SELECT DISTINCT true_source AS class FROM __cm
+  ),
+  __per AS (
+    SELECT c.class,
+           coalesce((SELECT CAST(sum(n) AS BIGINT) FROM __cm
+                     WHERE true_source = c.class AND pred_source = c.class),
+                    0) AS tp,
+           coalesce((SELECT CAST(sum(n) AS BIGINT) FROM __cm
+                     WHERE pred_source = c.class), 0) AS n_pred,
+           coalesce((SELECT CAST(sum(n) AS BIGINT) FROM __cm
+                     WHERE true_source = c.class), 0) AS n_true
+    FROM __classes2 c
+  )
+  SELECT class, tp, n_pred, n_true,
+         round(coalesce(CAST(tp AS DOUBLE) / nullif(n_pred, 0), 0.0), 6)
+           AS precision,
+         round(coalesce(CAST(tp AS DOUBLE) / nullif(n_true, 0), 0.0), 6)
+           AS recall,
+         round(coalesce(2.0 * tp / nullif(n_pred + n_true, 0), 0.0), 6)
+           AS f1
+  FROM __per
+""",
+    doc="Per-class precision / recall / F1 from the Naive Bayes "
+    "confusion matrix — the eval readout that closes the train → "
+    "classify → evaluate loop (F1 = 2·TP/(pred+true) is the "
+    "harmonic-mean identity, division NULL-guarded for empty "
+    "classes). Pure arithmetic over the k×k matrix: the expensive "
+    "part is the shared scoring plan, the metrics layer costs "
+    "nothing at any scale.",
+)
+def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cm = q_naive_bayes(spark, sf_dir)
+    tp = cm.filter(F.col("true_source") == F.col("pred_source")).select(
+        F.col("true_source").alias("class"), F.col("n_docs").alias("tp")
+    )
+    n_pred = cm.groupBy(F.col("pred_source").alias("class")).agg(
+        F.sum("n_docs").alias("n_pred")
+    )
+    n_true = cm.groupBy(F.col("true_source").alias("class")).agg(
+        F.sum("n_docs").alias("n_true")
+    )
+    out = (
+        n_true.join(n_pred, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        F.col("n_pred"), F.lit(0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(F.col("n_true"), F.lit(0))
+    f1 = 2.0 * F.col("tp") / F.nullif(
+        F.col("n_pred") + F.col("n_true"), F.lit(0)
+    )
+    return out.select(
+        "class",
+        "tp",
+        "n_pred",
+        "n_true",
+        F.round(F.coalesce(prec, F.lit(0.0)), 6).alias("precision"),
+        F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("recall"),
+        F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("f1"),
     )

@@ -813,3 +813,22 @@ def test_approx_percentile_within_rank_error_of_exact(spark, sf_dir):
 
         rank = bisect.bisect_left(vals, approx)
         assert abs(rank - q * n) <= n / acc + 1
+
+
+def test_classifier_metrics_consistent_with_confusion_matrix(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.text import (
+        q_classifier_metrics,
+        q_naive_bayes,
+    )
+
+    rows = {r["class"]: r for r in q_classifier_metrics(spark, sf_dir).collect()}
+    cm = q_naive_bayes(spark, sf_dir).collect()
+    n_docs = sum(r.n_docs for r in cm)
+    assert sum(r.n_true for r in rows.values()) == n_docs
+    assert sum(r.n_pred for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert 0.0 <= r.precision <= 1.0
+        assert 0.0 <= r.recall <= 1.0
+        assert min(r.precision, r.recall) - 1e-6 <= r.f1 <= max(
+            r.precision, r.recall
+        ) + 1e-6
