@@ -127,7 +127,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   SELECT lang,
          count(*) AS n_docs,
-         sum(n_chars) AS sum_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          count(DISTINCT md5(text)) AS n_distinct_sigs
   FROM documents
   GROUP BY lang

@@ -310,7 +310,7 @@ PACK_BUDGET = 2048
   )
   SELECT CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS bin,
          count(*) AS n_docs,
-         sum(n_tokens) AS tokens_in_bin,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_in_bin,
          min(doc_id) AS first_doc,
          max(doc_id) AS last_doc
   FROM __cum
@@ -388,8 +388,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT d.lang,
          count(*) AS n_docs,
-         sum(CASE WHEN d.n_chars >= t.lo AND d.n_chars <= t.hi
-                  THEN 1 ELSE 0 END) AS n_kept,
+         CAST(sum(CASE WHEN d.n_chars >= t.lo AND d.n_chars <= t.hi
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          min(t.lo) AS lo,
          min(t.hi) AS hi
   FROM documents d JOIN th t ON d.lang = t.lang
@@ -432,7 +432,8 @@ def q_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_source_mix",
     """
   WITH s AS (
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM documents GROUP BY source
   )
   SELECT source, n_docs, n_chars,

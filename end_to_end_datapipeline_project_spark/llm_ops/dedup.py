@@ -748,7 +748,7 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT doc_id,
          count(*) AS n_chunks,
-         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          round(sum(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
            AS retention
   FROM ranked
@@ -816,7 +816,8 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT b.source,
          count(*) AS n_batch,
          count(base.f) AS n_dup_vs_base,
-         sum(CASE WHEN base.f IS NULL THEN 1 ELSE 0 END) AS n_novel
+         CAST(sum(CASE WHEN base.f IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
   FROM batch b LEFT JOIN base ON b.f = base.f
   GROUP BY b.source
 """,
@@ -895,7 +896,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          count(*) AS n_docs,
          min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
          min(CASE WHEN rn = 1 THEN n_tokens END) AS canonical_tokens,
-         sum(n_tokens) AS total_tokens
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
   FROM __ranked
   GROUP BY cluster_id
 """,

@@ -355,8 +355,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT lang, source,
          count(*) AS n_docs,
-         sum(n_tokens) AS total_tokens,
-         sum(n_chars_raw) AS total_chars
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars_raw) AS BIGINT) AS total_chars
   FROM __deduped GROUP BY lang, source
 """,
     doc="End-to-end training-data prep composite: language filter → "
@@ -820,7 +820,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, sum(n) AS tot, count(*) AS vocab FROM c GROUP BY source
   )
   SELECT c.source,
-         min(t.tot) AS n_tokens,
+         CAST(min(t.tot) AS BIGINT) AS n_tokens,
          min(t.vocab) AS vocab_size,
          CAST(SUM(CAST(round(-(CAST(c.n AS DOUBLE) / t.tot)
                              * ln(CAST(c.n AS DOUBLE) / t.tot), 9)
@@ -939,7 +939,8 @@ _OOV_VOCAB_K = 20
   )
   SELECT t.doc_id,
          count(*) AS n_tokens,
-         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
          round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                / count(*), 6) AS oov_rate
   FROM __tok t

@@ -473,9 +473,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
   ),
   __sess AS (
     SELECT *,
-      sum(new_session) OVER (
+      CAST(sum(new_session) OVER (
         PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_id
     FROM __flag
   )
   SELECT user_id, session_id,
@@ -528,27 +529,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM orders
   UNION ALL
   SELECT 'orders_totalprice_nonneg', count(*),
-         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'orders_status_domain', count(*),
-         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                  THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'lineitem_qty_range', count(*),
-         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-                  THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
   UNION ALL
   SELECT 'lineitem_discount_cap', count(*),
-         sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem
   UNION ALL
   SELECT 'lineitem_fk_orders', count(*),
-         sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
                                    WHERE o.o_orderkey = l.l_orderkey)
-                  THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem l
 """,
     doc="Declarative DQ expectation suite (generalizes the reference's "
@@ -612,9 +613,9 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
   ),
   swept AS (
     SELECT CAST(t AS DATE) AS day,
-           sum(delta) OVER (ORDER BY t, delta
+           CAST(sum(delta) OVER (ORDER BY t, delta
                             ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS conc
+                            AND CURRENT ROW) AS BIGINT) AS conc
     FROM pts
   )
   SELECT day, max(conc) AS max_concurrent

@@ -1806,10 +1806,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
               THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-         SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END) AS high_line_count,
-         SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END) AS low_line_count
+         CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
   FROM orders o
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
   WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

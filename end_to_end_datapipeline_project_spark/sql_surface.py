@@ -76,7 +76,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   SELECT event_type,
          count(*) AS n,
-         sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
          count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
   FROM events
   GROUP BY event_type

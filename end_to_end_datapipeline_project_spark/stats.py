@@ -456,7 +456,8 @@ _DRIFT_BIN = "CAST(floor(value / 20) AS BIGINT)"
          round(sum(CASE WHEN p > 0 AND q > 0
                         THEN p * ln(p / q) ELSE 0 END), 6) AS kl_ref_cur,
          count(*) AS n_bins,
-         sum(CASE WHEN p = 0 OR q = 0 THEN 1 ELSE 0 END) AS disjoint_bins
+         CAST(sum(CASE WHEN p = 0 OR q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS disjoint_bins
   FROM __p GROUP BY event_type
 """,
     doc="Distribution-drift monitor: split the stream at its time "
@@ -752,8 +753,8 @@ def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT d.event_type,
          count(*) AS n,
-         sum(CASE WHEN d.adev > 3.0 * 1.4826 * md.mad
-                  THEN 1 ELSE 0 END) AS n_outliers,
+         CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * md.mad
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
          round(min(d.med), 6) AS median,
          round(min(md.mad), 6) AS mad
   FROM d JOIN md ON d.event_type = md.event_type

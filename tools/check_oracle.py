@@ -49,6 +49,20 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+# the driver's hasher distinguishes Arrow types, not just values: a bare
+# integer SUM() in DuckDB yields HUGEINT (decimal128(38,0)) while Spark
+# yields BIGINT, and the two hash differently even when every value is
+# equal.  Lint every oracle result schema for types Spark can never
+# produce so the mismatch is caught locally before the driver sees it.
+def type_lint(arrow_schema) -> list:
+    bad = []
+    for f in arrow_schema:
+        t = str(f.type).lower()
+        if "hugeint" in t or "decimal128(38, 0)" in t or "decimal256" in t:
+            bad.append((f.name, str(f.type)))
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,13 +99,22 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = res.arrow()
+            dcols = atbl.column_names
+            drows = [
+                tuple(atbl.column(i)[j].as_py() for i in range(atbl.num_columns))
+                for j in range(atbl.num_rows)
+            ]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             n_fail += 1
             continue
         problems = []
+        bad_types = type_lint(atbl.schema)
+        if bad_types:
+            problems.append(
+                f"oracle result types Spark can't produce (CAST them): {bad_types}"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
