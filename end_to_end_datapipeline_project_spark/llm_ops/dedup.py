@@ -949,7 +949,13 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- prefix-filtered exact set-similarity join (AllPairs/PPJoin) ----------
 
-_PF_THRESHOLD = 0.8
+# threshold as an exact rational: double(t)*sz can round ABOVE the true
+# product for thresholds whose binary expansion exceeds t (e.g. 0.55),
+# making ceil() overshoot and the prefix one shingle too short — silently
+# breaking the lossless guarantee.  ceil(t*sz) over positive ints is
+# exactly (NUM*sz + DEN - 1) div DEN.
+_PF_T_NUM, _PF_T_DEN = 4, 5
+_PF_THRESHOLD = _PF_T_NUM / _PF_T_DEN  # 0.8
 
 
 @register(
@@ -995,7 +1001,10 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sz), "doc_id")
     )
     prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(t * F.col("sz")) + 1
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(f"(({_PF_T_NUM} * sz + {_PF_T_DEN - 1}) div {_PF_T_DEN})")
+        + 1
     ).select("doc_id", "shingle")
     cand = (
         prefix.alias("a")
@@ -1097,15 +1106,18 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # window hashes via element_at (no per-position slice allocation:
     # the slice form measured ~10x slower on long docs), then boundary
-    # positions from the hash array
+    # positions from the hash array.  The element_at offsets are derived
+    # from the window constant so changing _CDC_WIN keeps the Spark and
+    # DuckDB sides in lockstep.
+    win_elems = ", ".join(
+        f"element_at(toks, i - {k})" for k in range(w - 1, -1, -1)
+    )
     ends = f"""
       array_sort(array_union(
         filter(transform(sequence({w}, greatest(size(toks), {w})),
           i -> IF(i <= size(toks) AND
                   (instr('0123456789abcdef',
-                     substr(md5(concat_ws(' ',
-                       element_at(toks, i - 3), element_at(toks, i - 2),
-                       element_at(toks, i - 1), element_at(toks, i))), 1, 1)) - 1)
+                     substr(md5(concat_ws(' ', {win_elems})), 1, 1)) - 1)
                   % {m} = 0,
                   i, -1)),
         x -> x > 0),

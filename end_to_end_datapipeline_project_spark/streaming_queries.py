@@ -405,23 +405,33 @@ def _events_stream_with_flush(
     advance the watermark past all real data and then evict with it,
     exactly what a production stream's continuing traffic does.
     """
+    import hashlib
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     import datetime
 
-    stage = (
-        f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
-        f"/events_flush_{tag}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # cache key = absolute source dir + current table schema: two datasets
+    # sharing a basename must not reuse each other's stage, and a schema
+    # change in events.parquet must invalidate previously staged sentinels
+    cache_key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + schema.json()).encode()
+    ).hexdigest()[:16]
+    stage = f"/tmp/spark_graft_stream/{cache_key}/events_flush_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if os.path.islink(link) and os.readlink(link) != (
+        f"{sf_dir}/events.parquet"
+    ):
+        shutil.rmtree(stage)
+        os.makedirs(stage, exist_ok=True)
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
     ts_type = dict(
         zip(schema.names, [f.dataType.typeName() for f in schema.fields])
     ).get("ts")
