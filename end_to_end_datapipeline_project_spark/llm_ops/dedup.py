@@ -512,6 +512,11 @@ FUZZY_PREFIX = 24
 FUZZY_BLOCK = 8
 FUZZY_MAX_DIST = 6
 FUZZY_BLOCK_CAP = 64
+#: hard per-record output bound: each doc_a emits at most this many
+#: partners (edit_dist asc, doc_b asc) — under shared boilerplate the
+#: QUALIFYING pairs themselves grow ~quadratically inside a block even
+#: with the block cap, so worst-case output is K·n, not Σ block² / 2
+FUZZY_TOPK = 8
 
 
 @register(
@@ -535,6 +540,9 @@ FUZZY_BLOCK_CAP = 64
   FROM __capped a JOIN __capped b
     ON a.block = b.block AND a.doc_id < b.doc_id
   WHERE levenshtein(a.probe, b.probe) <= {FUZZY_MAX_DIST}
+  QUALIFY row_number() OVER (PARTITION BY a.doc_id
+                             ORDER BY levenshtein(a.probe, b.probe),
+                                      b.doc_id) <= {FUZZY_TOPK}
 """,
     doc="Blocked fuzzy matching (record linkage): candidate pairs share a "
     f"compound block key — {FUZZY_BLOCK}-char prefix PLUS a length bucket "
@@ -546,7 +554,10 @@ FUZZY_BLOCK_CAP = 64
     f"{FUZZY_BLOCK_CAP} are dropped outright (standard record-linkage "
     "practice: an oversized block means the key carries no signal there; "
     "a complementary pass — q_sorted_neighborhood — covers its recall). "
-    "The cap makes worst-case candidate count linear in corpus size. "
+    "The cap makes worst-case candidate count linear in corpus size, and "
+    f"top-{FUZZY_TOPK} emission per doc (edit_dist asc, doc_b asc) bounds "
+    "the OUTPUT linearly too — qualifying pairs inside a boilerplate "
+    "block otherwise grow quadratically even with capped blocks. "
     "Edit distance ≤ 6 implies length difference ≤ 6, so a 16-wide "
     "bucket only misses pairs spanning a boundary.",
 )
@@ -578,7 +589,15 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("edit_dist"),
     )
-    return pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    # top-K emission bounds worst-case output at K·n even when qualifying
+    # pairs explode quadratically inside a boilerplate block
+    w_k = Window.partitionBy("doc_a").orderBy("edit_dist", "doc_b")
+    return (
+        pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .withColumn("__rk", F.row_number().over(w_k))
+        .filter(F.col("__rk") <= FUZZY_TOPK)
+        .drop("__rk")
+    )
 
 
 SN_WINDOW = 8
@@ -956,6 +975,11 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly (NUM*sz + DEN - 1) div DEN.
 _PF_T_NUM, _PF_T_DEN = 4, 5
 _PF_THRESHOLD = _PF_T_NUM / _PF_T_DEN  # 0.8
+#: hard per-record output bound: qualifying pairs grow quadratically
+#: inside similarity cliques (the ×10 probe measured 256 → 248,600 pairs
+#: on replicated data), so each doc_a emits only its top-K partners
+#: (jaccard desc, doc_b asc) — worst-case output K·n
+_PF_TOPK = 10
 
 
 @register(
@@ -965,15 +989,20 @@ _PF_THRESHOLD = _PF_T_NUM / _PF_T_DEN  # 0.8
   {JACCARD_VERIFY_SQL}
   SELECT doc_a, doc_b, shared, round(jaccard, 6) AS jaccard
   FROM __jac WHERE jaccard >= {_PF_THRESHOLD}
+  QUALIFY row_number() OVER (PARTITION BY doc_a
+                             ORDER BY jaccard DESC, doc_b) <= {_PF_TOPK}
 """,
     doc=f"EXACT set-similarity self-join (shingle-set Jaccard >= "
     f"{_PF_THRESHOLD}) via prefix filtering: shingles are globally "
     "ranked rarest-first, each doc indexes only its first "
     "|x|-ceil(t|x|)+1 rarest shingles (if J(x,y) >= t then overlap >= "
     "t*|x|, so similar pairs MUST collide inside the prefix), and "
-    "candidates are verified with a full-overlap count. The oracle is "
-    "the brute-force all-shared-shingles join - hash-matching it "
-    "proves the pruning loses nothing. At 100 TB the prefix index is "
+    "candidates are verified with a full-overlap count, and each doc "
+    f"emits only its top-{_PF_TOPK} partners (jaccard desc, doc_b asc) "
+    "so worst-case output is K*n even inside similarity cliques. The "
+    "oracle is the brute-force all-shared-shingles join with the same "
+    "top-K rule - hash-matching it proves the pruning loses nothing. "
+    "At 100 TB the prefix index is "
     "the difference between joining every posting list and joining "
     "only the rare tail (AllPairs / PPJoin); shingles (not unigrams) "
     "keep the token universe large enough for the prefix to select.",
@@ -1030,12 +1059,19 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
+    w_k = Window.partitionBy("doc_a").orderBy(F.desc("jacc"), "doc_b")
     return (
         overlap.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= t)
+        .withColumn("jacc", jac)
+        .filter(F.col("jacc") >= t)
+        .withColumn("__rk", F.row_number().over(w_k))
+        .filter(F.col("__rk") <= _PF_TOPK)
         .select(
-            "doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard")
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("jacc"), 6).alias("jaccard"),
         )
     )
 

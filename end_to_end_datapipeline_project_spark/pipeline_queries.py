@@ -392,6 +392,172 @@ def q_drilldown_top_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_chart_top10_costs",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  {REPORT_SQL},
+  __top10 AS (
+    SELECT event_type, total_cost_pln FROM __report2
+    ORDER BY total_cost_pln DESC, event_type LIMIT 10
+  )
+  SELECT row_number() OVER (ORDER BY total_cost_pln ASC, event_type DESC)
+           AS bar_pos,
+         event_type AS line,
+         total_cost_pln
+  FROM __top10
+""",
+    doc="Chart-data contract for the S11 matplotlib top-10 bar chart "
+    "(reference main.py:86-98): the EXACT frame the chart consumes — "
+    "top-10 lines by total fuel cost, re-ranked ascending for display "
+    "(the reference's sort_values(ascending=True)). bar_pos is the "
+    "bar's x position; matplotlib/seaborn are absent in this container "
+    "so the contract, not the pixels, is the testable surface. "
+    "Top-10 via TakeOrderedAndProject; the display re-rank windows "
+    "over 10 rows only.",
+)
+def q_chart_top10_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = events_report(spark, sf_dir)
+    top10 = (
+        rep.select("event_type", "total_cost_pln")
+        .orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.asc("total_cost_pln"), F.desc("event_type"))
+    return top10.select(
+        F.row_number().over(w).alias("bar_pos"),
+        F.col("event_type").alias("line"),
+        "total_cost_pln",
+    )
+
+
+@register(
+    "q_route_map_path",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  {REPORT_SQL},
+  __top_line AS (
+    SELECT event_type FROM __report2
+    ORDER BY total_cost_pln DESC, event_type LIMIT 1
+  ),
+  __line_src AS (
+    SELECT d.* FROM __dedup d
+    WHERE d.event_type IN (SELECT event_type FROM __top_line)
+  ),
+  __l2 AS (
+    SELECT *,
+      lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
+      lag(ts) OVER w AS p_time
+    FROM __line_src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ),
+  __l3 AS (
+    SELECT *,
+      coalesce({haversine_sql("p_lat", "p_lon", "lat", "lon")}, 0.0) AS dist_km,
+      CAST(floor(epoch(ts)) AS BIGINT)
+        - CAST(floor(epoch(p_time)) AS BIGINT) AS diff_time_sec
+    FROM __l2
+  ),
+  __l4 AS (
+    SELECT *,
+      CASE WHEN diff_time_sec > 0
+           THEN dist_km / diff_time_sec * 3600.0
+           ELSE 0.0 END AS speed_kmh
+    FROM __l3
+  ),
+  __l5 AS (SELECT * FROM __l4 WHERE speed_kmh <= 70.0),
+  __per_vehicle AS (
+    SELECT user_id, {dsum("dist_km")} AS total_v_dist
+    FROM __l5 GROUP BY user_id
+  ),
+  __top_vehicle AS (
+    SELECT user_id FROM __per_vehicle
+    ORDER BY total_v_dist DESC, user_id LIMIT 1
+  ),
+  __pts AS (
+    SELECT ts, event_id, lat, lon FROM __l5
+    WHERE user_id IN (SELECT user_id FROM __top_vehicle)
+  ),
+  __path AS (
+    SELECT *,
+      row_number() OVER (ORDER BY ts, event_id) AS seq,
+      count(*) OVER () AS n_pts,
+      CAST(SUM(CAST(lat AS DECIMAL(30,6))) OVER () AS DOUBLE)
+        / count(*) OVER () AS c_lat,
+      CAST(SUM(CAST(lon AS DECIMAL(30,6))) OVER () AS DOUBLE)
+        / count(*) OVER () AS c_lon
+    FROM __pts
+  )
+  SELECT seq,
+         round(lat, 6) AS lat,
+         round(lon, 6) AS lon,
+         CASE WHEN seq = 1 THEN 1 ELSE 0 END AS is_start,
+         CASE WHEN seq = n_pts THEN 1 ELSE 0 END AS is_end,
+         round(c_lat, 6) AS center_lat,
+         round(c_lon, 6) AS center_lon
+  FROM __path
+""",
+    doc="Map-data contract for the S10 folium route map (reference "
+    "mapping.py:9-37): the ordered (lat, lon) PolyLine path of the "
+    "drill-down top vehicle, start/end marker flags, and the "
+    "mean-center the map centers on — everything path_map() consumes, "
+    "testable without folium. Path order is (ts, event_id); the seq "
+    "window runs over one vehicle's handful of points, and the center "
+    "is a decimal-exact mean so Spark and DuckDB agree bit-for-bit.",
+)
+def q_route_map_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleansed = events_cleansed(spark, sf_dir)
+    report = events_report(spark, sf_dir)
+    top_line = (
+        report.orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
+        .limit(1)
+        .select("event_type")
+    )
+    line_rows = cleansed.join(F.broadcast(top_line), "event_type", "left_semi")
+    enr = enrich(line_rows, EVENTS_TRAJ)
+    per_vehicle = enr.groupBy("user_id").agg(
+        spark_dsum(F.col("dist_km")).alias("total_v_dist")
+    )
+    top_vehicle = (
+        per_vehicle.orderBy(F.desc("total_v_dist"), F.asc("user_id"))
+        .limit(1)
+        .select("user_id")
+    )
+    pts = enr.join(F.broadcast(top_vehicle), "user_id", "left_semi").select(
+        "ts", "event_id", "lat", "lon"
+    )
+    w_all = Window.partitionBy()
+    pathed = pts.select(
+        "lat",
+        "lon",
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("seq"),
+        F.count(F.lit(1)).over(w_all).alias("n_pts"),
+        (
+            F.sum(F.col("lat").cast("decimal(30,6)")).over(w_all)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("c_lat"),
+        (
+            F.sum(F.col("lon").cast("decimal(30,6)")).over(w_all)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("c_lon"),
+    )
+    return pathed.select(
+        "seq",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.when(F.col("seq") == 1, 1).otherwise(0).alias("is_start"),
+        F.when(F.col("seq") == F.col("n_pts"), 1).otherwise(0).alias("is_end"),
+        F.round("c_lat", 6).alias("center_lat"),
+        F.round("c_lon", 6).alias("center_lon"),
+    )
+
+
+@register(
     "q_haversine",
     f"""
   WITH __typed AS ({TYPED_SQL})

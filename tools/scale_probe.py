@@ -143,6 +143,7 @@ def build(spark, k: int) -> str:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    subset = sys.argv[2:]  # subset run: print ratios, keep SCALING.md intact
     _load()
     spark = get_spark("scale-probe")
     big_dir = build(spark, k)
@@ -169,7 +170,7 @@ def main() -> None:
         "| query | sf0.1 (s) | ×%d (s) | ratio (ideal ≈%d) |" % (k, k),
         "|---|---|---|---|",
     ]
-    for name in PROBES:
+    for name in subset or PROBES:
         t_small = min(run(name, BASE_SF) for _ in range(2))
         t_big = min(run(name, big_dir) for _ in range(2))
         ratio = t_big / t_small if t_small > 0 else float("inf")
@@ -178,6 +179,9 @@ def main() -> None:
             f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f}× {note}|"
         )
         print(lines[-1], flush=True)
+    if subset:
+        print("(subset run: SCALING.md not rewritten)")
+        return
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("SCALING.md written")
