@@ -523,6 +523,9 @@ _PCA_COORDS_SQL = """
     SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS xd
     FROM embeddings
+  ),
+  __pvecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   )"""
 
 
@@ -531,10 +534,10 @@ def _pca_iter_sql(prev: str, out: str) -> str:
 
     return f"""
   {out}_s AS (
-    SELECT c.vec_id,
-           round({dsum("c.xd * v.val")}, 6) AS s
-    FROM __coords c JOIN {prev} v ON v.dim = c.dim
-    GROUP BY c.vec_id
+    SELECT vec_id,
+           round(list_dot_product(
+             v, (SELECT list(val ORDER BY dim) FROM {prev})), 6) AS s
+    FROM __pvecs
   ),
   {out}_u AS (
     SELECT c.dim, {dsum("s.s * c.xd")} AS u
@@ -565,43 +568,59 @@ def _pca_iter_sql(prev: str, out: str) -> str:
     doc=f"First principal direction of the raw (uncentered) embedding "
     f"second-moment matrix via {_PCA_ITERS} distributed power "
     "iterations — WITHOUT ever materializing the d×d covariance: each "
-    "iteration is v ← normalize(Σᵢ (xᵢ·v)·xᵢ), i.e. one broadcast "
-    "join for the per-vector projections and one dim-keyed shuffle "
-    "for the weighted recombination (the classic allreduce shape, "
-    "same as q_logreg_grad). Projections and component sums are "
-    "decimal-quantized so both engines iterate on identical vectors; "
-    "‖u‖ after the last step estimates the top eigenvalue. At 100 TB "
-    "this streams the corpus twice per iteration with O(d) state — "
-    "the covariance matrix (d² floats) never exists anywhere.",
+    "iteration is v ← normalize(Σᵢ (xᵢ·v)·xᵢ) as ONE scan of the "
+    "cached vectors — the projection s = x·v is computed map-side "
+    "from a driver-held literal array (O(d) scalars between "
+    "iterations, the kmeans-centroid pattern), and the weighted "
+    "recombination is a dim-keyed aggregate whose partial-agged "
+    "shuffle carries only partitions × d rows (the classic allreduce "
+    "shape, same as q_logreg_grad). Projections are rounded left-fold "
+    "double dot products (the cosine queries' parity pattern) and "
+    "component sums are decimal-quantized, so both engines iterate on "
+    "identical vectors; ‖u‖ after the last step estimates the top "
+    "eigenvalue. "
+    "At 100 TB this streams the corpus once per iteration with O(d) "
+    "driver state — the covariance matrix (d² floats) never exists "
+    "anywhere.",
 )
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import spark_dsum
 
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
-    coords = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
-    ).select(
-        "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        F.col("xf").cast("double").alias("xd"),
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    v = coords.select("dim").distinct().withColumn("val", F.lit(0.125))
-    for _ in range(_PCA_ITERS):
-        s = (
-            coords.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.round(spark_dsum(F.col("xd") * F.col("val")), 6).alias("s"))
-        )
+    d = emb.select(F.max(F.size("x"))).first()[0]
+    # v lives in the DRIVER between iterations (O(d) scalars — the same
+    # loop-control budget as the kmeans centroid collect): each iteration
+    # is then ONE scan of the cached vectors with the projection s = x·v
+    # computed map-side from a literal array, and one dim-keyed aggregate
+    # whose shuffle carries only num_partitions × d partial rows.  The
+    # previous form joined the exploded n·d coords table against the n
+    # projections every iteration — a full n·d shuffle per step that the
+    # ×10 probe flagged at 3.4×.
+    emb = emb.persist()
+    v_vals = [0.125] * d
+    v_df = None
+    for it in range(_PCA_ITERS):
+        v_lit = F.array(*[F.lit(float(val)) for val in v_vals])
+        # s = round(x·v, 6) as the same left-fold double dot product the
+        # cosine queries use (zip_with + aggregate ≡ DuckDB
+        # list_dot_product, bit-for-bit) — codegen doubles, no per-element
+        # interpreted decimal arithmetic in the hot path
+        s_col = F.round(dot(F.col("x"), v_lit), 6)
         u = (
-            coords.join(s, "vec_id")
-            .groupBy("dim")
+            emb.select(s_col.alias("s"), F.posexplode("x").alias("dim0", "xd"))
+            .groupBy((F.col("dim0") + 1).alias("dim"))
             .agg(spark_dsum(F.col("s") * F.col("xd")).alias("u"))
         )
         nrm = u.agg(F.sqrt(spark_dsum(F.col("u") * F.col("u"))).alias("nrm"))
-        v = u.crossJoin(F.broadcast(nrm)).select(
+        v_df = u.crossJoin(F.broadcast(nrm)).select(
             "dim", F.round(F.col("u") / F.col("nrm"), 6).alias("val"), "nrm"
         )
-    return v.select(
+        if it + 1 < _PCA_ITERS:  # the last v is returned, not re-broadcast
+            v_vals_rows = {r["dim"]: r["val"] for r in v_df.collect()}
+            v_vals = [v_vals_rows[i + 1] for i in range(d)]
+    return v_df.select(
         "dim",
         F.col("val").alias("pc1_component"),
         F.round("nrm", 6).alias("eigenvalue_est"),

@@ -25,6 +25,18 @@ from .pipeline_queries import TYPED_SQL, events_typed
 from .registry import register
 
 RADIUS_KM = 2.0
+#: per-point output bound: each user_a emits at most this many partners
+#: (dist asc, user_b asc).  Without it the qualifying pairs themselves
+#: grow with the square of cell density (the ×10 probe's replicas land
+#: on identical pseudo-coordinates), so worst-case output is K·n.
+RADIUS_TOPK = 8
+#: per-cell occupancy bound (standard spatial tile cap): only the first
+#: CELL_CAP points of a grid cell (user_id asc) enter pair generation,
+#: making worst-case candidate count 9 · CELL_CAP² · |cells| — without
+#: it candidate pairs grow with the SQUARE of cell density, which no
+#: radius join survives on colliding points.  Deterministic, applied
+#: identically in the oracle, and far above real occupancy at test SFs.
+CELL_CAP = 64
 #: 1 degree latitude = pi * R / 180 km = 111.195 km for R = 6371
 _DLAT = 0.018  # >= 2 km / 111.195 km/deg
 #: longitude degree shrinks with cos(lat); worst case here is lat 52.4
@@ -57,9 +69,17 @@ def last_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:
     """All (a, b) pairs with haversine(a, b) <= radius_km, a < b, via
-    grid-cell candidate generation (no cross join)."""
+    grid-cell candidate generation (no cross join), with a per-cell
+    occupancy cap and per-point top-k emission bounding worst-case
+    candidates and output."""
     cell_y = F.floor(F.col("lat") / _DLAT).cast("long")
     cell_x = F.floor(F.col("lon") / _DLON).cast("long")
+    w_cell = Window.partitionBy(cell_y, cell_x).orderBy("user_id")
+    points = (
+        points.withColumn("__cn", F.row_number().over(w_cell))
+        .filter(F.col("__cn") <= CELL_CAP)
+        .drop("__cn")
+    )
     # side A explodes to its 3x3 neighborhood; side B stays in its cell,
     # so every near pair meets in exactly the B-point's cell
     neighbors = F.array(
@@ -87,11 +107,14 @@ def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:
     dist = haversine_km(
         F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
     )
+    w_k = Window.partitionBy("user_a").orderBy("dist_km", "user_b")
     return (
         a.join(b, ["cy", "cx"])
         .filter(F.col("user_a") < F.col("user_b"))
         .withColumn("dist_km", F.round(dist, 6))
         .filter(F.col("dist_km") <= radius_km)
+        .withColumn("__rk", F.row_number().over(w_k))
+        .filter(F.col("__rk") <= RADIUS_TOPK)
         .select("user_a", "user_b", "dist_km")
     )
 
@@ -99,18 +122,36 @@ def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:
 @register(
     "q_radius_join",
     f"""
-  WITH {_LAST_POS_SQL}
+  WITH {_LAST_POS_SQL},
+  __capped AS (
+    SELECT user_id, lat, lon FROM (
+      SELECT user_id, lat, lon, row_number() OVER (
+        PARTITION BY CAST(floor(lat / {_DLAT}) AS BIGINT),
+                     CAST(floor(lon / {_DLON}) AS BIGINT)
+        ORDER BY user_id) AS __cn
+      FROM __last) WHERE __cn <= {CELL_CAP}
+  )
   SELECT a.user_id AS user_a, b.user_id AS user_b,
          round({haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)
            AS dist_km
-  FROM __last a JOIN __last b ON a.user_id < b.user_id
+  FROM __capped a JOIN __capped b ON a.user_id < b.user_id
   WHERE round({haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")}, 6)
           <= {RADIUS_KM}
+  QUALIFY row_number() OVER (PARTITION BY a.user_id
+                             ORDER BY round({haversine_sql("a.lat", "a.lon",
+                                                           "b.lat", "b.lon")},
+                                            6),
+                                      b.user_id) <= {RADIUS_TOPK}
 """,
     doc="Spatial radius self-join via grid bucketing: cell ids sized to "
     "the radius, 3x3-neighborhood explode on one side, equi-join on "
     "cell, exact haversine only on candidates — O(n * density) instead "
-    "of the oracle's O(n^2) cross join. The filter compares the SAME "
+    f"of the oracle's O(n^2) cross join. Two bounds make it scale-safe "
+    f"on colliding points: a per-cell occupancy cap ({CELL_CAP}, "
+    "user_id asc — the standard spatial tile cap, applied identically "
+    f"in the oracle) bounds CANDIDATES at 9·cap²·|cells|, and top-"
+    f"{RADIUS_TOPK} emission per point (dist asc, user_b asc) bounds "
+    "OUTPUT at K·n. The filter and the rank compare the SAME "
     "round(dist, 6) value that is emitted, so boundary points agree "
     "between engines.",
 )

@@ -128,6 +128,40 @@ def test_salted_join_matches_plain_join(spark, tmp_path):
     assert len(got) == 2
 
 
+def test_salted_join_hot_key_path_matches_plain_join(spark, tmp_path):
+    from end_to_end_datapipeline_project_spark.stats import SALT_HOT_MIN
+
+    # user 0 crosses the heavy-hitter threshold -> actually salted;
+    # user 1 stays cold -> joins unsalted with salt 0
+    n_hot = SALT_HOT_MIN + 50
+    rows = [
+        (i, "2024-01-01 10:00:00", 0, "click", 1.0, "{}")
+        for i in range(n_hot)
+    ] + [
+        (n_hot + i, "2024-01-01 10:00:00", 1, "view", 2.0, "{}")
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(1, 0, "O", 1.0, "2020-01-01 00:00:00", "1-URGENT"),
+         (2, 1, "O", 1.0, "2020-01-01 00:00:00", "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    sf = _stage_tables(spark, tmp_path, events=ev, orders=orders)
+    got = {
+        (r.event_type, r.o_orderpriority): (r.n_pairs, r.sum_value)
+        for r in q_salted_join(spark, sf).collect()
+    }
+    assert got[("click", "1-URGENT")] == (n_hot, float(n_hot))
+    assert got[("view", "2-HIGH")] == (5, 10.0)
+    assert len(got) == 2
+
+
 def test_stats_moments_match_closed_form(spark, tmp_path):
     # value = [1,2,3] for one event_type → mean 2, var 1, stddev 1
     ev = spark.createDataFrame(

@@ -101,8 +101,8 @@ KEY_OFFSETS = {
 #: ~k^2 while input grows k — their wall-clock is output-bound, and
 #: runtime-per-output-row actually improves at x10.
 NOTES = {
-    "q_prefix_filter_join": "(output-bound: qualifying pairs 256 -> 248,600 on replica k-cliques; runtime/pair improves) ",
-    "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques) ",
+    "q_prefix_filter_join": "(output-bound: replica k-cliques make QUALIFYING pairs grow ~x1000; PPJoin length+positional filters cut candidates 11M->1.2M and array-intersect verify replaced the exploded join - x10 wall went 98s -> 33s; remaining growth tracks output) ",
+    "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
 }
 
 
@@ -153,7 +153,15 @@ def main() -> None:
         REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # queries that persist()/localCheckpoint() intermediates pin
+        # executor memory; without cleanup those RDDs survive into the
+        # NEXT query's timing and skew it with GC/spill pressure
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        return dt
 
     # warm both datasets' footers + codegen with one cheap query each
     run("q_pricing_summary", BASE_SF)
