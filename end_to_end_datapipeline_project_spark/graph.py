@@ -62,9 +62,12 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     "hash-agg per iteration — with the edge list (self-join + distinct, "
     "the expensive part) localCheckpointed ONCE and reused by every "
     "iteration; per-message decimal-quantized sums keep each iteration "
-    "bit-identical to the oracle's unrolled-CTE evaluation. At 100 TB "
-    "the edge list is pre-partitioned by dst so iterations shuffle only "
-    "the O(|V|) rank vector, never the O(|E|) edges.",
+    "bit-identical to the oracle's unrolled-CTE evaluation. Iterations "
+    "shuffle only partial-aggregated per-dst message sums (the rank "
+    "vector broadcasts, the edges never re-shuffle); for long-running "
+    "jobs on a real cluster a dst-pre-partitioned edge list amortizes "
+    "further, but at 3 iterations the upfront repartition+materialize "
+    "measured 6× slower than the broadcast form (×10 probe).",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
@@ -111,6 +114,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("outdeg")
     )
+    # NOT pre-partitioned by dst: measured at the ×10 probe, an upfront
+    # repartition("dst") + checkpoint of the annotated edge list costs
+    # more than the per-iteration partial-agg savings it buys (77 s vs
+    # 12 s wall at ×10) — the checkpointed HALF edge list plus a cheap
+    # union/broadcast-join per iteration wins.  On a real cluster where
+    # iterations >> 3, revisit: the dst-partitioned form amortizes.
     contrib = edges.join(F.broadcast(outdeg), "src")
     pr = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(PR_ITERS):
