@@ -703,3 +703,134 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("ivf_neighbor").cast("double") / 5).alias("recall_at_5")
         )
     )
+
+
+# --- random-hyperplane LSH for cosine (SimHash over embeddings) -----------
+
+#: banded OR-amplified signature: _RHP_BANDS bands × _RHP_ROWS sign bits.
+#: A pair is a candidate if ANY band matches — P(candidate) =
+#: 1 - (1 - (1-θ/π)^rows)^bands, steep around the target angle; a single
+#: 16-bit bucket would have (1-θ/π)^16 ≈ 0 recall at θ ≈ 60°.
+_RHP_BANDS = 8
+_RHP_ROWS = 2
+_RHP_DIM = 64
+_RHP_COS_T = 0.45
+
+
+def _rhp_weight(i: int, j: int) -> int:
+    """Deterministic pseudo-random hyperplane component, identical in both
+    engines because it is pure integer arithmetic: ((i*31 + j*17) % 13) - 6
+    gives a zero-centered integer in [-6, 6]."""
+    return ((i * 31 + j * 17) % 13) - 6
+
+
+def _rhp_bit_sql(i: int) -> str:
+    hp = ", ".join(
+        f"CAST({_rhp_weight(i, j)} AS DOUBLE)" for j in range(_RHP_DIM)
+    )
+    return (
+        f"CASE WHEN list_dot_product(v, [{hp}]) >= 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _rhp_bands_sql() -> str:
+    """DuckDB: one (band, sig) struct per band, unnested to rows."""
+    bands = []
+    for b in range(_RHP_BANDS):
+        bits = " || ".join(
+            _rhp_bit_sql(b * _RHP_ROWS + r) for r in range(_RHP_ROWS)
+        )
+        bands.append(f"{{'band': {b}, 'sig': {bits}}}")
+    return f"unnest([{', '.join(bands)}])"
+
+
+@register(
+    "q_ann_hyperplane_lsh",
+    f"""
+  WITH {VECS_SQL},
+  __bands AS (
+    SELECT vec_id, u.band AS band, u.sig AS sig FROM (
+      SELECT vec_id, {_rhp_bands_sql()} AS u FROM __normed)
+  ),
+  __cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM __bands a JOIN __bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+  )
+  SELECT c.vec_a, c.vec_b, round({COS_SQL}, 6) AS cosine
+  FROM __cand c
+  JOIN __normed a ON a.vec_id = c.vec_a
+  JOIN __normed b ON b.vec_id = c.vec_b
+  WHERE {COS_SQL} >= {_RHP_COS_T}
+""",
+    doc="Random-hyperplane LSH (SimHash for cosine), banded OR-"
+    f"amplification: {_RHP_BANDS} bands × {_RHP_ROWS} sign bits from "
+    "deterministic integer hyperplanes; a pair is a candidate when ANY "
+    "band collides, then exact cosine >= "
+    f"{_RHP_COS_T} verifies candidates only — the same "
+    "band/verify architecture as q_minhash_lsh, transplanted from "
+    "Jaccard to angle space. The signature is one map-side projection "
+    "per row (16 64-term dot products); at 100 TB the join touches "
+    "only same-band-bucket pairs, the corpus never self-joins, and "
+    "band count tunes the recall/candidate trade-off analytically "
+    "(P = 1-(1-(1-θ/π)^rows)^bands). Integer hyperplane weights make "
+    "both engines' signatures bit-identical; cosines use the shared "
+    "left-fold double kernel.",
+)
+def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+
+    def bit(i: int) -> Column:
+        hp = F.array(
+            *[F.lit(float(_rhp_weight(i, j))) for j in range(_RHP_DIM)]
+        )
+        return F.when(dot(F.col("v"), hp) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[bit(b * _RHP_ROWS + r) for r in range(_RHP_ROWS)]
+            ).alias("sig"),
+        )
+        for b in range(_RHP_BANDS)
+    ]
+    bands = vecs.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("vec_id", "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = dot(F.col("v_a"), F.col("v_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _RHP_COS_T)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

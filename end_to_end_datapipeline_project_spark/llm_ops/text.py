@@ -1337,3 +1337,162 @@ def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("recall"),
         F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("f1"),
     )
+
+
+# --- character-class composition (script mix) -----------------------------
+
+
+def _cc_count_sql(pattern: str) -> str:
+    return (
+        f"length(text) - length(regexp_replace(text, '{pattern}', '', 'g'))"
+    )
+
+
+@register(
+    "q_script_mix",
+    f"""
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum({_cc_count_sql('[a-zA-Z]')}) AS BIGINT) AS n_alpha,
+         CAST(sum({_cc_count_sql('[0-9]')}) AS BIGINT) AS n_digit,
+         CAST(sum({_cc_count_sql('[ ]')}) AS BIGINT) AS n_space,
+         CAST(sum({_cc_count_sql('[^a-zA-Z0-9 ]')}) AS BIGINT) AS n_other,
+         round(CAST(sum({_cc_count_sql('[a-zA-Z]')}) AS DOUBLE)
+               / nullif(sum(length(text)), 0), 6) AS alpha_ratio,
+         round(CAST(sum({_cc_count_sql('[^a-zA-Z0-9 ]')}) AS DOUBLE)
+               / nullif(sum(length(text)), 0), 6) AS other_ratio
+  FROM documents
+  GROUP BY lang
+""",
+    doc="Character-class composition per language (the script-mix / "
+    "mojibake detector): alpha, digit, space, and other-byte counts per "
+    "document folded into per-language totals and ratios — the cheap "
+    "first-pass signal for wrong-encoding or wrong-script contamination "
+    "in a multilingual scrape (a 'en' shard with a low alpha_ratio is "
+    "binary junk or markup). Counts via length-delta of a "
+    "regexp_replace that stays inside the scan stage; integer sums cast "
+    "BIGINT for engine parity, one shuffle on the tiny lang key.",
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+
+    def cc(pattern: str) -> F.Column:
+        return F.length("text") - F.length(
+            F.regexp_replace("text", pattern, "")
+        )
+
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(cc("[a-zA-Z]")).alias("n_alpha"),
+        F.sum(cc("[0-9]")).alias("n_digit"),
+        F.sum(cc("[ ]")).alias("n_space"),
+        F.sum(cc("[^a-zA-Z0-9 ]")).alias("n_other"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_other",
+        F.round(
+            F.col("n_alpha").cast("double")
+            / F.nullif(F.col("n_chars"), F.lit(0)),
+            6,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.col("n_other").cast("double")
+            / F.nullif(F.col("n_chars"), F.lit(0)),
+            6,
+        ).alias("other_ratio"),
+    )
+
+
+# --- bigram language-model fluency score ----------------------------------
+
+
+@register(
+    "q_bigram_logprob",
+    f"""
+  WITH __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks
+    FROM documents WHERE trim(text) <> ''
+  ),
+  __tok AS (
+    SELECT doc_id, unnest(toks) AS token FROM __toks
+  ),
+  __uni AS (
+    SELECT token, count(*) AS cn FROM __tok GROUP BY token
+  ),
+  __v AS (SELECT count(*) AS v FROM __uni),
+  __big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bg,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1
+    FROM __toks WHERE len(toks) >= 2
+  ),
+  __bc AS (
+    SELECT bg, count(*) AS cb FROM __big GROUP BY bg
+  )
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         round(CAST(SUM(CAST(round(
+                 ln((bc.cb + 1.0) / (u.cn + v.v)), 6) AS DECIMAL(30,6)))
+               AS DOUBLE) / count(*), 6) AS avg_logprob
+  FROM __big b
+  JOIN __bc bc USING (bg)
+  JOIN __uni u ON u.token = b.w1
+  CROSS JOIN __v v
+  GROUP BY b.doc_id
+""",
+    doc="Bigram language-model fluency score with add-one smoothing: "
+    "train bigram/unigram counts on the corpus itself, score each doc "
+    "by mean log P(w_i | w_{i-1}) = ln((c(w1,w2)+1)/(c(w1)+V)) — the "
+    "step up from q_unigram_logprob that actually penalizes "
+    "word-salad (every unigram frequent, bigrams unseen). Bigrams are "
+    "built in-array inside the scan stage (no self-join); the count "
+    "join shuffles on the bigram key with map-side partial counts; "
+    "per-bigram logprobs are round(·,6) then decimal-summed so "
+    "grouped-sum order cannot change the score.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import spark_dsum
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", tokens_col().alias("toks"))
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cn"))
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "struct(concat_ws(' ', element_at(toks, i), "
+                "element_at(toks, i + 1)) AS bg, "
+                "element_at(toks, i) AS w1))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.bg", "p.w1")
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        big.join(bc, "bg")
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+    )
+    logp = F.round(
+        F.log((F.col("cb") + 1.0) / (F.col("cn") + F.col("v"))), 6
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(spark_dsum(logp) / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -1575,3 +1575,75 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- winsorized robust moments --------------------------------------------
+
+
+@register(
+    "q_winsorized_stats",
+    f"""
+  WITH th AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type
+  ),
+  c AS (
+    SELECT e.event_type,
+           CASE WHEN e.value < t.lo THEN t.lo
+                WHEN e.value > t.hi THEN t.hi
+                ELSE e.value END AS v
+    FROM events e JOIN th t ON e.event_type = t.event_type
+  ),
+  s AS (
+    SELECT event_type,
+           count(*) AS n,
+           {dsum("v")} AS sx,
+           {dsum("v * v")} AS sxx
+    FROM c GROUP BY event_type
+  )
+  SELECT event_type, n,
+         round(sx / n, 6) AS wins_mean,
+         round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS wins_stddev
+  FROM s
+""",
+    doc="Winsorized moments per group: exact p5/p95 thresholds (tiny "
+    "per-group aggregate, broadcast back), values CLAMPED to the band "
+    "(not dropped — winsorizing keeps n constant, unlike trimming), "
+    "then decimal-exact power sums -> mean/stddev. The robust-scaling "
+    "companion to q_mad_outliers: this one produces the statistics a "
+    "feature-normalization step consumes, immune to the tails it "
+    "clamps. One scan + one broadcast join; at scale the exact "
+    "percentile becomes approx_percentile.",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    s = clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        spark_dsum(F.col("v")).alias("sx"),
+        spark_dsum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("wins_mean"),
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("wins_stddev"),
+    )

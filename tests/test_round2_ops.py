@@ -1,0 +1,68 @@
+"""Round-2 extension operators: script mix, winsorized moments, bigram LM
+scoring, random-hyperplane LSH — structural/consistency checks beyond the
+DuckDB oracle gate."""
+
+from pyspark.sql import functions as F
+
+from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+    _RHP_COS_T,
+    q_ann_hyperplane_lsh,
+    q_embedding_neardup,
+)
+from end_to_end_datapipeline_project_spark.llm_ops.text import (
+    q_bigram_logprob,
+    q_script_mix,
+    q_token_count,
+)
+from end_to_end_datapipeline_project_spark.sources import read_parquet_table
+from end_to_end_datapipeline_project_spark.stats import q_winsorized_stats
+
+
+def test_script_mix_counts_partition_chars(spark, sf_dir):
+    rows = q_script_mix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the four character classes partition every character exactly
+        assert r.n_alpha + r.n_digit + r.n_space + r.n_other == r.n_chars
+        assert 0.0 <= r.alpha_ratio <= 1.0
+        assert 0.0 <= r.other_ratio <= 1.0
+
+
+def test_winsorized_stats_bounded_by_raw(spark, sf_dir):
+    ev = read_parquet_table(spark, sf_dir, "events")
+    raw = {
+        r.event_type: (r.mean, r.sd)
+        for r in ev.groupBy("event_type")
+        .agg(F.avg("value").alias("mean"), F.stddev("value").alias("sd"))
+        .collect()
+    }
+    for r in q_winsorized_stats(spark, sf_dir).collect():
+        mean, sd = raw[r.event_type]
+        # clamping the tails cannot increase the spread
+        assert r.wins_stddev <= sd * 1.0001
+        # winsorized mean stays within a couple of raw sds of the raw mean
+        assert abs(r.wins_mean - mean) <= 2 * sd
+
+
+def test_bigram_logprob_shape(spark, sf_dir):
+    toks = {
+        r.doc_id: r.n_tokens for r in q_token_count(spark, sf_dir).collect()
+    }
+    rows = q_bigram_logprob(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams == toks[r.doc_id] - 1
+        assert r.avg_logprob < 0.0  # log-probabilities
+
+
+def test_hyperplane_lsh_subset_of_bruteforce(spark, sf_dir):
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_embedding_neardup(spark, sf_dir).collect()
+    }
+    lsh = q_ann_hyperplane_lsh(spark, sf_dir).collect()
+    for r in lsh:
+        # every LSH hit is a true >= threshold pair with the same cosine
+        assert (r.vec_a, r.vec_b) in brute
+        assert abs(brute[(r.vec_a, r.vec_b)] - r.cosine) < 1e-9
+        assert r.cosine >= _RHP_COS_T
