@@ -275,7 +275,14 @@ def user_sequences(events: DataFrame) -> DataFrame:
     "whole ordered event history of each user lands in one pandas frame "
     "(the shape for per-entity sklearn fits / sequence encoders); the "
     "md5 sequence signature keeps even this Python path exactly "
-    "oracle-checkable.",
+    "oracle-checkable. 100 TB posture: grouped-map is the one operator "
+    "whose peak memory is a FULL group, so the per-entity history must "
+    "be bounded upstream (sessionize / window the stream, or pre-filter "
+    "to the modeling horizon) — a hot entity with 10^8 events OOMs the "
+    "worker regardless of cluster size; Arrow transfer batches are "
+    "spark.sql.execution.arrow.maxRecordsPerBatch (10k default) and "
+    "groups >> batch size stream in multiple batches but still "
+    "materialize one pandas frame per group.",
 )
 def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_parquet_table(spark, sf_dir, "events").select(

@@ -715,6 +715,15 @@ _RHP_BANDS = 8
 _RHP_ROWS = 2
 _RHP_DIM = 64
 _RHP_COS_T = 0.45
+#: per-(band, sig) occupancy cap: with r sign bits a band has only 2^r
+#: sig values, so bucket size is Θ(n) and uncapped same-bucket pair
+#: generation is quadratic (the ×10 probe measured 25×).  Only the first
+#: CAP vectors of a bucket (vec_id asc) generate candidates — the same
+#: degenerate-block policy as the fuzzy-match and radius-join caps.
+_RHP_BUCKET_CAP = 128
+#: per-vector output bound (cosine desc, vec_b asc), as in the other
+#: similarity joins: worst-case output K·n even on replica cliques
+_RHP_TOPK = 10
 
 
 def _rhp_weight(i: int, j: int) -> int:
@@ -748,20 +757,30 @@ def _rhp_bands_sql() -> str:
     "q_ann_hyperplane_lsh",
     f"""
   WITH {VECS_SQL},
-  __bands AS (
+  __bands0 AS (
     SELECT vec_id, u.band AS band, u.sig AS sig FROM (
       SELECT vec_id, {_rhp_bands_sql()} AS u FROM __normed)
+  ),
+  __bands AS (
+    SELECT vec_id, band, sig FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY band, sig ORDER BY vec_id) AS __bn
+      FROM __bands0) WHERE __bn <= {_RHP_BUCKET_CAP}
   ),
   __cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM __bands a JOIN __bands b
       ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
   )
-  SELECT c.vec_a, c.vec_b, round({COS_SQL}, 6) AS cosine
-  FROM __cand c
-  JOIN __normed a ON a.vec_id = c.vec_a
-  JOIN __normed b ON b.vec_id = c.vec_b
-  WHERE {COS_SQL} >= {_RHP_COS_T}
+  SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine FROM (
+    SELECT c.vec_a, c.vec_b, {COS_SQL} AS cos_raw
+    FROM __cand c
+    JOIN __normed a ON a.vec_id = c.vec_a
+    JOIN __normed b ON b.vec_id = c.vec_b
+    WHERE {COS_SQL} >= {_RHP_COS_T}
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_a
+                             ORDER BY cos_raw DESC, vec_b) <= {_RHP_TOPK}
 """,
     doc="Random-hyperplane LSH (SimHash for cosine), banded OR-"
     f"amplification: {_RHP_BANDS} bands × {_RHP_ROWS} sign bits from "
@@ -773,9 +792,13 @@ def _rhp_bands_sql() -> str:
     "per row (16 64-term dot products); at 100 TB the join touches "
     "only same-band-bucket pairs, the corpus never self-joins, and "
     "band count tunes the recall/candidate trade-off analytically "
-    "(P = 1-(1-(1-θ/π)^rows)^bands). Integer hyperplane weights make "
-    "both engines' signatures bit-identical; cosines use the shared "
-    "left-fold double kernel.",
+    "(P = 1-(1-(1-θ/π)^rows)^bands). Two bounds keep degenerate "
+    f"buckets from going quadratic: per-(band,sig) occupancy cap "
+    f"{_RHP_BUCKET_CAP} (vec_id asc — a 2-bit band has only 4 sig "
+    "values, so an uncapped bucket is Θ(n)) and top-"
+    f"{_RHP_TOPK} emission per vector (cosine desc). Integer "
+    "hyperplane weights make both engines' signatures bit-identical; "
+    "cosines use the shared left-fold double kernel.",
 )
 def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vectors(spark, sf_dir)
@@ -800,6 +823,12 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = vecs.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("vec_id", "bs.band", "bs.sig")
+    w_bucket = Window.partitionBy("band", "sig").orderBy("vec_id")
+    bands = (
+        bands.withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= _RHP_BUCKET_CAP)
+        .drop("__bn")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -827,10 +856,13 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot(F.col("v_a"), F.col("v_b")) / (
         F.col("norm_a") * F.col("norm_b")
     )
+    w_k = Window.partitionBy("vec_a").orderBy(F.desc("cos_raw"), "vec_b")
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= _RHP_COS_T)
+        .withColumn("__rk", F.row_number().over(w_k))
+        .filter(F.col("__rk") <= _RHP_TOPK)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )

@@ -1375,20 +1375,28 @@ def _cc_count_sql(pattern: str) -> str:
     "BIGINT for engine parity, one shuffle on the tiny lang key.",
 )
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import string
+
     docs = read_parquet_table(spark, sf_dir, "documents")
 
-    def cc(pattern: str) -> F.Column:
-        return F.length("text") - F.length(
-            F.regexp_replace("text", pattern, "")
-        )
+    # translate() is a plain char-map (no regex engine): deleting the
+    # class and diffing lengths counts it ~5× faster than the
+    # regexp_replace form the oracle uses — identical semantics because
+    # each class is a finite ASCII set
+    def cc(chars: str) -> F.Column:
+        return F.length("text") - F.length(F.translate("text", chars, ""))
 
+    alpha = string.ascii_letters
+    digits = string.digits
     agg = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("n_chars"),
-        F.sum(cc("[a-zA-Z]")).alias("n_alpha"),
-        F.sum(cc("[0-9]")).alias("n_digit"),
-        F.sum(cc("[ ]")).alias("n_space"),
-        F.sum(cc("[^a-zA-Z0-9 ]")).alias("n_other"),
+        F.sum(cc(alpha)).alias("n_alpha"),
+        F.sum(cc(digits)).alias("n_digit"),
+        F.sum(cc(" ")).alias("n_space"),
+        F.sum(
+            F.length(F.translate("text", alpha + digits + " ", ""))
+        ).alias("n_other"),
     )
     return agg.select(
         "lang",

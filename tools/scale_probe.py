@@ -78,6 +78,11 @@ PROBES = [
     "q_pareto_frontier",
     "q_table_diff",
     "q_info_gain",
+    "q_minhash_lsh",
+    "q_script_mix",
+    "q_winsorized_stats",
+    "q_bigram_logprob",
+    "q_ann_hyperplane_lsh",
 ]
 
 KEY_OFFSETS = {
@@ -103,6 +108,9 @@ KEY_OFFSETS = {
 NOTES = {
     "q_prefix_filter_join": "(output-bound: replica k-cliques make QUALIFYING pairs grow ~x1000; PPJoin length+positional filters cut candidates 11M->1.2M and array-intersect verify replaced the exploded join - x10 wall went 98s -> 33s; remaining growth tracks output) ",
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
+    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction) ",
+    "q_ann_hyperplane_lsh": "(per-(band,sig) occupancy cap 128 + top-10 emission; uncapped 2-bit bands measured 25.3x) ",
+    "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
 }
 
 
