@@ -72,6 +72,34 @@ def shingles(df: DataFrame) -> DataFrame:
     return sh.distinct()
 
 
+def shingle_arrays(df: DataFrame) -> DataFrame:
+    """Distinct 3-gram shingles per doc as ONE array column: (doc_id, shs).
+
+    Map-side-only equivalent of ``shingles()`` (doc is the dedup scope,
+    so ``array_distinct`` over the in-row transform = the global
+    DISTINCT over exploded (doc_id, shingle) rows) — use this form
+    whenever every consumer is per-doc (signatures, sizes, array-
+    intersection verify); keep the row form for inverted-index joins.
+    """
+    toks = df.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("shs"),
+    )
+
+
 # --- exact dedup ----------------------------------------------------------
 
 
@@ -226,22 +254,28 @@ N_SEEDS = 8
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    # the shingle set feeds FOUR consumers (signatures, both verify probe
-    # sides, sizes) and ends in a distinct — checkpoint it once instead of
-    # re-running the explode+shuffle per consumer
-    sh = shingles(docs).localCheckpoint()
-    # all N_SEEDS min-hashes in ONE hash-aggregate pass over the shingles
-    # (vs. exploding shingles × seeds through the shuffle: 8× less shuffle
-    # volume — the thing that matters at 100 TB), then unpivot the compact
-    # per-doc signature to (doc_id, seed, minhash) for the bucket join.
-    mh_wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-            ).alias(f"m{s}")
-            for s in range(N_SEEDS)
-        ]
-    )
+    # per-doc distinct shingle SETS built entirely map-side
+    # (array_distinct over the in-row 3-gram transform): the doc is the
+    # dedup scope, so the global explode + distinct shuffle the row-form
+    # ``shingles()`` pays is pure waste here — signatures, both verify
+    # probe sides, and sizes all derive from this one array column with
+    # ZERO shuffles before the candidate join.  At 100 TB this is the
+    # difference between shuffling every (doc, shingle) posting and
+    # shuffling nothing until the (small) LSH-bucket join.
+    arrs = shingle_arrays(docs).localCheckpoint()
+    # all N_SEEDS min-hashes as in-row array_min over the shingle set —
+    # no aggregate, no shuffle; then unpivot the compact per-doc
+    # signature to (doc_id, seed, minhash) for the bucket join.
+    # NB: the per-seed closure must be built OUTSIDE the lambda —
+    # ``lambda x, s=s`` would make a two-argument lambda, which
+    # F.transform binds as (element, index), silently replacing the
+    # seed with the array index column.
+    def _seed_min(s: int):
+        return F.array_min(
+            F.transform("shs", lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+        ).alias(f"m{s}")
+
+    mh_wide = arrs.select("doc_id", *[_seed_min(s) for s in range(N_SEEDS)])
     stack_expr = ", ".join(f"{s}L, m{s}" for s in range(N_SEEDS))
     mh = mh_wide.select(
         "doc_id",
@@ -267,7 +301,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ_candidates (|A| + |B|), independent of how many non-candidate
     # pairs share a shingle — vs. the full inverted-index join, which at
     # 100 TB is quadratic in posting-list length.
-    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
     out = (
         cand.join(
             arrs.select(
