@@ -539,3 +539,238 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(no_ip, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
         F.md5(no_phone).alias("scrub_sig"),
     )
+
+
+# --- domain mixture reweighting -------------------------------------------
+
+
+@register(
+    "q_domain_mixture",
+    """
+  WITH __per AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS tot_chars
+    FROM documents GROUP BY source
+  ),
+  __w AS (
+    SELECT source, n_docs, tot_chars,
+           CAST(tot_chars AS DOUBLE) / sum(tot_chars) OVER () AS corpus_share,
+           (1.0 / count(*) OVER ())
+             / (CAST(tot_chars AS DOUBLE) / sum(tot_chars) OVER ()) AS w
+    FROM __per
+  )
+  SELECT source, n_docs, tot_chars,
+         round(corpus_share, 6) AS corpus_share,
+         round(w / max(w) OVER (), 6) AS sample_prob,
+         round(n_docs * (w / max(w) OVER ()), 6) AS expected_docs
+  FROM __w
+""",
+    doc="Domain-mixture reweighting: per-source corpus shares (by chars) "
+    "and the per-source sampling probability that moves the mix toward a "
+    "uniform target (weight = target_share / corpus_share, normalized so "
+    "the most-upweighted source samples at 1.0 and everything else "
+    "downsamples — no source is oversampled past its data).  The knob a "
+    "training-data pipeline turns to stop one crawl domain from "
+    "dominating the token budget.  Scale shape: one map-side-combined "
+    "aggregate over the corpus to O(|sources|) rows; the share/max "
+    "windows run on that tiny frame (single partition is fine — "
+    "|sources| << |docs|), never on the 100 TB corpus.",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("tot_chars"),
+    )
+    everything = Window.partitionBy()
+    share = F.col("tot_chars").cast("double") / F.sum("tot_chars").over(
+        everything
+    )
+    w = (F.lit(1.0) / F.count(F.lit(1)).over(everything)) / share
+    scored = per.select(
+        "source",
+        "n_docs",
+        "tot_chars",
+        share.alias("corpus_share"),
+        w.alias("w"),
+    )
+    prob = F.col("w") / F.max("w").over(everything)
+    return scored.select(
+        "source",
+        "n_docs",
+        "tot_chars",
+        F.round("corpus_share", 6).alias("corpus_share"),
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(F.col("n_docs") * prob, 6).alias("expected_docs"),
+    )
+
+
+# --- per-source quality-threshold calibration ------------------------------
+
+
+@register(
+    "q_quality_calibration",
+    """
+  WITH __th AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.1) AS p10_chars
+    FROM documents GROUP BY source
+  )
+  SELECT d.source,
+         t.n_docs,
+         round(t.p10_chars, 6) AS p10_chars,
+         CAST(sum(CASE WHEN d.n_chars < t.p10_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dropped,
+         round(1.0 - sum(CASE WHEN d.n_chars < t.p10_chars
+                              THEN 1.0 ELSE 0.0 END) / t.n_docs, 6)
+           AS keep_rate
+  FROM documents d JOIN __th t ON d.source = t.source
+  GROUP BY d.source, t.n_docs, t.p10_chars
+""",
+    doc="Per-source quality-threshold calibration: the 10th-percentile "
+    "length cutoff per source (linear-interpolated, Spark percentile = "
+    "DuckDB quantile_cont semantics) and the drop/keep rates it implies. "
+    "Per-domain calibrated thresholds are how corpus filters avoid "
+    "one global cutoff erasing a legitimately-short-document domain. "
+    "Scale shape: exact percentile per source is a sort within each "
+    "source group — at 100 TB swap in approx_percentile (same plan "
+    "shape, sketch merge instead of sort) and broadcast the O(|sources|) "
+    "threshold table back over the corpus scan, which is exactly the "
+    "second-pass join here.",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    th = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.1)").alias("p10"),
+    )
+    flagged = docs.join(F.broadcast(th), "source").select(
+        "source",
+        "n_docs",
+        "p10",
+        (F.col("n_chars") < F.col("p10")).cast("long").alias("dropped"),
+    )
+    return flagged.groupBy("source", "n_docs", "p10").agg(
+        F.sum("dropped").alias("n_dropped"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("dropped").cast("double")) / F.col("n_docs"),
+            6,
+        ).alias("keep_rate"),
+    ).select(
+        "source",
+        "n_docs",
+        F.round("p10", 6).alias("p10_chars"),
+        "n_dropped",
+        "keep_rate",
+    )
+
+
+# --- corpus-level boilerplate scrub ---------------------------------------
+
+_BP_CHUNK = 10  # tokens per chunk (shared with q_chunk_dedup)
+_BP_MIN_DOCS = 3  # a chunk seen in >= this many distinct docs is boilerplate
+
+
+@register(
+    "q_boilerplate_scrub",
+    f"""
+  WITH __t AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    WHERE trim(text) <> ''
+  ),
+  __ch AS (
+    SELECT t.doc_id, u.i AS chunk_idx,
+           array_to_string(
+             list_slice(t.toks, u.i * {_BP_CHUNK} + 1,
+                        u.i * {_BP_CHUNK} + {_BP_CHUNK}), ' ') AS chunk
+    FROM __t t, UNNEST(range(0,
+        CAST(ceil(len(t.toks) / {_BP_CHUNK}.0) AS BIGINT))) AS u(i)
+  ),
+  __boiler AS (
+    SELECT md5(chunk) AS fp FROM __ch
+    GROUP BY md5(chunk)
+    HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+  ),
+  __flag AS (
+    SELECT c.doc_id, c.chunk_idx, c.chunk,
+           (b.fp IS NOT NULL) AS is_boiler
+    FROM __ch c LEFT JOIN __boiler b ON md5(c.chunk) = b.fp
+  )
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+         md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END,
+                                 ' ' ORDER BY chunk_idx), '')) AS clean_md5
+  FROM __flag GROUP BY doc_id
+""",
+    doc=f"Corpus-level boilerplate scrub (C4-style): {_BP_CHUNK}-token "
+    f"chunks occurring in >= {_BP_MIN_DOCS} distinct docs are removed "
+    "corpus-wide and each doc's surviving text is reassembled in chunk "
+    "order (md5 signature keeps the rewrite oracle-checkable).  Scale "
+    "shape: the boilerplate set is the HIGH-frequency tail of the chunk "
+    "distribution, so it is small by construction — aggregate chunk "
+    "fingerprints (16-byte md5 through the shuffle, never chunk text), "
+    "broadcast the flagged set back over the chunked corpus, and "
+    "reassemble per doc with an in-row sorted-array join: one corpus "
+    "shuffle on doc_id total.  The reassembly is the piece "
+    "q_chunk_dedup (retention stats only) does not exercise.",
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    toks = tokens_col()
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(float(_BP_CHUNK))).cast("int")
+                    - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * _BP_CHUNK + 1, _BP_CHUNK), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    boiler = (
+        chunked.select(F.md5("chunk").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_MIN_DOCS)
+        .select("fp")
+    )
+    flagged = chunked.join(
+        F.broadcast(boiler),
+        F.md5(F.col("chunk")) == F.col("fp"),
+        "left",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.col("fp").isNotNull().alias("is_boiler"),
+    )
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("is_boiler"),
+                        F.struct(F.col("chunk_idx"), F.col("chunk")),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        F.md5(kept_in_order).alias("clean_md5"),
+    )

@@ -866,3 +866,64 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= _RHP_TOPK)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# --- hard-negative mining --------------------------------------------------
+
+
+@register(
+    "q_hard_negatives",
+    f"""
+  WITH {VECS_SQL},
+  __queries AS (SELECT * FROM __normed WHERE vec_id < 8),
+  __scored AS (
+    SELECT a.vec_id AS query_id, a.label AS query_label,
+           b.vec_id AS negative_id, b.label AS negative_label,
+           {COS_SQL} AS cos_raw
+    FROM __queries a JOIN __normed b
+      ON a.label <> b.label
+  )
+  SELECT query_id, query_label, negative_id, negative_label,
+         round(cos_raw, 6) AS cosine, rank
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_raw DESC, negative_id) AS rank
+    FROM __scored)
+  WHERE rank <= 5
+""",
+    doc="Hard-negative mining for contrastive training: for each anchor, "
+    "the top-5 most-similar vectors with a DIFFERENT label — the "
+    "near-miss negatives that make a contrastive/triplet batch "
+    "informative (random negatives are trivially separable).  Scale "
+    "shape: identical to ANN top-k — broadcast the O(|anchors|) query "
+    "set, one scan of the corpus, per-anchor top-k heap "
+    "(TakeOrderedAndProject per group, never a global sort); the label "
+    "inequality is a scan-stage predicate, and at 100 TB the corpus "
+    "side drops to the IVF bucket probe exactly as q_ann_ivf does.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 8)
+    a, b = queries.alias("a"), vecs.alias("b")
+    scored = a.join(b, F.col("a.label") != F.col("b.label")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("a.label").alias("query_label"),
+        F.col("b.vec_id").alias("negative_id"),
+        F.col("b.label").alias("negative_label"),
+        _cos().alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), "negative_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

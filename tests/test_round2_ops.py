@@ -4,10 +4,16 @@ DuckDB oracle gate."""
 
 from pyspark.sql import functions as F
 
+from end_to_end_datapipeline_project_spark.llm_ops.clean import (
+    q_boilerplate_scrub,
+    q_domain_mixture,
+    q_quality_calibration,
+)
 from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
     _RHP_COS_T,
     q_ann_hyperplane_lsh,
     q_embedding_neardup,
+    q_hard_negatives,
 )
 from end_to_end_datapipeline_project_spark.llm_ops.text import (
     q_bigram_logprob,
@@ -66,3 +72,53 @@ def test_hyperplane_lsh_subset_of_bruteforce(spark, sf_dir):
         assert (r.vec_a, r.vec_b) in brute
         assert abs(brute[(r.vec_a, r.vec_b)] - r.cosine) < 1e-9
         assert r.cosine >= _RHP_COS_T
+
+
+def test_domain_mixture_probabilities(spark, sf_dir):
+    rows = q_domain_mixture(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
+    assert max(r.sample_prob for r in rows) == 1.0
+    for r in rows:
+        assert 0.0 < r.sample_prob <= 1.0
+        assert r.expected_docs <= r.n_docs + 1e-6
+
+
+def test_quality_calibration_drops_about_a_tenth(spark, sf_dir):
+    for r in q_quality_calibration(spark, sf_dir).collect():
+        assert 0.0 <= r.n_dropped <= r.n_docs
+        # p10 cutoff keeps ~90%; ties can only push the keep rate UP
+        assert 0.85 <= r.keep_rate <= 1.0
+
+
+def test_boilerplate_scrub_rewrites_only_flagged_docs(spark, sf_dir):
+    import hashlib
+
+    rows = {r.doc_id: r for r in q_boilerplate_scrub(spark, sf_dir).collect()}
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    assert len(rows) == docs.count()
+    # untouched docs must reassemble to their original normalized text
+    import re
+
+    for d in docs.collect():
+        r = rows[d.doc_id]
+        assert 0 <= r.n_removed <= r.n_chunks
+        if r.n_removed == 0:
+            norm = " ".join(re.split(r"\s+", d.text.strip().lower()))
+            assert r.clean_md5 == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_hard_negatives_are_cross_label_topk(spark, sf_dir):
+    rows = q_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.query_label != r.negative_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
