@@ -36,13 +36,23 @@ def _fanout_repartition(df: DataFrame, key: str) -> DataFrame:
     restores fan-out parallelism.  Hash on the group key, NOT round-
     robin: ``repartition(n)`` inserts a full local sort of every row
     (arrays included) for rerun determinism (SPARK-23207), which
-    measured 3x slower than the explode it unblocks.  Kept well below
-    the core count on purpose: map-side dedup efficiency for the
-    following ``distinct``/count drops as partitions shrink (each
-    partition sees fewer repeats), and per-task hash-map setup starts
-    to dominate — cores/4 measured fastest across the 4x-32x sweep.
+    measured 3x slower than the explode it unblocks.
+
+    Partition count: cores/2.  Two effects pull in opposite directions
+    — more partitions parallelize the explode CPU, fewer partitions
+    make the downstream distinct/count's map-side dedup see more
+    repeats (cross-part duplicate pairs only collapse pre-shuffle when
+    they land in the same map task), so the shuffle volume grows with
+    the partition count.  The interleaved sweep measured the optimum at
+    8 for sf0.1 and 16-32 at x10 data; cores/2 is within noise of best
+    at both scales and, on a real cluster where parallelism tracks
+    cluster (and therefore data) size, scales the fan-out stage with
+    the job.  (A data-proportional count from the source's scan split
+    count was tried and rejected: split count proved too
+    file-layout-dependent to be a reliable proxy for data volume.)
     """
-    n = max(4, df.sparkSession.sparkContext.defaultParallelism // 4)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    n = max(8, cores // 2)
     return df.repartition(n, F.col(key))
 
 

@@ -541,13 +541,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- domain mixture reweighting -------------------------------------------
+# --- mixture-rebalancing downsample (executes q_source_mix's plan) -----
 
 
 @register(
-    "q_domain_mixture",
+    "q_mixture_sample",
     """
-  WITH __per AS (
+  WITH __s AS (
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS tot_chars
@@ -555,29 +555,42 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
   ),
   __w AS (
     SELECT source, n_docs, tot_chars,
-           CAST(tot_chars AS DOUBLE) / sum(tot_chars) OVER () AS corpus_share,
            (1.0 / count(*) OVER ())
              / (CAST(tot_chars AS DOUBLE) / sum(tot_chars) OVER ()) AS w
-    FROM __per
+    FROM __s
+  ),
+  __p AS (
+    SELECT source, n_docs, tot_chars, w / max(w) OVER () AS p FROM __w
+  ),
+  __kept AS (
+    SELECT d.source, p.p, p.n_docs, d.n_chars,
+           (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) / 4294967296.0) < p.p
+             AS keep
+    FROM documents d JOIN __p p ON d.source = p.source
   )
-  SELECT source, n_docs, tot_chars,
-         round(corpus_share, 6) AS corpus_share,
-         round(w / max(w) OVER (), 6) AS sample_prob,
-         round(n_docs * (w / max(w) OVER ()), 6) AS expected_docs
-  FROM __w
+  SELECT source,
+         n_docs,
+         round(p, 6) AS sample_prob,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars
+  FROM __kept
+  GROUP BY source, n_docs, p
 """,
-    doc="Domain-mixture reweighting: per-source corpus shares (by chars) "
-    "and the per-source sampling probability that moves the mix toward a "
-    "uniform target (weight = target_share / corpus_share, normalized so "
-    "the most-upweighted source samples at 1.0 and everything else "
-    "downsamples — no source is oversampled past its data).  The knob a "
-    "training-data pipeline turns to stop one crawl domain from "
-    "dominating the token budget.  Scale shape: one map-side-combined "
-    "aggregate over the corpus to O(|sources|) rows; the share/max "
-    "windows run on that tiny frame (single partition is fine — "
-    "|sources| << |docs|), never on the 100 TB corpus.",
+    doc="Executes the q_source_mix rebalancing plan: per-source sampling "
+    "probability = weight normalized so the most-upweighted source keeps "
+    "everything (downsample-only — no source is oversampled past its "
+    "data), then a DETERMINISTIC md5-uniform per-doc keep decision and "
+    "the achieved per-source doc/char counts.  md5-derived uniforms make "
+    "the sample reproducible across engines, reruns, and cluster sizes "
+    "— the property that lets a 100 TB downsample be audited and "
+    "incrementally extended.  Scale shape: the O(|sources|) probability "
+    "table broadcasts back over the corpus scan; keep/aggregate is one "
+    "map-side-combined pass, no corpus shuffle beyond the per-source "
+    "agg.",
 )
-def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -588,21 +601,33 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         everything
     )
     w = (F.lit(1.0) / F.count(F.lit(1)).over(everything)) / share
-    scored = per.select(
+    probs = per.select(
         "source",
         "n_docs",
-        "tot_chars",
-        share.alias("corpus_share"),
-        w.alias("w"),
+        (w / F.max(w).over(everything)).alias("p"),
     )
-    prob = F.col("w") / F.max("w").over(everything)
-    return scored.select(
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    kept = docs.join(F.broadcast(probs), "source").select(
         "source",
         "n_docs",
-        "tot_chars",
-        F.round("corpus_share", 6).alias("corpus_share"),
-        F.round(prob, 6).alias("sample_prob"),
-        F.round(F.col("n_docs") * prob, 6).alias("expected_docs"),
+        "p",
+        "n_chars",
+        (u < F.col("p")).alias("keep"),
+    )
+    return kept.groupBy("source", "n_docs", "p").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+    ).select(
+        "source",
+        "n_docs",
+        F.round("p", 6).alias("sample_prob"),
+        "n_kept",
+        "kept_chars",
     )
 
 

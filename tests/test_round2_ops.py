@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_datapipeline_project_spark.llm_ops.clean import (
     q_boilerplate_scrub,
-    q_domain_mixture,
+    q_mixture_sample,
     q_quality_calibration,
 )
 from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
@@ -74,14 +74,15 @@ def test_hyperplane_lsh_subset_of_bruteforce(spark, sf_dir):
         assert r.cosine >= _RHP_COS_T
 
 
-def test_domain_mixture_probabilities(spark, sf_dir):
-    rows = q_domain_mixture(spark, sf_dir).collect()
+def test_mixture_sample_downsamples_to_probability(spark, sf_dir):
+    rows = q_mixture_sample(spark, sf_dir).collect()
     assert rows
-    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
     assert max(r.sample_prob for r in rows) == 1.0
     for r in rows:
         assert 0.0 < r.sample_prob <= 1.0
-        assert r.expected_docs <= r.n_docs + 1e-6
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.sample_prob == 1.0:
+            assert r.n_kept == r.n_docs  # downsample-only: top source intact
 
 
 def test_quality_calibration_drops_about_a_tenth(spark, sf_dir):
@@ -122,3 +123,23 @@ def test_hard_negatives_are_cross_label_topk(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    # boilerplate set and calibration thresholds must BROADCAST back over
+    # the corpus (a shuffled join would move the 100 TB side on its key)
+    assert "BroadcastHashJoin" in _executed_plan(
+        q_boilerplate_scrub(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in _executed_plan(
+        q_quality_calibration(spark, sf_dir)
+    )
+    # hard negatives: broadcast the anchor set, nested-loop over the scan
+    # (cross-label predicate), NEVER a shuffled cartesian
+    plan = _executed_plan(q_hard_negatives(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

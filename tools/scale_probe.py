@@ -83,6 +83,10 @@ PROBES = [
     "q_winsorized_stats",
     "q_bigram_logprob",
     "q_ann_hyperplane_lsh",
+    "q_mixture_sample",
+    "q_quality_calibration",
+    "q_boilerplate_scrub",
+    "q_hard_negatives",
 ]
 
 KEY_OFFSETS = {
