@@ -5,12 +5,15 @@ LLM-pipeline extension surface (SURVEY.md §7.2 M4; no binary columns exist
 in the reference data model, SURVEY.md §1.2).
 
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested.  The actual media *decode* kernels are stubbed
-(no image/audio libraries in this container): ``decode_image``/
-``decode_audio`` raise ``NotImplementedError``, and the deterministic
-``fake_decode`` path computes real features (byte length, sha256, md5-
-derived dimensions) so the pipeline is end-to-end verifiable, including
-against the DuckDB oracle.
+shape — is real and tested.  Decode: UNCOMPRESSED formats decode for
+real in pure stdlib/numpy — binary PPM and BMP images (header + pixel
+math) and PCM WAV audio (RIFF parsing, sample-rate/duration/RMS) — via
+``decode_image``/``decode_audio`` and the ``decode_media`` kernel.
+Compressed codecs (JPEG/PNG/MP3/...) raise ``NotImplementedError`` (no
+codec library ships in this container) and fall back to the
+deterministic ``fake_decode``, which computes real features (byte
+length, sha256, md5-derived dimensions) so every payload stays
+end-to-end verifiable, including against the DuckDB oracle.
 
 Scale notes (100 TB of media):
 
@@ -66,17 +69,104 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode (PIL/opencv) — unavailable in this container."""
+    """Real image decode for UNCOMPRESSED formats (pure stdlib/numpy).
+
+    Binary PPM (``P6``) and BMP (``BM``) are parsed from their headers
+    and pixel data — no image library needed.  Compressed codecs
+    (JPEG/PNG/WebP) still raise: decoding them honestly requires a
+    library this container does not ship, and the deterministic
+    ``fake_decode`` stand-in keeps those payloads pipeline-testable.
+    """
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single-ws> raw RGB
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        i += 1  # the single whitespace byte after maxval
+        width, height, maxval = (int(f) for f in fields)
+        px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+        return {
+            "format": "ppm",
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "maxval": maxval,
+            "mean_level": float(px.mean()) if px.size else 0.0,
+        }
+    if payload[:2] == b"BM":
+        import struct
+
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": abs(height),
+            "channels": bpp // 8,
+            "maxval": 255,
+            "mean_level": None,  # pixel layout depends on compression field
+        }
     raise NotImplementedError(
-        "media decode requires an image library not present in this "
-        "environment; use fake_decode for the deterministic test path"
+        "compressed image formats (JPEG/PNG/...) require an image "
+        "library not present in this environment; uncompressed PPM/BMP "
+        "decode natively, everything else uses fake_decode"
     )
 
 
 def decode_audio(payload: bytes) -> dict:
+    """Real audio decode for PCM WAV (pure stdlib/numpy RIFF parsing).
+
+    Compressed codecs (MP3/AAC/Opus) still raise — see decode_image.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + csize + (csize & 1)
+        if fmt is None or data is None:
+            raise ValueError("malformed WAV: missing fmt/data chunk")
+        _, channels, sample_rate, _, _, bits = fmt
+        n_samples = len(data) // (channels * bits // 8)
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+        else:
+            rms = None
+        return {
+            "format": "wav",
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "bits": bits,
+            "n_samples": n_samples,
+            "duration_ms": int(n_samples * 1000 / sample_rate),
+            "rms": rms,
+        }
     raise NotImplementedError(
-        "audio decode requires an audio library not present in this "
-        "environment; use fake_decode for the deterministic test path"
+        "compressed audio formats require an audio library not present "
+        "in this environment; PCM WAV decodes natively, everything else "
+        "uses fake_decode"
     )
 
 
@@ -117,6 +207,78 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, MEDIA_FEATURES_SCHEMA)
+
+
+#: output schema of the REAL decode kernel (nullable per-modality fields)
+REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_level", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL media decode: PPM/BMP images and PCM WAV audio
+    parse natively (header + numpy pixel/sample math); payloads in any
+    other format fall back to the deterministic ``fake_decode``
+    (format=NULL marks the fallback).  Same 100 TB shape as the feature
+    kernel: mapInPandas, no shuffle, Arrow batch memory bounded by
+    maxRecordsPerBatch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    if p[:2] in (b"P6", b"BM"):
+                        d = decode_image(p)
+                        rows.append(
+                            (int(aid), d["format"], d["width"], d["height"],
+                             d["channels"], None, None, d["mean_level"])
+                        )
+                        continue
+                    if p[:4] == b"RIFF":
+                        d = decode_audio(p)
+                        rows.append(
+                            (int(aid), d["format"], None, None,
+                             d["channels"], d["sample_rate"],
+                             d["duration_ms"], d["rms"])
+                        )
+                        continue
+                except NotImplementedError:
+                    pass
+                f = fake_decode(p)
+                rows.append(
+                    (int(aid), None, f["width"], f["height"],
+                     None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "format", "width", "height", "channels",
+                    "sample_rate", "duration_ms", "mean_level",
+                ],
+            ).astype(
+                {
+                    "asset_id": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
+                    "sample_rate": "Int32",
+                    "duration_ms": "Int64",
+                }
+            )
+
+    return media.mapInPandas(kernel, REAL_DECODE_SCHEMA)
 
 
 @register(

@@ -143,3 +143,40 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     plan = _executed_plan(q_hard_negatives(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_real_media_decode_kernel(spark):
+    """PPM + WAV payloads decode with REAL parsed values through the full
+    Arrow mapInPandas path; unknown formats fall back to fake_decode."""
+    import math
+    import struct
+
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_media,
+    )
+
+    # 4x2 P6 image, all pixels (10, 20, 30) => mean 20.0
+    ppm = b"P6\n4 2\n255\n" + bytes([10, 20, 30]) * 8
+    # 100 samples of a 16-bit mono square wave at 8 kHz, amplitude 16384
+    amp, n = 16384, 100
+    pcm = struct.pack("<%dh" % n, *([amp, -amp] * (n // 2)))
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "audio", bytearray(wav)),
+         (3, "video", bytearray(b"not-a-real-codec"))],
+        "asset_id long, kind string, payload binary",
+    )
+    out = {r.asset_id: r for r in decode_media(df).collect()}
+    img = out[1]
+    assert (img.format, img.width, img.height, img.channels) == ("ppm", 4, 2, 3)
+    assert abs(img.mean_level - 20.0) < 1e-9
+    aud = out[2]
+    assert (aud.format, aud.channels, aud.sample_rate) == ("wav", 1, 8000)
+    assert aud.duration_ms == int(n * 1000 / 8000)
+    assert abs(aud.mean_level - amp / 32768.0) < 1e-9  # square wave RMS = amp
+    fallback = out[3]
+    assert fallback.format is None and fallback.width is not None
