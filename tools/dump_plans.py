@@ -124,6 +124,20 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("partial_max_by", "argmax collapses the 64 candidates per vector inside the scan stage"),
         ("!Window", "no row_number window: embeddings never shuffle x64"),
     ],
+    "q_mixture_sample": [
+        ("BroadcastHashJoin", "O(|sources|) probability table broadcasts back over the corpus scan"),
+        ("partial_", "keep/char counts combine map-side"),
+    ],
+    "q_quality_calibration": [
+        ("BroadcastHashJoin", "per-source thresholds broadcast, corpus never shuffles on source"),
+    ],
+    "q_boilerplate_scrub": [
+        ("BroadcastHashJoin", "boilerplate fingerprint set broadcasts; corpus shuffles once on doc_id"),
+    ],
+    "q_hard_negatives": [
+        ("BroadcastNestedLoopJoin", "anchor set broadcasts; cross-label predicate runs in the corpus scan stage"),
+        ("Window", "per-anchor top-5 via bounded rank window, no global sort"),
+    ],
     "q_dynamic_partition_pruning": [
         ("dynamicpruning", "runtime dim values injected into the fact scan's partition filters"),
     ],
