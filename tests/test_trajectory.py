@@ -100,3 +100,19 @@ def test_report_approx_mode(spark):
     by_line = {r.Lines: r for r in rep.collect()}
     # HLL++ is exact at this cardinality
     assert by_line["180"].unique_vehicles_count == 2
+
+
+def test_stay_points_are_slow_runs(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        _STAY_MIN_PINGS,
+        q_stay_points,
+    )
+
+    rows = q_stay_points(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pings >= _STAY_MIN_PINGS
+        assert r.dwell_sec >= 0
+        # centroid must sit inside the cleanse bounding box
+        assert 52.0 <= r.centroid_lat <= 52.4
+        assert 20.5 <= r.centroid_lon <= 21.5
