@@ -1096,3 +1096,148 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pings") >= _STAY_MIN_PINGS)
     )
+
+
+@register(
+    "q_trip_segments",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  __flagged AS (
+    SELECT user_id, ts, dist_km, speed_kmh,
+           (speed_kmh >= {_STAY_SPEED_KMH}) AS moving,
+           CASE WHEN (speed_kmh >= {_STAY_SPEED_KMH}) AND coalesce(
+                  NOT (lag(speed_kmh) OVER w >= {_STAY_SPEED_KMH}), TRUE)
+                THEN 1 ELSE 0 END AS starts
+    FROM __enriched
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ),
+  __islands AS (
+    SELECT user_id, ts, dist_km, speed_kmh, moving,
+           CAST(sum(starts) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_seq
+    FROM __flagged
+  )
+  SELECT user_id, trip_seq,
+         CAST(count(*) AS BIGINT) AS n_pings,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+         round({dsum("round(dist_km, 6)")}, 6) AS trip_km,
+         {dsum("round(speed_kmh, 6)")} / count(*) AS avg_speed_kmh
+  FROM __islands
+  WHERE moving
+  GROUP BY user_id, trip_seq
+  HAVING count(*) >= 2
+""",
+    doc="Trip segmentation — the complement of q_stay_points: maximal "
+    f"runs of pings at >= {_STAY_SPEED_KMH} km/h become trips with "
+    "distance, duration, and average speed.  Same gaps-and-islands "
+    "template, same single (user_id, ts) sort+shuffle reused by both "
+    "windows and the trip aggregate.  Stays + trips partition every "
+    "vehicle's day into the two states a fleet dashboard reports.",
+)
+def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enr = events_enriched(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    moving = F.col("speed_kmh") >= _STAY_SPEED_KMH
+    prev_moving = F.lag("speed_kmh").over(w) >= _STAY_SPEED_KMH
+    flagged = enr.select(
+        "user_id",
+        "ts",
+        "dist_km",
+        "speed_kmh",
+        moving.alias("moving"),
+        F.when(
+            moving & F.coalesce(~prev_moving, F.lit(True)), F.lit(1)
+        ).otherwise(F.lit(0)).alias("starts"),
+    )
+    islands = flagged.withColumn(
+        "trip_seq",
+        F.sum("starts").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.filter("moving")
+        .groupBy("user_id", "trip_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_sec"),
+            # round each row at 6 BEFORE the decimal sum: trig-derived
+            # doubles differ across engines in the last ulps, and the
+            # per-row 6-decimal values are the cross-engine-stable ones
+            # (same contract q_lag_enrich's outputs rely on)
+            F.round(spark_dsum(F.round("dist_km", 6)), 6).alias("trip_km"),
+            # NO final round on the average: the decimal sum and count
+            # are bit-identical across engines, so the double quotient
+            # is too — but a 6-decimal round can land on an exact
+            # half-way value (e.g. 8.1637005) where Spark's
+            # string-based HALF_UP and DuckDB's binary rounding
+            # disagree.  Emitting the raw quotient is exact.
+            (
+                spark_dsum(F.round("speed_kmh", 6)) / F.count(F.lit(1))
+            ).alias("avg_speed_kmh"),
+        )
+        .filter(F.col("n_pings") >= 2)
+    )
+
+
+# --- geofence entry/exit transitions --------------------------------------
+
+_FENCE = (52.15, 52.25, 20.9, 21.1)  # inner box: lat_min, lat_max, lon_min, lon_max
+
+
+@register(
+    "q_geofence_transitions",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  __inout AS (
+    SELECT user_id, ts, lat, lon,
+           (lat BETWEEN {_FENCE[0]} AND {_FENCE[1]}
+            AND lon BETWEEN {_FENCE[2]} AND {_FENCE[3]}) AS inside,
+           lag((lat BETWEEN {_FENCE[0]} AND {_FENCE[1]}
+                AND lon BETWEEN {_FENCE[2]} AND {_FENCE[3]})) OVER (
+             PARTITION BY user_id ORDER BY ts) AS prev_inside
+    FROM __dedup
+  )
+  SELECT user_id, ts,
+         CASE WHEN inside THEN 'enter' ELSE 'exit' END AS transition,
+         round(lat, 6) AS lat, round(lon, 6) AS lon
+  FROM __inout
+  WHERE prev_inside IS NOT NULL AND inside <> prev_inside
+""",
+    doc="Geofence entry/exit detection: each vehicle's in/out state for "
+    f"an inner box {_FENCE} is compared with its previous ping (lag over "
+    "the same (user_id, ts) window the whole trajectory tier shares) and "
+    "only state CHANGES are emitted.  The push-notification primitive of "
+    "every fleet/delivery product; at 100 TB the box predicate is "
+    "scan-stage codegen and the single shuffle is the per-vehicle "
+    "window sort.",
+)
+def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = events_cleansed(spark, sf_dir)
+    inside = F.col("lat").between(_FENCE[0], _FENCE[1]) & F.col(
+        "lon"
+    ).between(_FENCE[2], _FENCE[3])
+    w = Window.partitionBy("user_id").orderBy("ts")
+    inout = cl.select(
+        "user_id",
+        "ts",
+        "lat",
+        "lon",
+        inside.alias("inside"),
+        F.lag(inside).over(w).alias("prev_inside"),
+    )
+    return inout.filter(
+        F.col("prev_inside").isNotNull()
+        & (F.col("inside") != F.col("prev_inside"))
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.col("inside"), "enter").otherwise("exit").alias("transition"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )

@@ -116,3 +116,34 @@ def test_stay_points_are_slow_runs(spark, sf_dir):
         # centroid must sit inside the cleanse bounding box
         assert 52.0 <= r.centroid_lat <= 52.4
         assert 20.5 <= r.centroid_lon <= 21.5
+
+
+def test_trip_segments_complement_stays(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_trip_segments,
+    )
+
+    rows = q_trip_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pings >= 2
+        assert r.duration_sec >= 0
+        assert r.trip_km >= 0
+        # avg of per-ping speeds in a moving run stays in (5, 70]
+        assert 5.0 <= r.avg_speed_kmh <= 70.0 + 1e-9
+
+
+def test_geofence_transitions_alternate(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_geofence_transitions,
+    )
+
+    rows = q_geofence_transitions(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts)):
+        by_user.setdefault(r.user_id, []).append(r.transition)
+    for seq in by_user.values():
+        # transitions must strictly alternate enter/exit per vehicle
+        for a, b in zip(seq, seq[1:]):
+            assert a != b
