@@ -225,6 +225,43 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SEEDS = 8
 
 
+def minhash_candidates(arrs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) from per-doc shingle arrays.
+
+    All N_SEEDS min-hashes as in-row array_min over the shingle set —
+    no aggregate, no shuffle; the compact per-doc signature unpivots to
+    (doc_id, seed, minhash) for the OR-amplified (r=1) bucket join.
+    NB: the per-seed closure must be built OUTSIDE the lambda —
+    ``lambda x, s=s`` would make a two-argument lambda, which
+    F.transform binds as (element, index), silently replacing the seed
+    with the array index column.
+    """
+
+    def _seed_min(s: int):
+        return F.array_min(
+            F.transform("shs", lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+        ).alias(f"m{s}")
+
+    mh_wide = arrs.select("doc_id", *[_seed_min(s) for s in range(N_SEEDS)])
+    stack_expr = ", ".join(f"{s}L, m{s}" for s in range(N_SEEDS))
+    mh = mh_wide.select(
+        "doc_id",
+        F.expr(f"stack({N_SEEDS}, {stack_expr}) AS (seed, minhash)"),
+    )
+    a = mh.alias("a")
+    b = mh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "q_minhash_lsh",
     f"""
@@ -263,36 +300,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # difference between shuffling every (doc, shingle) posting and
     # shuffling nothing until the (small) LSH-bucket join.
     arrs = shingle_arrays(docs).localCheckpoint()
-    # all N_SEEDS min-hashes as in-row array_min over the shingle set —
-    # no aggregate, no shuffle; then unpivot the compact per-doc
-    # signature to (doc_id, seed, minhash) for the bucket join.
-    # NB: the per-seed closure must be built OUTSIDE the lambda —
-    # ``lambda x, s=s`` would make a two-argument lambda, which
-    # F.transform binds as (element, index), silently replacing the
-    # seed with the array index column.
-    def _seed_min(s: int):
-        return F.array_min(
-            F.transform("shs", lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
-        ).alias(f"m{s}")
-
-    mh_wide = arrs.select("doc_id", *[_seed_min(s) for s in range(N_SEEDS)])
-    stack_expr = ", ".join(f"{s}L, m{s}" for s in range(N_SEEDS))
-    mh = mh_wide.select(
-        "doc_id",
-        F.expr(f"stack({N_SEEDS}, {stack_expr}) AS (seed, minhash)"),
-    )
-    a = mh.alias("a")
-    b = mh.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = minhash_candidates(arrs)
     # Verify ONLY the LSH candidates (the point of LSH), by per-doc
     # shingle-ARRAY intersection: two doc-keyed joins carrying one array
     # per row, shared = |array_intersect| map-side — the same verify
@@ -1253,4 +1261,77 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --- MinHash-LSH quality evaluation ---------------------------------------
+
+_MH_EVAL_THRESHOLDS = (0.02, 0.05, 0.1)
+
+
+@register(
+    "q_minhash_recall",
+    f"""
+  WITH {SHINGLES_SQL},
+  __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
+  __mh AS (
+    SELECT doc_id, seed,
+           min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM __sh CROSS JOIN __seeds
+    GROUP BY doc_id, seed
+  ),
+  __cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM __mh a JOIN __mh b
+      ON a.seed = b.seed AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+  ),
+  {JACCARD_VERIFY_SQL},
+  __flagged AS (
+    SELECT j.doc_a, j.doc_b, j.jaccard,
+           (c.doc_a IS NOT NULL) AS found
+    FROM __jac j
+    LEFT JOIN __cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  ),
+  __th AS (SELECT unnest([{", ".join(str(t) for t in _MH_EVAL_THRESHOLDS)}]) AS threshold)
+  SELECT t.threshold,
+         CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN f.found THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         round(sum(CASE WHEN f.found THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           AS recall
+  FROM __th t JOIN __flagged f ON f.jaccard >= t.threshold
+  GROUP BY t.threshold
+""",
+    doc=f"MinHash-LSH quality evaluation: recall of the {N_SEEDS}-band "
+    "(r=1) candidate set against exact-Jaccard ground truth at "
+    f"thresholds {_MH_EVAL_THRESHOLDS} — the gauge for tuning "
+    "bands x rows against the dedup threshold (theory: recall = "
+    "1-(1-J^r)^b; this measures it on the actual corpus).  The "
+    "'measure, don't guess' companion every LSH deployment needs: "
+    "ground truth comes from the inverted-index exact join (the thing "
+    "LSH replaces at 100 TB), run here at evaluation scale on a "
+    "sample, exactly like q_ann_recall does for IVF.",
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sh = shingles(docs).localCheckpoint()
+    cand = minhash_candidates(shingle_arrays(docs))
+    truth = jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    flagged = truth.join(
+        cand.withColumn("found", F.lit(True)), ["doc_a", "doc_b"], "left"
+    ).select("jaccard", F.coalesce("found", F.lit(False)).alias("found"))
+    th = spark.createDataFrame(
+        [(t,) for t in _MH_EVAL_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(flagged, flagged.jaccard >= th.threshold)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("found").cast("long")).alias("n_hit"),
+            F.round(
+                F.sum(F.col("found").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
     )

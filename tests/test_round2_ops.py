@@ -180,3 +180,20 @@ def test_real_media_decode_kernel(spark):
     assert abs(aud.mean_level - amp / 32768.0) < 1e-9  # square wave RMS = amp
     fallback = out[3]
     assert fallback.format is None and fallback.width is not None
+
+
+def test_minhash_recall_monotone(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_minhash_recall,
+    )
+
+    rows = sorted(
+        q_minhash_recall(spark, sf_dir).collect(), key=lambda r: r.threshold
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_true
+        assert 0.0 <= r.recall <= 1.0
+    # OR-amplified LSH recall grows with the similarity threshold
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
