@@ -1335,3 +1335,74 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- per-source n-gram novelty --------------------------------------------
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+  WITH {SHINGLES_SQL},
+  __with_src AS (
+    SELECT s.doc_id, s.shingle, d.source
+    FROM __sh s JOIN documents d ON s.doc_id = d.doc_id
+  ),
+  __per_shingle AS (
+    SELECT shingle,
+           count(DISTINCT source) AS n_sources,
+           min(source) AS only_source
+    FROM __with_src GROUP BY shingle
+  ),
+  __per_source AS (
+    SELECT source, count(DISTINCT shingle) AS n_shingles
+    FROM __with_src GROUP BY source
+  )
+  SELECT p.source,
+         CAST(p.n_shingles AS BIGINT) AS n_shingles,
+         CAST(coalesce(e.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+         round(coalesce(e.n_exclusive, 0) * 1.0 / p.n_shingles, 6)
+           AS exclusivity
+  FROM __per_source p
+  LEFT JOIN (
+    SELECT only_source AS source, count(*) AS n_exclusive
+    FROM __per_shingle WHERE n_sources = 1
+    GROUP BY only_source) e
+  ON p.source = e.source
+""",
+    doc="Per-source n-gram novelty: how many distinct 3-gram shingles "
+    "each source contributes and what fraction appear in NO other "
+    "source — the diversity gauge for keep/drop and mixture decisions "
+    "(a source whose shingles all exist elsewhere adds tokens, not "
+    "information).  Scale shape: source is a broadcast-joined doc "
+    "attribute; both aggregates shuffle 16-byte-boundable shingle keys "
+    "with map-side combine, and the per-shingle source-count table "
+    "reduces to O(|distinct shingles|) — the same footprint any "
+    "corpus-wide dedup already pays.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    with_src = shingles(docs).join(F.broadcast(src), "doc_id")
+    per_shingle = with_src.groupBy("shingle").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.min("source").alias("only_source"),
+    )
+    per_source = with_src.groupBy("source").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    exclusive = (
+        per_shingle.filter(F.col("n_sources") == 1)
+        .groupBy(F.col("only_source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_exclusive"))
+    )
+    return per_source.join(exclusive, "source", "left").select(
+        "source",
+        "n_shingles",
+        F.coalesce("n_exclusive", F.lit(0)).alias("n_exclusive"),
+        F.round(
+            F.coalesce("n_exclusive", F.lit(0)) * F.lit(1.0)
+            / F.col("n_shingles"),
+            6,
+        ).alias("exclusivity"),
+    )

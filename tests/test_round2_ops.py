@@ -197,3 +197,15 @@ def test_minhash_recall_monotone(spark, sf_dir):
     # OR-amplified LSH recall grows with the similarity threshold
     recalls = [r.recall for r in rows]
     assert recalls == sorted(recalls)
+
+
+def test_ngram_novelty_bounds(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_ngram_novelty,
+    )
+
+    rows = q_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_exclusive <= r.n_shingles
+        assert 0.0 <= r.exclusivity <= 1.0
