@@ -1016,6 +1016,40 @@ _STAY_SPEED_KMH = 5.0
 _STAY_MIN_PINGS = 3
 
 
+def flag_islands(
+    df: DataFrame, key: str, order: str, flag, island_col: str = "island_seq"
+) -> DataFrame:
+    """Gaps-and-islands: number each maximal run of flag=true rows.
+
+    Adds ``flag`` (boolean) and ``island_col`` (cumulative count of run
+    STARTS — a row where the flag is true and the previous row's is
+    not).  Rows where the flag is false carry the preceding island's
+    number and are meant to be filtered out by the caller.  Both
+    windows share one (key, order) sort+shuffle, and any downstream
+    (key, island) aggregate reuses the same hash partitioning — the
+    whole stays/trips tier costs a single exchange (plan-asserted).
+    """
+    w = Window.partitionBy(key).orderBy(order)
+    flagged = df.withColumn("__flag", flag).withColumn(
+        "__starts",
+        F.when(
+            F.col("__flag")
+            & F.coalesce(~F.lag("__flag").over(w), F.lit(True)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.withColumn(
+            island_col,
+            F.sum("__starts").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumnRenamed("__flag", "flag")
+        .drop("__starts")
+    )
+
+
 @register(
     "q_stay_points",
     f"""
@@ -1061,26 +1095,14 @@ _STAY_MIN_PINGS = 3
     "partition, no cross-key state.",
 )
 def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    enr = events_enriched(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts")
-    slow = F.col("speed_kmh") < _STAY_SPEED_KMH
-    prev_slow = F.lag("speed_kmh").over(w) < _STAY_SPEED_KMH
-    flagged = enr.select(
-        "user_id",
-        "ts",
-        "lat",
-        "lon",
-        slow.alias("slow"),
-        F.when(
-            slow & F.coalesce(~prev_slow, F.lit(True)), F.lit(1)
-        ).otherwise(F.lit(0)).alias("starts"),
+    enr = events_enriched(spark, sf_dir).select(
+        "user_id", "ts", "lat", "lon", "speed_kmh"
     )
-    islands = flagged.withColumn(
-        "stay_seq",
-        F.sum("starts").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    islands = flag_islands(
+        enr, "user_id", "ts", F.col("speed_kmh") < _STAY_SPEED_KMH, "stay_seq"
     )
     return (
-        islands.filter("slow")
+        islands.filter("flag")
         .groupBy("user_id", "stay_seq")
         .agg(
             F.count(F.lit(1)).alias("n_pings"),
@@ -1139,26 +1161,14 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vehicle's day into the two states a fleet dashboard reports.",
 )
 def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    enr = events_enriched(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts")
-    moving = F.col("speed_kmh") >= _STAY_SPEED_KMH
-    prev_moving = F.lag("speed_kmh").over(w) >= _STAY_SPEED_KMH
-    flagged = enr.select(
-        "user_id",
-        "ts",
-        "dist_km",
-        "speed_kmh",
-        moving.alias("moving"),
-        F.when(
-            moving & F.coalesce(~prev_moving, F.lit(True)), F.lit(1)
-        ).otherwise(F.lit(0)).alias("starts"),
+    enr = events_enriched(spark, sf_dir).select(
+        "user_id", "ts", "dist_km", "speed_kmh"
     )
-    islands = flagged.withColumn(
-        "trip_seq",
-        F.sum("starts").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    islands = flag_islands(
+        enr, "user_id", "ts", F.col("speed_kmh") >= _STAY_SPEED_KMH, "trip_seq"
     )
     return (
-        islands.filter("moving")
+        islands.filter("flag")
         .groupBy("user_id", "trip_seq")
         .agg(
             F.count(F.lit(1)).alias("n_pings"),

@@ -231,3 +231,44 @@ def test_weighted_median_matches_bruteforce(spark_prop, tmp_path_factory, rows):
             break
     assert got.weighted_median == expect
     assert got.total_weight == float(total)
+
+
+#: per-user boolean flag sequences: tiny domain forces runs and ties
+_flag_seqs = st.lists(
+    st.tuples(st.integers(0, 2), st.booleans()),  # (user, flag)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_flag_seqs)
+def test_flag_islands_matches_runlength_model(spark_prop, rows):
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        flag_islands,
+    )
+
+    spark = spark_prop
+    data = [(u, i, f) for i, (u, f) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user long, pos long, f boolean")
+    got = {
+        (r.user, r.pos): r.seq
+        for r in flag_islands(
+            df, "user", "pos", F.col("f"), "seq"
+        ).filter("flag").collect()
+    }
+    # brute-force model: number maximal true-runs per user in pos order
+    expect = {}
+    by_user = {}
+    for u, pos, f in sorted(data):
+        by_user.setdefault(u, []).append((pos, f))
+    for u, seq in by_user.items():
+        island = 0
+        prev = False
+        for pos, f in seq:
+            if f and not prev:
+                island += 1
+            if f:
+                expect[(u, pos)] = island
+            prev = f
+    assert got == expect
