@@ -147,3 +147,18 @@ def test_geofence_transitions_alternate(spark, sf_dir):
         # transitions must strictly alternate enter/exit per vehicle
         for a, b in zip(seq, seq[1:]):
             assert a != b
+
+
+def test_stays_and_trips_cost_one_exchange(spark, sf_dir):
+    import re
+
+    from end_to_end_datapipeline_project_spark.pipeline_queries import (
+        q_stay_points,
+        q_trip_segments,
+    )
+
+    for q in (q_stay_points, q_trip_segments):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        # the (user_id, ts) sort is shared by every window AND the final
+        # (user, island) aggregate — the whole chain shuffles once
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
