@@ -1406,3 +1406,135 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exclusivity"),
     )
+
+
+# --- exact duplicated-substring span coverage ------------------------------
+
+_DUPSPAN_W = 8  # tokens per sliding gram
+
+
+@register(
+    "q_duplicate_spans",
+    f"""
+  WITH __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    WHERE len({TOKENS_SQL}) >= {_DUPSPAN_W}
+  ),
+  __grams AS (
+    SELECT doc_id, u.i AS p,
+           md5(array_to_string(
+             list_slice(toks, u.i, u.i + {_DUPSPAN_W} - 1), ' ')) AS g
+    FROM __toks t,
+         UNNEST(range(1, len(t.toks) - {_DUPSPAN_W} + 2)) AS u(i)
+  ),
+  __dup AS (
+    SELECT g FROM __grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+  ),
+  __pos AS (
+    SELECT gr.doc_id, gr.p FROM __grams gr JOIN __dup d ON gr.g = d.g
+  ),
+  __isl AS (
+    SELECT doc_id, p,
+           CASE WHEN max(p + {_DUPSPAN_W}) OVER (
+                  PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                OR p >= max(p + {_DUPSPAN_W}) OVER (
+                  PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS starts
+    FROM __pos
+  ),
+  __grp AS (
+    SELECT doc_id, p,
+           CAST(sum(starts) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+    FROM __isl
+  ),
+  __cov AS (
+    SELECT doc_id,
+           CAST(sum(cov) AS BIGINT) AS covered_tokens
+    FROM (
+      SELECT doc_id, island, max(p) + {_DUPSPAN_W} - min(p) AS cov
+      FROM __grp GROUP BY doc_id, island)
+    GROUP BY doc_id
+  )
+  SELECT t.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         round(coalesce(c.covered_tokens, 0) * 1.0 / len(t.toks), 6)
+           AS dup_coverage
+  FROM __toks t LEFT JOIN __cov c ON t.doc_id = c.doc_id
+""",
+    doc=f"Exact duplicated-substring span coverage (the ExactSubstr "
+    "diagnostic of Lee et al. 2022's 'Deduplicating Training Data'): "
+    f"a {_DUPSPAN_W}-token gram slides over EVERY offset, grams seen "
+    "in >= 2 distinct docs mark their positions, and per-doc interval "
+    "merging (gaps-and-islands over sorted positions; merged cover = "
+    "max_p + w - min_p per island, exact integer math) yields the "
+    "fraction of each doc covered by cross-doc exact duplicates — "
+    "catching the offset-SHIFTED duplication that fixed-boundary "
+    "chunking (q_chunk_dedup) and CDC (q_cdc_chunks) miss.  Scale "
+    "shape: only 16-byte gram digests shuffle (never text), the dup-"
+    "gram set joins back on the digest, and the interval merge is one "
+    "per-doc window — at 100 TB this is the standard two-shuffle "
+    "fingerprint pipeline plus an O(dup positions) window.",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _DUPSPAN_W
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= w
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - w + 1),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(
+                        F.array_join(F.slice("toks", i, w), " ")
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", "pg.p", "pg.g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    pos = grams.join(dup, "g").select("doc_id", "p")
+    win = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + w).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = pos.withColumn(
+        "starts",
+        F.when(
+            prev_end.isNull() | (F.col("p") >= prev_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("starts").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("p") + w - F.min("p")).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").alias("covered_tokens"))
+    )
+    return toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0))
+            * F.lit(1.0)
+            / F.size("toks"),
+            6,
+        ).alias("dup_coverage"),
+    )

@@ -209,3 +209,15 @@ def test_ngram_novelty_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_exclusive <= r.n_shingles
         assert 0.0 <= r.exclusivity <= 1.0
+
+
+def test_duplicate_spans_bounds(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_duplicate_spans,
+    )
+
+    rows = q_duplicate_spans(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_coverage <= 1.0
