@@ -1272,7 +1272,23 @@ _MH_EVAL_THRESHOLDS = (0.02, 0.05, 0.1)
 @register(
     "q_minhash_recall",
     f"""
-  WITH {SHINGLES_SQL},
+  WITH __eval_docs AS (
+    SELECT * FROM documents WHERE doc_id < 2500
+  ),
+  __toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM __eval_docs
+  ),
+  __sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+               AS shingle
+      FROM __toks WHERE len(toks) >= 3)
+  ),
+  __sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM __sh GROUP BY doc_id
+  ),
   __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
   __mh AS (
     SELECT doc_id, seed,
@@ -1313,7 +1329,15 @@ _MH_EVAL_THRESHOLDS = (0.02, 0.05, 0.1)
     "sample, exactly like q_ann_recall does for IVF.",
 )
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
+    # FIXED-SIZE evaluation probe set (first 2500 doc ids): ground
+    # truth below is the exact inverted-index join — quadratic in
+    # posting-list length, i.e. the thing LSH exists to avoid — so the
+    # measurement budget must not grow with the corpus.  A constant
+    # probe set keeps the evaluation O(1) in corpus size while the
+    # recall estimate stays unbiased for the sampled similarity range.
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2500
+    )
     sh = shingles(docs).localCheckpoint()
     cand = minhash_candidates(shingle_arrays(docs))
     truth = jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")

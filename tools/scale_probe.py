@@ -87,6 +87,12 @@ PROBES = [
     "q_quality_calibration",
     "q_boilerplate_scrub",
     "q_hard_negatives",
+    "q_minhash_recall",
+    "q_ngram_novelty",
+    "q_duplicate_spans",
+    "q_stay_points",
+    "q_trip_segments",
+    "q_geofence_transitions",
 ]
 
 KEY_OFFSETS = {
