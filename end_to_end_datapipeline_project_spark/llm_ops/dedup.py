@@ -1118,7 +1118,11 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles → groupBy pair) shuffles |cand|·|shingles/doc| skinny
     # rows — measured 62 s vs 0.4 s at the ×10 probe for the same 1.2M
     # candidates.  Exact string intersection, no hashing.
-    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
+    # per-doc shingle arrays for the verify come from the map-side
+    # shingle_arrays() helper — NOT a collect_set over the row-form
+    # shingles, which would pay a second corpus-wide (doc_id, shingle)
+    # shuffle to rebuild what the scan stage can compute in-row
+    arrs = shingle_arrays(docs)
     overlap = (
         cand.join(
             arrs.select(

@@ -109,8 +109,25 @@ def decode_image(payload: bytes) -> dict:
     if payload[:2] == b"BM":
         import struct
 
+        # structural validation, not just the 2-byte magic: arbitrary
+        # text starting "BM..." must NOT be emitted as a "real" decode
+        # with garbage dimensions.  Check length, DIB header size, and
+        # bit depth; anything off is treated as not-BMP (ValueError →
+        # the kernel falls back to fake_decode).
+        if len(payload) < 54:
+            raise ValueError("BM magic but payload shorter than a BMP header")
+        dib_size = struct.unpack_from("<I", payload, 14)[0]
+        pixel_offset = struct.unpack_from("<I", payload, 10)[0]
         width, height = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
+        if (
+            dib_size not in (12, 40, 56, 108, 124)
+            or bpp not in (1, 4, 8, 16, 24, 32)
+            or not (0 < width <= 1 << 20)
+            or not (0 < abs(height) <= 1 << 20)
+            or pixel_offset > len(payload)
+        ):
+            raise ValueError("BM magic but not a structurally valid BMP")
         return {
             "format": "bmp",
             "width": width,
@@ -148,9 +165,17 @@ def decode_audio(payload: bytes) -> dict:
         if fmt is None or data is None:
             raise ValueError("malformed WAV: missing fmt/data chunk")
         _, channels, sample_rate, _, _, bits = fmt
+        if channels <= 0 or sample_rate <= 0 or bits not in (8, 16, 24, 32):
+            raise ValueError("RIFF/WAVE magic but not a valid PCM fmt chunk")
         n_samples = len(data) // (channels * bits // 8)
         if bits == 16:
-            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            # count= guards an odd-length data chunk (frombuffer would
+            # raise on a non-multiple buffer)
+            x = (
+                np.frombuffer(data, dtype="<i2", count=n_samples * channels)
+                .astype(np.float64)
+                / 32768.0
+            )
             rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
         else:
             rms = None
@@ -238,6 +263,12 @@ def decode_media(media: DataFrame) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(payload)
+                # broad except, not just NotImplementedError: payloads
+                # are arbitrary bytes, so a text doc starting "P6 " or
+                # "BMW..." (or a truncated/corrupt real file) reaches a
+                # parser and fails with ValueError/struct.error — one
+                # bad row must fall back to fake_decode, never crash
+                # the whole Spark job
                 try:
                     if p[:2] in (b"P6", b"BM"):
                         d = decode_image(p)
@@ -254,7 +285,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                              d["duration_ms"], d["rms"])
                         )
                         continue
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — corrupt media ⇒ fallback
                     pass
                 f = fake_decode(p)
                 rows.append(
@@ -275,6 +306,12 @@ def decode_media(media: DataFrame) -> DataFrame:
                     "channels": "Int32",
                     "sample_rate": "Int32",
                     "duration_ms": "Int64",
+                    # nullable Float64, NOT float64: a mixed batch (one
+                    # real decode + fallbacks) would otherwise coerce the
+                    # fallbacks' None to NaN while an all-fallback batch
+                    # keeps true NULLs — same input, different output
+                    # depending on batch composition
+                    "mean_level": "Float64",
                 }
             )
 

@@ -590,6 +590,15 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
     d = emb.select(F.max(F.size("x"))).first()[0]
+    if d is None:  # empty table: return an empty, correctly-typed frame
+        return spark.createDataFrame(
+            [], "dim int, pc1_component double, eigenvalue_est double"
+        )
+    # drop ragged vectors up front: zip_with null-pads a short vector,
+    # silently nulling its dot product out of the iteration, while the
+    # oracle's list_dot_product errors — neither is acceptable, so
+    # off-dimension vectors are excluded from the fit explicitly
+    emb = emb.filter(F.size("x") == d)
     # v lives in the DRIVER between iterations (O(d) scalars — the same
     # loop-control budget as the kmeans centroid collect): each iteration
     # is then ONE scan of the cached vectors with the projection s = x·v

@@ -1605,7 +1605,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT event_type, n,
          round(sx / n, 6) AS wins_mean,
-         round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS wins_stddev
+         round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)), 6) AS wins_stddev
   FROM s
 """,
     doc="Winsorized moments per group: exact p5/p95 thresholds (tiny "
@@ -1639,10 +1639,13 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.round(F.col("sx") / F.col("n"), 6).alias("wins_mean"),
+        # nullif guards the singleton-group divisor: under the engine's
+        # ANSI mode a 1-row group would otherwise raise DIVIDE_BY_ZERO
+        # while the oracle returns NULL
         F.round(
             F.sqrt(
                 (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-                / (F.col("n") - 1)
+                / F.nullif(F.col("n") - 1, F.lit(0))
             ),
             6,
         ).alias("wins_stddev"),

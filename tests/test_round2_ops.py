@@ -221,3 +221,27 @@ def test_duplicate_spans_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.covered_tokens <= r.n_tokens
         assert 0.0 <= r.dup_coverage <= 1.0
+
+
+def test_decode_media_survives_adversarial_payloads(spark):
+    """Magic-prefixed garbage must fall back to fake_decode, not crash."""
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_media,
+    )
+
+    evil = [
+        (1, b"P6 bus line to the depot leaves at six" * 3),
+        (2, b"BMW dealership hours are 9-5 weekdays ok" * 2),
+        (3, b"RIFFxxxxWAVEbroken"),
+        (4, b"RIFF\x04\x00\x00\x00WAVE"),
+        (5, b"P6"),
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in evil],
+        "asset_id long, kind string, payload binary",
+    )
+    out = {r.asset_id: r for r in decode_media(df).collect()}
+    assert len(out) == len(evil)
+    for r in out.values():
+        assert r.format is None  # every one fell back
+        assert r.width is not None  # fake_decode dims present
