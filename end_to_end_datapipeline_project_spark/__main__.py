@@ -108,7 +108,12 @@ def run_transform(args, spark=None, out=print):
         from .session import get_spark
 
         spark = get_spark("etl-transform")
-    year, month, day = (int(x) for x in args.date.split("-"))
+    try:
+        year, month, day = (int(x) for x in args.date.split("-"))
+    except ValueError:
+        raise SystemExit(
+            f"--date must be YYYY-MM-DD, got {args.date!r}"
+        ) from None
     report = run_batch(
         spark,
         args.bronze_dir,
@@ -127,8 +132,11 @@ def run_transform(args, spark=None, out=print):
         report.orderBy(F.desc("total_cost_pln"), F.asc("Lines"))
         .limit(args.top_n)
     )
+    # Lines tiebreak keeps equal-cost rows in the same deterministic
+    # order q_chart_top10_costs defines (pandas' default quicksort is
+    # unstable on ties)
     top_pd = to_pandas_edge(top).sort_values(
-        by=["total_cost_pln"], ascending=True
+        by=["total_cost_pln", "Lines"], ascending=[True, False]
     )
     out(f"gold report for {args.date}:")
     out(top_pd.to_string(index=False))

@@ -97,6 +97,11 @@ def decode_image(payload: bytes) -> dict:
             i = j
         i += 1  # the single whitespace byte after maxval
         width, height, maxval = (int(f) for f in fields)
+        if not (0 < maxval <= 255):
+            # maxval > 255 means 2-byte big-endian samples (rare); refuse
+            # rather than compute a wrong 8-bit mean — ValueError routes
+            # the payload to the fake_decode fallback
+            raise ValueError("PPM maxval outside the 8-bit range")
         px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
         return {
             "format": "ppm",
@@ -120,9 +125,15 @@ def decode_image(payload: bytes) -> dict:
         pixel_offset = struct.unpack_from("<I", payload, 10)[0]
         width, height = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
+        # dib 12 (BITMAPCOREHEADER) uses a DIFFERENT field layout
+        # (uint16 dims at 18/20, bpp at 24) — parsing it with the
+        # INFOHEADER offsets below would emit garbage as a "real"
+        # decode, so core-header files take the fake_decode fallback;
+        # palette depths (1/4 bpp) are excluded for the same reason
+        # (channels = bpp//8 would be 0)
         if (
-            dib_size not in (12, 40, 56, 108, 124)
-            or bpp not in (1, 4, 8, 16, 24, 32)
+            dib_size not in (40, 56, 108, 124)
+            or bpp not in (8, 16, 24, 32)
             or not (0 < width <= 1 << 20)
             or not (0 < abs(height) <= 1 << 20)
             or pixel_offset > len(payload)

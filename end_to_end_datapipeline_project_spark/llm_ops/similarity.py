@@ -518,14 +518,21 @@ def q_logreg_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_ITERS = 2
 
 #: (vec_id, dim, xd): the exploded double-precision coordinate stream
+#: mirrors the Spark side's ragged-vector exclusion (len = corpus max):
+#: without it a single off-dimension row makes list_dot_product error
+#: on DuckDB while Spark silently fits without that row
 _PCA_COORDS_SQL = """
+  __pemb AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE len(embedding) = (SELECT max(len(embedding)) FROM embeddings)
+  ),
   __coords AS (
     SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS xd
-    FROM embeddings
+    FROM __pemb
   ),
   __pvecs AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM __pemb
   )"""
 
 
@@ -629,6 +636,11 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it + 1 < _PCA_ITERS:  # the last v is returned, not re-broadcast
             v_vals_rows = {r["dim"]: r["val"] for r in v_df.collect()}
             v_vals = [v_vals_rows[i + 1] for i in range(d)]
+    # materialize the O(d) result, then release the cached corpus — a
+    # bare persist would pin executor memory for the rest of the session
+    # (bench/notebook reruns accumulate cached copies)
+    v_df = v_df.localCheckpoint()
+    emb.unpersist()
     return v_df.select(
         "dim",
         F.col("val").alias("pc1_component"),

@@ -307,26 +307,19 @@ def q_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_drilldown_top_vehicle",
-    f"""
-  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
-  __src AS (SELECT * FROM __dedup),
-  {ENRICH_SQL},
-  {REPORT_SQL},
-  __top_line AS (
-    SELECT event_type FROM __report2
-    ORDER BY total_cost_pln DESC, event_type LIMIT 1
-  ),
-  __line_src AS (
-    SELECT d.* FROM __dedup d
-    WHERE d.event_type IN (SELECT event_type FROM __top_line)
-  ),
+def _drill_enrich_sql(src: str) -> str:
+    """Second-level enrichment CTEs (lag → haversine → speed → cutoff,
+    no fuel/cost) over an already-cleansed source — the drill-down
+    oracles' shared fragment; final CTE is ``__l5``.  ONE definition so
+    a cutoff/formula change cannot silently diverge from ENRICH_SQL's
+    first-level chain (same expressions, reference gtfsGold.py:36-85).
+    """
+    return f"""
   __l2 AS (
     SELECT *,
       lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
       lag(ts) OVER w AS p_time
-    FROM __line_src
+    FROM {src}
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
   ),
   __l3 AS (
@@ -343,7 +336,25 @@ def q_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE 0.0 END AS speed_kmh
     FROM __l3
   ),
-  __l5 AS (SELECT * FROM __l4 WHERE speed_kmh <= 70.0),
+  __l5 AS (SELECT * FROM __l4 WHERE speed_kmh <= 70.0),"""
+
+
+@register(
+    "q_drilldown_top_vehicle",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  __src AS (SELECT * FROM __dedup),
+  {ENRICH_SQL},
+  {REPORT_SQL},
+  __top_line AS (
+    SELECT event_type FROM __report2
+    ORDER BY total_cost_pln DESC, event_type LIMIT 1
+  ),
+  __line_src AS (
+    SELECT d.* FROM __dedup d
+    WHERE d.event_type IN (SELECT event_type FROM __top_line)
+  ),
+{_drill_enrich_sql("__line_src")}
   __per_vehicle AS (
     SELECT user_id, {dsum("dist_km")} AS total_v_dist
     FROM __l5 GROUP BY user_id
@@ -447,28 +458,7 @@ def q_chart_top10_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.* FROM __dedup d
     WHERE d.event_type IN (SELECT event_type FROM __top_line)
   ),
-  __l2 AS (
-    SELECT *,
-      lag(lat) OVER w AS p_lat, lag(lon) OVER w AS p_lon,
-      lag(ts) OVER w AS p_time
-    FROM __line_src
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-  ),
-  __l3 AS (
-    SELECT *,
-      coalesce({haversine_sql("p_lat", "p_lon", "lat", "lon")}, 0.0) AS dist_km,
-      CAST(floor(epoch(ts)) AS BIGINT)
-        - CAST(floor(epoch(p_time)) AS BIGINT) AS diff_time_sec
-    FROM __l2
-  ),
-  __l4 AS (
-    SELECT *,
-      CASE WHEN diff_time_sec > 0
-           THEN dist_km / diff_time_sec * 3600.0
-           ELSE 0.0 END AS speed_kmh
-    FROM __l3
-  ),
-  __l5 AS (SELECT * FROM __l4 WHERE speed_kmh <= 70.0),
+{_drill_enrich_sql("__line_src")}
   __per_vehicle AS (
     SELECT user_id, {dsum("dist_km")} AS total_v_dist
     FROM __l5 GROUP BY user_id
