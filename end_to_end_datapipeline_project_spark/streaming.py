@@ -217,3 +217,61 @@ def user_activity_tws(events_stream: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+GEOFENCE_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp, transition string"
+GEOFENCE_STATE_SCHEMA = "last_inside int"
+
+#: inner box shared with the batch twin (pipeline_queries._FENCE)
+GEOFENCE_BOX = (52.15, 52.25, 20.9, 21.1)
+
+
+def geofence_transitions_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch geofence op: per-vehicle in/out state
+    carried across micro-batches in GroupState, emitting only state
+    CHANGES — the stateful alerting shape (enter/exit push events) a
+    fleet product runs on the live stream.
+
+    Within a batch the group's rows are sorted (ts, event_id) before the
+    state walk; across batches the carried ``last_inside`` makes the
+    boundary transition exact.  State is one int per vehicle — bounded
+    by fleet size, not stream length (add a processing-time timeout for
+    retired vehicles on a real deployment).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lat_min, lat_max, lon_min, lon_max = GEOFENCE_BOX
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else -1  # -1 = no prior ping
+        out = {"user_id": [], "event_id": [], "ts": [], "transition": []}
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value", "ts"]).sort_values(
+                ["ts", "event_id"]
+            )
+            frac = pdf["value"] - pdf["value"].floordiv(1)
+            lat = 52.0 + frac * 0.4
+            lon7 = pdf["value"] * 7
+            lon = 20.5 + (lon7 - lon7.floordiv(1))
+            inside = (
+                lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
+            ).astype(int)
+            for eid, ts, ins in zip(pdf["event_id"], pdf["ts"], inside):
+                if last != -1 and ins != last:
+                    out["user_id"].append(key[0])
+                    out["event_id"].append(int(eid))
+                    out["ts"].append(ts)
+                    out["transition"].append("enter" if ins else "exit")
+                last = int(ins)
+        state.update((last,))
+        yield pd.DataFrame(out)
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        GEOFENCE_OUTPUT_SCHEMA,
+        GEOFENCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

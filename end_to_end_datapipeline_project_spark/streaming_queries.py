@@ -544,3 +544,45 @@ def q_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strip the watermark-flush sentinels (negative ids, see
     # _events_stream_with_flush)
     return result.filter(F.col("purchase_id") >= 0)
+
+
+@register(
+    "q_stream_geofence",
+    """
+  WITH __pos AS (
+    SELECT user_id, event_id, ts,
+           52.0 + (value - floor(value)) * 0.4 AS lat,
+           20.5 + (value * 7 - floor(value * 7)) AS lon
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      AND event_id IS NOT NULL
+  ),
+  __inout AS (
+    SELECT user_id, event_id, ts,
+           (lat BETWEEN 52.15 AND 52.25 AND lon BETWEEN 20.9 AND 21.1)
+             AS inside,
+           lag((lat BETWEEN 52.15 AND 52.25 AND lon BETWEEN 20.9 AND 21.1))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM __pos
+  )
+  SELECT user_id, event_id, ts,
+         CASE WHEN inside THEN 'enter' ELSE 'exit' END AS transition
+  FROM __inout WHERE prev IS NOT NULL AND inside <> prev
+""",
+    doc="Streaming geofence alerting (applyInPandasWithState): the batch "
+    "q_geofence_transitions run as a live stateful operator — one "
+    "in/out int per vehicle in GroupState, only state changes emitted "
+    "across micro-batches.  The oracle is the batch lag-window form, "
+    "exact because the carried state makes batch boundaries seamless.",
+)
+def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import geofence_transitions_stream
+
+    stream = _events_stream(spark, sf_dir).dropna(
+        subset=["user_id", "event_id"]
+    )
+    trans = geofence_transitions_stream(stream)
+    _MEM_SEQ[0] += 1
+    return run_stream_to_memory(
+        spark, trans, f"stream_geofence_{_MEM_SEQ[0]}", complete=False
+    )

@@ -370,3 +370,56 @@ def test_checkpoint_recovery_resumes_with_state(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2  # replayed key suppressed by recovered state
     assert set(r.VehicleNumber for r in back.collect()) == {"1000", "2000"}
+
+
+def test_stream_geofence_multibatch_state_carries(spark, tmp_path):
+    """The carried last_inside state makes batch boundaries seamless: a
+    vehicle whose fence crossing straddles two micro-batches emits the
+    transition exactly once, in the second batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.streaming import (
+        geofence_transitions_stream,
+        run_stream_to_memory,
+    )
+
+    # value 0.5 -> lat 52.2, lon 21.0 (inside); value 0.9 -> lat 52.36 (outside)
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "move", 0.5)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch2 = spark.createDataFrame(
+        [(2, "2024-01-01 10:05:00", 7, "move", 0.9)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    def drop_file(df, name):
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        [part] = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(part, f"{src}/{name}.parquet")
+
+    drop_file(batch1, "f1")
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = run_stream_to_memory(
+        spark, geofence_transitions_stream(stream), "geofence_mb1",
+        complete=False,
+    )
+    assert out.count() == 0  # one ping: no transition yet
+    drop_file(batch2, "f2")
+    out2 = run_stream_to_memory(
+        spark, geofence_transitions_stream(stream), "geofence_mb2",
+        complete=False,
+    )
+    rows = out2.collect()
+    assert [(r.user_id, r.event_id, r.transition) for r in rows] == [
+        (7, 2, "exit")
+    ]
