@@ -75,3 +75,82 @@ def test_http_error_returns_none(tmp_path):
     fake = _FakeSession([_FakeResponse(status=503)])
     c = LandingClient("WAW", "http://api", str(tmp_path), session=fake)
     assert c.get_data({}) is None
+
+
+def test_landing_against_real_local_http_server(spark, tmp_path):
+    """Full offline integration: a real HTTP server on 127.0.0.1 serves
+    the bus-API envelope, failing the first attempt with a 503 so the
+    urllib3 Retry adapter (reference retry policy) actually retries at
+    the transport level; the landed year=/month=/day= file then round-
+    trips through read_bronze -> bronze_to_silver."""
+    import json
+    import threading
+    from datetime import datetime, timezone
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from end_to_end_datapipeline_project_spark.cleanse import bronze_to_silver
+    from end_to_end_datapipeline_project_spark.landing import LandingClient
+    from end_to_end_datapipeline_project_spark.sources import read_bronze
+
+    payload = {
+        "result": [
+            {
+                "Lines": "130",
+                "VehicleNumber": "V1",
+                "Lat": 52.2,
+                "Lon": 21.0,
+                "Time": "2026-02-10 12:00:00",
+                "Brigade": "1",
+            },
+            {
+                "Lines": "130",
+                "VehicleNumber": "V1",
+                "Lat": 52.21,
+                "Lon": 21.01,
+                "Time": "2026-02-10 12:00:30",
+                "Brigade": "1",
+            },
+        ]
+    }
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if len(hits) == 1:
+                self.send_response(503)  # Retry-covered status
+                self.end_headers()
+                return
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = LandingClient(
+            city="WAW",
+            base_url=f"http://127.0.0.1:{srv.server_port}/api",
+            save_path=str(tmp_path),
+        )
+        now = datetime(2026, 2, 10, 12, 0, 45, tzinfo=timezone.utc)
+        path = client.poll_once({"type": "1"}, now=now)
+    finally:
+        srv.shutdown()
+    assert path is not None and "/year=2026/month=02/day=10/" in path
+    assert len(hits) == 2  # transport-level retry really happened
+    silver = bronze_to_silver(
+        read_bronze(spark, f"{tmp_path}/WAW"), "2026-02-10"
+    )
+    rows = silver.collect()
+    assert {(r.VehicleNumber, str(r.Time)) for r in rows} == {
+        ("V1", "2026-02-10 12:00:00"),
+        ("V1", "2026-02-10 12:00:30"),
+    }
