@@ -1411,7 +1411,12 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
-    with_src = shingles(docs).join(F.broadcast(src), "doc_id")
+    # two aggregate consumers (per-shingle and per-source) — checkpoint
+    # the annotated shingle stream once instead of re-running the
+    # explode + distinct shuffle per consumer
+    with_src = (
+        shingles(docs).join(F.broadcast(src), "doc_id").localCheckpoint()
+    )
     per_shingle = with_src.groupBy("shingle").agg(
         F.countDistinct("source").alias("n_sources"),
         F.min("source").alias("only_source"),

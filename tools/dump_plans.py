@@ -138,6 +138,9 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin", "anchor set broadcasts; cross-label predicate runs in the corpus scan stage"),
         ("Window", "per-anchor top-5 via bounded rank window, no global sort"),
     ],
+    "q_duplicate_spans": [
+        ("BroadcastHashJoin", "dup-gram digest set joins back adaptively (AQE picks broadcast at small scale, SMJ at 100 TB)"),
+    ],
     "q_dynamic_partition_pruning": [
         ("dynamicpruning", "runtime dim values injected into the fact scan's partition filters"),
     ],
