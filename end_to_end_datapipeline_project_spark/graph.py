@@ -239,16 +239,46 @@ def _co_order_half_edges(li: DataFrame) -> DataFrame:
   GROUP BY node
 """,
     doc="Per-node triangle counting on the part co-order graph: edges "
-    "oriented src < dst so each triangle is enumerated exactly once by "
-    "the wedge join (e1.dst = e2.src) closed against the edge set. The "
-    "orientation bounds wedge fan-out; at 100 TB the refinement is "
-    "degree-ordering (orient low-degree -> high-degree), which makes "
-    "wedge count O(E^1.5) regardless of skew. Edge list is broadcast "
-    "on both probe sides — one shuffle total (the count).",
+    "DEGREE-ordered (orient low-(deg,id) -> high) so each triangle is "
+    "enumerated exactly once by the wedge join (e1.dst = e2.src) closed "
+    "against the edge set, and per-source wedge fan-out is bounded "
+    "under any skew — total wedge work O(E^1.5) (the compact-forward "
+    "algorithm). The oracle keeps the id orientation: the triangle set "
+    "is orientation-invariant, so matching outputs PROVE the "
+    "equivalence. Edge list is broadcast on both probe sides — one "
+    "shuffle total (the count).",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    half = _co_order_half_edges(li).localCheckpoint()
+    half0 = _co_order_half_edges(li)
+    # DEGREE-ordered orientation (not id order): orient every edge from
+    # the (degree, id)-smaller endpoint to the larger one.  Any total
+    # order enumerates each triangle exactly once through the wedge
+    # join, but degree order bounds per-source wedge fan-out by
+    # sqrt(|E|)-ish, making wedge count O(E^1.5) REGARDLESS of skew —
+    # an id ordering lets one hub node generate O(deg^2) wedges.  The
+    # triangle set (and so every per-node count) is orientation-
+    # invariant, which the unchanged id-oriented DuckDB oracle proves.
+    deg = (
+        half0.select(F.col("src").alias("node"))
+        .unionAll(half0.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = F.broadcast(deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc")))
+    dd = F.broadcast(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst")))
+    swap = (F.col("ddst") < F.col("dsrc")) | (
+        (F.col("ddst") == F.col("dsrc")) & (F.col("dst") < F.col("src"))
+    )
+    half = (
+        half0.join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(swap, F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.when(swap, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
     e1 = half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = half.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     e3 = half.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
