@@ -221,6 +221,40 @@ def _co_order_half_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def orient_by_degree(half: DataFrame) -> DataFrame:
+    """Re-orient an undirected (src, dst) edge list from the
+    (degree, id)-smaller endpoint to the larger one.
+
+    Any total node order enumerates each triangle exactly once through
+    the wedge join; degree order additionally bounds per-source wedge
+    fan-out under hub skew (compact-forward, O(E^1.5) total wedges).
+    Degree table is O(|V|) and broadcasts onto both endpoints.
+    """
+    deg = (
+        half.select(F.col("src").alias("node"))
+        .unionAll(half.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = F.broadcast(
+        deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
+    )
+    dd = F.broadcast(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst"))
+    )
+    swap = (F.col("ddst") < F.col("dsrc")) | (
+        (F.col("ddst") == F.col("dsrc")) & (F.col("dst") < F.col("src"))
+    )
+    return (
+        half.join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(swap, F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.when(swap, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+        )
+    )
+
+
 @register(
     "q_triangle_count",
     f"""
@@ -259,26 +293,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an id ordering lets one hub node generate O(deg^2) wedges.  The
     # triangle set (and so every per-node count) is orientation-
     # invariant, which the unchanged id-oriented DuckDB oracle proves.
-    deg = (
-        half0.select(F.col("src").alias("node"))
-        .unionAll(half0.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    ds = F.broadcast(deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc")))
-    dd = F.broadcast(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst")))
-    swap = (F.col("ddst") < F.col("dsrc")) | (
-        (F.col("ddst") == F.col("dsrc")) & (F.col("dst") < F.col("src"))
-    )
-    half = (
-        half0.join(ds, "src")
-        .join(dd, "dst")
-        .select(
-            F.when(swap, F.col("dst")).otherwise(F.col("src")).alias("src"),
-            F.when(swap, F.col("src")).otherwise(F.col("dst")).alias("dst"),
-        )
-        .localCheckpoint()
-    )
+    half = orient_by_degree(half0).localCheckpoint()
     e1 = half.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = half.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     e3 = half.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))

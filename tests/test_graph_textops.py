@@ -215,3 +215,36 @@ def test_shortest_path_distances_valid(spark, sf_dir):
     # every non-seed reached node is at most 3 edges away, each edge
     # weight <= 0.5 (support floor of 2) => dist <= 1.5
     assert all(d <= 1.5 for d in rows.values())
+
+
+def test_degree_orientation_bounds_wedges_under_skew(spark):
+    """On a hub graph, id-ordered orientation makes the hub a wedge
+    factory (O(deg^2)); degree order pushes the hub to the sink side.
+    Measured here, not just claimed."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.graph import orient_by_degree
+
+    # star with the hub id in the MIDDLE of the id range: under id
+    # orientation half the leaves point into the hub and half out, so
+    # the hub becomes a path-wedge middle with in*out = 30*30 wedges
+    hub = 30
+    leaves = [i for i in range(61) if i != hub]
+    hub_edges = [tuple(sorted((hub, i))) for i in leaves]
+    half = spark.createDataFrame(hub_edges, "src long, dst long")
+
+    def wedges(edges):
+        e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        return e1.join(e2, "b").count()
+
+    assert wedges(half) == 30 * 30  # id orientation: hub is a wedge middle
+    oriented = orient_by_degree(half)
+    # degree orientation: every leaf (deg 1) points AT the hub (deg 60),
+    # so the hub has no outgoing edges and is never a wedge middle
+    assert wedges(oriented) == 0
+    # and the edge SET is unchanged as an undirected graph
+    undirected = {
+        tuple(sorted(r)) for r in oriented.select("src", "dst").collect()
+    }
+    assert undirected == {tuple(sorted(e)) for e in hub_edges}
