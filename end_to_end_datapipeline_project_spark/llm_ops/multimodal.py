@@ -654,3 +654,73 @@ def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs).filter(F.col("kind") == "audio")
     return segment_audio(media)
+
+
+# --- binaryFile source ingestion ------------------------------------------
+
+_BLOB_N = 200  # files staged per sf_dir
+
+
+def _stage_blob_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one blob file per document (payload = utf-8 text bytes) under
+    a content-keyed /tmp dir — the landing-zone shape a real media corpus
+    has (one object per asset).  Idempotent via a sentinel; keyed on the
+    absolute sf_dir so distinct datasets never collide."""
+    import hashlib as _h
+    import os
+
+    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = f"/tmp/spark_graft_blobs/{key}"
+    sentinel = f"{stage}/_STAGED"
+    if not os.path.exists(sentinel):
+        os.makedirs(stage, exist_ok=True)
+        rows = (
+            read_parquet_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BLOB_N)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(f"{stage}/doc_{r.doc_id:08d}.bin", "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(sentinel, "w") as f:
+            f.write("ok")
+    return stage
+
+
+@register(
+    "q_binary_ingest",
+    f"""
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_md5
+  FROM documents
+  WHERE doc_id < {_BLOB_N}
+""",
+    doc="binaryFile-source ingestion: one staged object per asset read "
+    "with Spark's binaryFile format (path, modificationTime, length, "
+    "content columns), asset id recovered from the object path, and "
+    "the payload digested — the landing pattern for a 100 TB media "
+    "corpus, where each file IS the record.  The oracle recomputes "
+    "length + md5 from the source `documents` rows the staging derives "
+    "from, closing the loop file-content == source-content.  Scale "
+    "notes: binaryFile parallelizes by file; small-object corpora "
+    "should be compacted into parquet binary columns (exactly what the "
+    "other multimodal ops consume) because per-file open cost and "
+    "driver file listings dominate below ~10 MB objects.",
+)
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_blob_dir(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    doc_id = F.regexp_extract(
+        F.col("path"), r"doc_(\d+)\.bin$", 1
+    ).cast("long")
+    return blobs.select(
+        doc_id.alias("doc_id"),
+        F.col("length").alias("byte_len"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

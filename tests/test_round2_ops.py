@@ -245,3 +245,20 @@ def test_decode_media_survives_adversarial_payloads(spark):
     for r in out.values():
         assert r.format is None  # every one fell back
         assert r.width is not None  # fake_decode dims present
+
+
+def test_binary_ingest_reads_staged_objects(spark, sf_dir):
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        q_binary_ingest,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+
+    got = {r.doc_id: (r.byte_len, r.content_md5) for r in q_binary_ingest(spark, sf_dir).collect()}
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    import hashlib
+
+    for d in docs.filter("doc_id < 200").collect():
+        raw = d.text.encode("utf-8")
+        assert got[d.doc_id] == (len(raw), hashlib.md5(raw).hexdigest())
