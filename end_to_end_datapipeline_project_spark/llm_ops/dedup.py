@@ -1049,7 +1049,11 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _PF_THRESHOLD
     docs = read_parquet_table(spark, sf_dir, "documents")
     sh = shingles(docs).localCheckpoint()
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc sizes AND the verify arrays come from ONE checkpointed
+    # map-side shingle_arrays pass: size = |array| in-row (no corpus
+    # shuffle), and the same materialization feeds both verify joins
+    arrs = shingle_arrays(docs).localCheckpoint()
+    sz = arrs.select("doc_id", F.size("shs").alias("sz"))
     # rarest-first ordering WITHOUT a global rank: the prefix only needs
     # each doc's shingles ordered by (df, shingle) — ranking positions
     # per doc over that key directly is the identical order, and it
@@ -1118,11 +1122,6 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles → groupBy pair) shuffles |cand|·|shingles/doc| skinny
     # rows — measured 62 s vs 0.4 s at the ×10 probe for the same 1.2M
     # candidates.  Exact string intersection, no hashing.
-    # per-doc shingle arrays for the verify come from the map-side
-    # shingle_arrays() helper — NOT a collect_set over the row-form
-    # shingles, which would pay a second corpus-wide (doc_id, shingle)
-    # shuffle to rebuild what the scan stage can compute in-row
-    arrs = shingle_arrays(docs)
     overlap = (
         cand.join(
             arrs.select(
@@ -1313,7 +1312,7 @@ _MH_EVAL_THRESHOLDS = (0.02, 0.05, 0.1)
     FROM __jac j
     LEFT JOIN __cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
   ),
-  __th AS (SELECT unnest([{", ".join(str(t) for t in _MH_EVAL_THRESHOLDS)}]) AS threshold)
+  __th AS (SELECT CAST(unnest([{", ".join(str(t) for t in _MH_EVAL_THRESHOLDS)}]) AS DOUBLE) AS threshold)
   SELECT t.threshold,
          CAST(count(*) AS BIGINT) AS n_true,
          CAST(sum(CASE WHEN f.found THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,

@@ -175,7 +175,12 @@ def decode_audio(payload: bytes) -> dict:
             pos += 8 + csize + (csize & 1)
         if fmt is None or data is None:
             raise ValueError("malformed WAV: missing fmt/data chunk")
-        _, channels, sample_rate, _, _, bits = fmt
+        wformat, channels, sample_rate, _, _, bits = fmt
+        # wFormatTag 1 = integer PCM (0xFFFE = extensible, PCM subtype
+        # assumed): float (3), a-law (6), mu-law (7) etc. must NOT be
+        # interpreted as PCM samples — they take the fake_decode fallback
+        if wformat not in (1, 0xFFFE):
+            raise ValueError("WAV is not integer PCM (wFormatTag != 1)")
         if channels <= 0 or sample_rate <= 0 or bits not in (8, 16, 24, 32):
             raise ValueError("RIFF/WAVE magic but not a valid PCM fmt chunk")
         n_samples = len(data) // (channels * bits // 8)
@@ -669,7 +674,14 @@ def _stage_blob_dir(spark: SparkSession, sf_dir: str) -> str:
     import hashlib as _h
     import os
 
-    key = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # key on the source file's identity AND content fingerprint
+    # (mtime+size), not just the path: regenerating documents.parquet in
+    # place must invalidate the staged blobs, or Spark would read stale
+    # payloads while the oracle recomputes from the new rows
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = _h.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     stage = f"/tmp/spark_graft_blobs/{key}"
     sentinel = f"{stage}/_STAGED"
     if not os.path.exists(sentinel):

@@ -778,9 +778,12 @@ def _rhp_bands_sql() -> str:
     "q_ann_hyperplane_lsh",
     f"""
   WITH {VECS_SQL},
+  __rhp AS (
+    SELECT * FROM __normed WHERE len(v) = {_RHP_DIM}
+  ),
   __bands0 AS (
     SELECT vec_id, u.band AS band, u.sig AS sig FROM (
-      SELECT vec_id, {_rhp_bands_sql()} AS u FROM __normed)
+      SELECT vec_id, {_rhp_bands_sql()} AS u FROM __rhp)
   ),
   __bands AS (
     SELECT vec_id, band, sig FROM (
@@ -796,8 +799,8 @@ def _rhp_bands_sql() -> str:
   SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine FROM (
     SELECT c.vec_a, c.vec_b, {COS_SQL} AS cos_raw
     FROM __cand c
-    JOIN __normed a ON a.vec_id = c.vec_a
-    JOIN __normed b ON b.vec_id = c.vec_b
+    JOIN __rhp a ON a.vec_id = c.vec_a
+    JOIN __rhp b ON b.vec_id = c.vec_b
     WHERE {COS_SQL} >= {_RHP_COS_T}
   )
   QUALIFY row_number() OVER (PARTITION BY vec_a
@@ -822,7 +825,10 @@ def _rhp_bands_sql() -> str:
     "cosines use the shared left-fold double kernel.",
 )
 def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = vectors(spark, sf_dir)
+    # off-dimension vectors are excluded on BOTH sides: the 64-term
+    # hyperplane dot would silently yield NULL (-> sign bit "0") on
+    # Spark while DuckDB's list_dot_product errors outright
+    vecs = vectors(spark, sf_dir).filter(F.size("v") == _RHP_DIM)
 
     def bit(i: int) -> Column:
         hp = F.array(

@@ -247,7 +247,12 @@ def geofence_transitions_stream(events_stream: DataFrame) -> DataFrame:
 
         last = state.get[0] if state.exists else -1  # -1 = no prior ping
         out = {"user_id": [], "event_id": [], "ts": [], "transition": []}
-        for pdf in pdfs:
+        # CONCATENATE the group's Arrow chunks before sorting: a group
+        # larger than one Arrow batch arrives as several pandas frames
+        # in arbitrary row order, and sorting each chunk independently
+        # would walk the in/out state out of timestamp order
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in (whole,):
             pdf = pdf.dropna(subset=["value", "ts"]).sort_values(
                 ["ts", "event_id"]
             )

@@ -37,15 +37,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a *directory*; stage a symlink dir (the
     landing-zone shape a real deployment would have).
     """
+    import hashlib
     import os
 
-    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # cache key = absolute source dir + current table schema, same as
+    # _events_stream_with_flush: two datasets sharing a basename must
+    # not reuse each other's stage, and a schema change invalidates it
+    cache_key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + schema.json()).encode()
+    ).hexdigest()[:16]
+    stage = f"/tmp/spark_graft_stream/{cache_key}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if os.path.islink(link) and os.readlink(link) != (
+        f"{sf_dir}/events.parquet"
+    ):
+        os.remove(link)
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
     stream = spark.readStream.schema(schema).parquet(stage)
     ts_type = dict(
         zip(schema.names, [f.dataType.typeName() for f in schema.fields])
