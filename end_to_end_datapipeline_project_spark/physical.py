@@ -32,7 +32,22 @@ N_BUCKETS = 8
 
 
 def _stage(sf_dir: str, leaf: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    """Staging dir keyed on the source dir's absolute path AND the
+    (name, mtime, size) of every parquet in it: two datasets sharing a
+    basename never collide, and regenerating the testdata in place
+    invalidates every derived stage (the _SUCCESS-marker skips below
+    would otherwise serve stale silver/bucketed copies)."""
+    import hashlib
+
+    fp = [os.path.abspath(sf_dir)]
+    try:
+        for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if entry.name.endswith(".parquet"):
+                st = entry.stat()
+                fp.append(f"{entry.name}:{st.st_mtime_ns}:{st.st_size}")
+    except FileNotFoundError:
+        pass
+    tag = hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
     return f"{_STAGE_ROOT}/{tag}/{leaf}"
 
 
@@ -340,4 +355,55 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             spark_dsum(F.col("value")).alias("sum_value"),
         )
+    )
+
+
+# --- small-file compaction -------------------------------------------------
+
+_COMPACT_SHARDS = 64  # deliberately fragmented input layout
+_COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "q_compact_small_files",
+    f"""
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+""",
+    doc=f"Small-file compaction — the 100 TB housekeeping job: a "
+    f"deliberately fragmented copy of documents ({_COMPACT_SHARDS} "
+    "shard files) is compacted to "
+    f"{_COMPACT_TARGET_FILES} right-sized files with repartition(N) at "
+    "write time, and the compacted copy must carry exactly the source "
+    "rows (the oracle aggregates the ORIGINAL table — loss or "
+    "duplication during compaction breaks the hash).  Streaming "
+    "ingestion produces exactly this fragmentation (one file per "
+    "micro-batch per partition); compaction restores scan efficiency "
+    "because a 100 TB table in 10^8 x 1 MB files spends more time in "
+    "open/footer overhead than in column IO.  File-count bounds are "
+    "asserted in tests/test_physical.py.",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag_dir = _stage(sf_dir, "frag_documents")
+    compact_dir = _stage(sf_dir, "compact_documents")
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    if not os.path.exists(f"{frag_dir}/_SUCCESS"):
+        # simulate micro-batch fragmentation: 64 shards of ~80 rows
+        docs.repartition(_COMPACT_SHARDS).write.mode("overwrite").parquet(
+            frag_dir
+        )
+    if not os.path.exists(f"{compact_dir}/_SUCCESS"):
+        (
+            spark.read.parquet(frag_dir)
+            .repartition(_COMPACT_TARGET_FILES)
+            .write.mode("overwrite")
+            .parquet(compact_dir)
+        )
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )

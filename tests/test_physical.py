@@ -103,3 +103,23 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     # every surviving date satisfies the dim predicate
     for r in df.collect():
         assert r.date.day % 10 == 3
+
+
+def test_compaction_bounds_file_count(spark, sf_dir):
+    import glob
+
+    from end_to_end_datapipeline_project_spark.physical import (
+        _COMPACT_SHARDS,
+        _COMPACT_TARGET_FILES,
+        _stage,
+        q_compact_small_files,
+    )
+
+    row = q_compact_small_files(spark, sf_dir).first()
+    assert row.n_rows == row.n_docs  # no loss, no duplication
+    frag = glob.glob(f"{_stage(sf_dir, 'frag_documents')}/part-*.parquet")
+    compact = glob.glob(
+        f"{_stage(sf_dir, 'compact_documents')}/part-*.parquet"
+    )
+    assert len(frag) == _COMPACT_SHARDS
+    assert 1 <= len(compact) <= _COMPACT_TARGET_FILES
