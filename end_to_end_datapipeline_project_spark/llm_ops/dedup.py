@@ -459,9 +459,16 @@ def connected_components(
     """Min-label propagation connected components.
 
     ``nodes``: one column ``id_col``; ``edges1``: columns (src, dst), one
-    row per undirected edge.  Each node iteratively adopts the smallest
-    id reachable; localCheckpoint per iteration cuts lineage (O(1) plan
-    depth), and the loop stops when the global label sum is stable.
+    row per undirected edge.  Each iteration does an edge-neighbor min
+    step AND a pointer-jumping step (label := label of the label
+    holder), so convergence takes O(log diameter) rounds instead of
+    O(diameter) — a path graph of length 2^20 converges in ~20 rounds,
+    which is what makes fixed iteration budgets safe at 100 TB (plain
+    one-hop propagation was observed to hit the cap on sparse sf0.001
+    chains and emit un-merged clusters).  Labels are non-increasing, so
+    the global label sum strictly decreases on any change and sum
+    stability is an exact convergence test.  localCheckpoint per
+    iteration cuts lineage (O(1) plan depth).
     Returns (id_col, cluster_id, is_canonical).
     """
     edges = edges1.unionAll(
@@ -479,12 +486,27 @@ def connected_components(
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(prop, id_col, "left").select(
+            id_col,
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the label of the node my label points
+        # at (always <= my label since labels are reachable minima) —
+        # halves the remaining path length every round
+        holder = stepped.select(
+            F.col(id_col).alias("__h_id"), F.col("label").alias("__h_label")
+        )
         labels = (
-            labels.join(prop, id_col, "left")
+            stepped.join(
+                holder, stepped.label == F.col("__h_id"), "left"
+            )
             .select(
                 id_col,
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("__h_label", F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint()  # cut lineage: O(1) plan depth per iteration

@@ -262,3 +262,22 @@ def test_binary_ingest_reads_staged_objects(spark, sf_dir):
     for d in docs.filter("doc_id < 200").collect():
         raw = d.text.encode("utf-8")
         assert got[d.doc_id] == (len(raw), hashlib.md5(raw).hexdigest())
+
+
+def test_connected_components_converges_on_long_chains(spark):
+    """Pointer jumping makes CC converge in O(log diameter): a 200-node
+    path graph (diameter 199, far beyond the 20-iteration budget under
+    one-hop propagation) must still collapse to a single cluster."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = connected_components(nodes, chain, "doc_id").collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
+    assert sum(r.is_canonical for r in out) == 1
