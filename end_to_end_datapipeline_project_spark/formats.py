@@ -34,7 +34,22 @@ _STAGE_ROOT = "/tmp/spark_graft_formats"
 
 
 def _stage(sf_dir: str, leaf: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    """Staging dir keyed on the source dir's absolute path and every
+    parquet's (name, mtime, size) — same contract as physical._stage:
+    basename collisions between datasets and in-place testdata
+    regeneration must invalidate the _STAGED-marker skips below, or a
+    stale staged copy is served while the oracle reads fresh source."""
+    import hashlib
+
+    fp = [os.path.abspath(sf_dir)]
+    try:
+        for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if entry.name.endswith(".parquet"):
+                st = entry.stat()
+                fp.append(f"{entry.name}:{st.st_mtime_ns}:{st.st_size}")
+    except FileNotFoundError:
+        pass
+    tag = hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
     return f"{_STAGE_ROOT}/{tag}/{leaf}"
 
 

@@ -665,8 +665,8 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(sum(n) AS DOUBLE) AS total FROM __vocab
   )
   SELECT doc_id, count(*) AS n_tokens,
-         round(CAST(SUM(CAST(round(ln(v.n / t.total), 6) AS DECIMAL(30,6)))
-                    AS DOUBLE) / count(*), 6) AS avg_logprob
+         CAST(SUM(CAST(round(ln(v.n / t.total), 6) AS DECIMAL(30,6)))
+              AS DOUBLE) / count(*) AS avg_logprob
   FROM __tok j
   JOIN __vocab v USING (token)
   CROSS JOIN __total t
@@ -696,9 +696,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp = F.round(F.log(F.col("n") / F.col("total")), 6)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(spark_dsum(logp) / F.count(F.lit(1)), 6).alias(
-            "avg_logprob"
-        ),
+        (spark_dsum(logp) / F.count(F.lit(1))).alias("avg_logprob"),
     )
 
 
@@ -1448,9 +1446,9 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
   )
   SELECT b.doc_id,
          count(*) AS n_bigrams,
-         round(CAST(SUM(CAST(round(
+         CAST(SUM(CAST(round(
                  ln((bc.cb + 1.0) / (u.cn + v.v)), 6) AS DECIMAL(30,6)))
-               AS DOUBLE) / count(*), 6) AS avg_logprob
+              AS DOUBLE) / count(*) AS avg_logprob
   FROM __big b
   JOIN __bc bc USING (bg)
   JOIN __uni u ON u.token = b.w1
@@ -1500,7 +1498,5 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(spark_dsum(logp) / F.count(F.lit(1)), 6).alias(
-            "avg_logprob"
-        ),
+        (spark_dsum(logp) / F.count(F.lit(1))).alias("avg_logprob"),
     )

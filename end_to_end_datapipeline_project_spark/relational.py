@@ -1858,10 +1858,10 @@ def q_shipmode_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name = 'EUROPE'
   ), ranked AS (
     SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.nation,
-           round(ps.supply_cost, 6) AS supply_cost,
+           ps.supply_cost AS supply_cost,
            row_number() OVER (
              PARTITION BY p.p_partkey
-             ORDER BY round(ps.supply_cost, 6), e.s_suppkey) AS rn
+             ORDER BY ps.supply_cost, e.s_suppkey) AS rn
     FROM ps
     JOIN eu e ON e.s_suppkey = ps.l_suppkey
     JOIN part p ON p.p_partkey = ps.l_partkey
@@ -1897,7 +1897,10 @@ def q_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
         .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .withColumn("supply_cost", F.round("supply_cost", 6))
+        # RAW double, no round: both engines compute the identical
+        # extendedprice/quantity quotient, and a 6-decimal round can
+        # land on an exact half-way value (266.9078125 at sf0.1) where
+        # Spark's string-based HALF_UP and DuckDB's rounding disagree
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "nation", "supply_cost")

@@ -264,7 +264,9 @@ def q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.lat").alias("blat"),
         F.col("b.lon").alias("blon"),
         d.alias("dist"),
-    )
+    ).localCheckpoint()  # both directed aggregations consume the SAME
+    # pairwise block join (the dominant cost); without materialization
+    # each grouping re-executes the whole O(P^2) join
     h_ab = (
         joined.groupBy("user_a", "user_b", "alat", "alon")
         .agg(F.min("dist").alias("min_d"))

@@ -184,7 +184,15 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "lo", "hi", F.col("hi_bin").alias("bin")
         ).filter(
             (F.col("hi_bin") > F.col("full_hi"))
-            & (F.col("hi_bin") > F.col("lo_bin"))
+            # suppress only when the LO edge already emitted this same
+            # bin: the old `hi_bin > lo_bin` guard also dropped
+            # intervals contained in one bin with a bin-aligned lo
+            # (lo-edge skipped, full side empty), losing their matches
+            # under BIN > interval retuning
+            & ~(
+                (F.col("hi_bin") == F.col("lo_bin"))
+                & (F.col("lo_bin") < F.col("full_lo"))
+            )
         )
     )
     edge = (
@@ -215,7 +223,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT event_id, user_id, ts, event_type,
          last_value(CASE WHEN event_type = 'purchase' THEN value END
                     IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS last_purchase_value
   FROM events
@@ -226,9 +234,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet_table(spark, sf_dir, "events")
+    # (ts, event_id) tiebreak: same-timestamp peers would otherwise see
+    # the frame in arbitrary (engine-dependent) order
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
@@ -451,7 +461,8 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
   ),
   with_base AS (
     SELECT dow, event_type, n, avg_value,
-           sum(n * avg_value) OVER (PARTITION BY event_type)
+           CAST(sum(CAST(n * avg_value AS DECIMAL(30,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE)
              / sum(n) OVER (PARTITION BY event_type) AS base
     FROM per_cell
   )
@@ -479,7 +490,15 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("event_type")
-    base = F.sum(F.col("n") * F.col("avg_value")).over(w) / F.sum("n").over(w)
+    # decimal-quantized window sum: a plain double reduction is summed
+    # in engine-specific order and a last-ulp drift in base can flip
+    # round(avg/base, 6) at a half-way boundary
+    base = (
+        F.sum((F.col("n") * F.col("avg_value")).cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        / F.sum("n").over(w)
+    )
     return per_cell.select(
         "dow",
         "event_type",
@@ -681,7 +700,7 @@ def _ewma_sql() -> str:
     FROM events
     WHERE event_type = 'purchase')
   SELECT event_id, user_id, ts, value,
-         round(({num}) / ({den}), 6) AS ewma10
+         round(({num}) / nullif({den}, 0.0), 6) AS ewma10
   FROM __lagged
 """
 
@@ -717,12 +736,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0))
         num = nterm if num is None else num + nterm
         den = dterm if den is None else den + dterm
+    # nullif guards the all-NULL-window case (value is nullable by
+    # contract): den = 0 would raise DIVIDE_BY_ZERO under ANSI mode
     return df.select(
         "event_id",
         "user_id",
         "ts",
         "value",
-        F.round(num / den, 6).alias("ewma10"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ewma10"),
     )
 
 
