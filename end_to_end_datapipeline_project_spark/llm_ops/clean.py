@@ -175,10 +175,10 @@ _BLOCK_PAT = r"\b(the|a|of|and|is|to|in)\b"
          len(regexp_extract_all(lower(text), '{_BLOCK_PAT}')) AS n_hits,
          md5(trim(regexp_replace(
                regexp_replace(lower(text), '{_BLOCK_PAT}', '', 'g'),
-               '\\s+', ' ', 'g'))) AS scrub_sig,
+               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS scrub_sig,
          length(trim(regexp_replace(
                regexp_replace(lower(text), '{_BLOCK_PAT}', '', 'g'),
-               '\\s+', ' ', 'g'))) AS n_chars_scrubbed
+               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS n_chars_scrubbed
   FROM documents
 """,
     doc="Blocklist scrubbing: word-boundary regexp_replace removes listed "
@@ -191,7 +191,7 @@ def q_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = F.lower(F.col("text"))
     scrubbed = F.trim(
         F.regexp_replace(
-            F.regexp_replace(low, _BLOCK_PAT, ""), r"\s+", " "
+            F.regexp_replace(low, _BLOCK_PAT, ""), r"[ \t\n\x0b\f\r]+", " "
         )
     )
     return docs.select(

@@ -113,7 +113,7 @@ def shingle_arrays(df: DataFrame) -> DataFrame:
   ),
   __fp AS (
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
              AS fingerprint
     FROM __all
   )
@@ -134,7 +134,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = doubled.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
             "fingerprint"
         ),
     )
@@ -806,7 +806,7 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   WITH t AS (
     SELECT doc_id,
-           string_split_regex(lower(trim(text)), '\\s+') AS toks
+           string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS toks
     FROM documents
     WHERE trim(text) <> ''
   ),
@@ -845,7 +845,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").filter(
         F.trim("text") != ""
     )
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = F.split(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+")
     chunked = docs.select(
         "doc_id",
         F.posexplode(
@@ -879,7 +879,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   WITH fp AS (
     SELECT doc_id, source,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
     FROM documents
   ),
   batch AS (
@@ -888,7 +888,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT doc_id + 2000000 AS doc_id, source,
            md5(regexp_replace(lower(trim(text || ' updated')),
-                              '\\s+', ' ', 'g')) AS f
+                              '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
     FROM documents WHERE doc_id % 10 = 5
   ),
   base AS (SELECT DISTINCT f FROM fp)
@@ -910,7 +910,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
-    fp_of = lambda c: F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    fp_of = lambda c: F.md5(F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0b\f\r]+", " "))
     fp = docs.select("doc_id", "source", fp_of(F.col("text")).alias("f"))
     batch = fp.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "source", "f"

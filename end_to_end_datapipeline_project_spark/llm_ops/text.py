@@ -30,11 +30,15 @@ def _sql_list(words: list[str]) -> str:
 
 
 #: shared tokenization: lowercase, trim, split on whitespace runs
-TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+#: explicit whitespace class, NOT \s: Java regex \s includes \x0B but
+#: RE2 (DuckDB) \s does not, so a vertical tab in scraped text would
+#: tokenize differently per engine — the class below is ASCII-identical
+#: in Java, RE2, and Python re
+TOKENS_SQL = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')"
 
 
 def tokens_col() -> F.Column:
-    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0b\f\r]+")
 
 
 @register(
@@ -77,13 +81,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
   )
   SELECT doc_id, n_tokens, n_stopwords, n_punct,
-    round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-    round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-    round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_span,
+    round(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0), 6)
+      AS stopword_ratio,
+    round(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 6) AS punct_ratio,
+    round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 6)
+      AS avg_token_span,
     round(
       0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-      + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-      + 0.2 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 5.0, 1.0),
+      + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / nullif(n_chars, 0))
+      + 0.2 * least(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0)
+                    * 5.0, 1.0),
       6) AS quality_score
   FROM s
 """,
@@ -114,13 +121,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_stopwords",
         "n_punct",
-        F.round(n_stop / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(n_punct / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(n_chars / F.col("n_tokens"), 6).alias("avg_token_span"),
+        # nullif guards: an empty-text doc has n_chars = 0 (and token
+        # splits can degenerate) — ANSI mode would crash the job where
+        # the oracle returns NULL
+        F.round(n_stop / F.nullif(n_tok, F.lit(0.0)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(n_punct / F.nullif(n_chars, F.lit(0.0)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(n_chars / F.nullif(n_tok, F.lit(0.0)), 6).alias(
+            "avg_token_span"
+        ),
         F.round(
             0.5 * F.least(n_tok / 100.0, F.lit(1.0))
-            + 0.3 * (1.0 - n_punct / n_chars)
-            + 0.2 * F.least(n_stop / F.col("n_tokens") * 5.0, F.lit(1.0)),
+            + 0.3 * (1.0 - n_punct / F.nullif(n_chars, F.lit(0.0)))
+            + 0.2
+            * F.least(
+                n_stop / F.nullif(n_tok, F.lit(0.0)) * 5.0, F.lit(1.0)
+            ),
             6,
         ).alias("quality_score"),
     )
@@ -194,7 +213,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     """
   SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
            AS fingerprint
   FROM documents
 """,
@@ -205,7 +224,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet_table(spark, sf_dir, "documents")
     return df.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
             "fingerprint"
         ),
     )
@@ -332,7 +351,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
   WITH __scored AS (
     SELECT doc_id, lang, source, n_chars,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
              AS fingerprint,
            len({TOKENS_SQL}) AS n_tokens,
            length(text)
@@ -373,7 +392,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
             "fingerprint"
         ),
         F.size(tokens_col()).alias("n_tokens"),
@@ -1172,7 +1191,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
   WITH __base AS (
     SELECT doc_id, lang, source, n_chars,
            len({TOKENS_SQL}) AS n_tokens,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
     FROM documents WHERE trim(text) <> ''
   ),
   __tok AS (
@@ -1218,7 +1237,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.size(tokens_col()).alias("n_tokens"),
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
             "fp"
         ),
     )

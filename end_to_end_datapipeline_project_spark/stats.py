@@ -116,10 +116,14 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sxy, sy, syy = F.col("sxy"), F.col("sy"), F.col("syy")
-    var = (sxx - sx * sx / n) / (n - 1)
-    cov = (sxy - sx * sy / n) / (n - 1)
-    corr = (sxy - sx * sy / n) / (
-        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    # nullif guards: singleton groups (n-1 = 0) and constant columns
+    # (zero variance) would raise DIVIDE_BY_ZERO under ANSI where the
+    # oracle returns NULL
+    nm1 = F.nullif(n - 1, F.lit(0))
+    var = (sxx - sx * sx / n) / nm1
+    cov = (sxy - sx * sy / n) / nm1
+    corr = (sxy - sx * sy / n) / F.nullif(
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n), F.lit(0.0)
     )
     return sums.select(
         "event_type",
@@ -260,7 +264,9 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = (n * sxy - sx * sy) / F.nullif(
+        n * sxx - sx * sx, F.lit(0.0)
+    )  # constant-x group: NULL, not an ANSI crash
     return s.select(
         "l_returnflag",
         "n",
@@ -441,15 +447,25 @@ def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = float(r.n)
             num = n * r.sxy - r.sx * r.sy
             den = n * r.sxx - r.sx * r.sx
-            slope = num / den
+            r2_den = den * (n * r.syy - r.sy * r.sy)
+            # degenerate groups (single row / constant x or y) make the
+            # denominators 0: emit NULLs to match the oracle instead of
+            # killing the executor with ZeroDivisionError
+            slope = num / den if den != 0.0 else None
             out.append(
                 {
                     "event_type": r.event_type,
                     "n": r.n,
-                    "slope": round(slope, 6),
-                    "intercept": round((r.sy - slope * r.sx) / n, 6),
-                    "r2": round(
-                        (num * num) / (den * (n * r.syy - r.sy * r.sy)), 6
+                    "slope": round(slope, 6) if slope is not None else None,
+                    "intercept": (
+                        round((r.sy - slope * r.sx) / n, 6)
+                        if slope is not None
+                        else None
+                    ),
+                    "r2": (
+                        round((num * num) / r2_den, 6)
+                        if r2_den != 0.0
+                        else None
                     ),
                 }
             )
@@ -484,13 +500,21 @@ _DRIFT_BIN = "CAST(floor(value / 20) AS BIGINT)"
     SELECT period, event_type, sum(c) AS tot
     FROM __counts GROUP BY period, event_type
   ),
+  __tot2 AS (
+    SELECT event_type,
+           max(CASE WHEN period = 'ref' THEN tot END) AS ref_tot,
+           max(CASE WHEN period = 'cur' THEN tot END) AS cur_tot
+    FROM __tot GROUP BY event_type
+  ),
   __p AS (
     SELECT c.event_type, c.bin,
-           CAST(max(CASE WHEN c.period = 'ref' THEN c ELSE 0 END) AS DOUBLE)
-             / max(CASE WHEN c.period = 'ref' THEN tot END) AS p,
-           CAST(max(CASE WHEN c.period = 'cur' THEN c ELSE 0 END) AS DOUBLE)
-             / max(CASE WHEN c.period = 'cur' THEN tot END) AS q
-    FROM __counts c JOIN __tot USING (period, event_type)
+           coalesce(
+             CAST(max(CASE WHEN c.period = 'ref' THEN c ELSE 0 END)
+                  AS DOUBLE) / max(t.ref_tot), 0.0) AS p,
+           coalesce(
+             CAST(max(CASE WHEN c.period = 'cur' THEN c ELSE 0 END)
+                  AS DOUBLE) / max(t.cur_tot), 0.0) AS q
+    FROM __counts c JOIN __tot2 t USING (event_type)
     GROUP BY c.event_type, c.bin
   )
   SELECT event_type,
@@ -535,14 +559,25 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.groupBy("period", "event_type").agg(
         F.sum("c").alias("tot")
     )
-    joined = counts.join(tot, ["period", "event_type"])
+    # per-TYPE totals join at the type level, not via the counts rows: a
+    # bin present in only one half has no row for the other period, so
+    # the old max(CASE period THEN tot) gave NULL -> p/q NULL -> the
+    # one-sided bin was never counted as disjoint (the DQ signal was
+    # dead; the oracle shared the flaw, so parity never caught it)
+    tot2 = tot.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == "ref", F.col("tot"))).alias("ref_tot"),
+        F.max(F.when(F.col("period") == "cur", F.col("tot"))).alias("cur_tot"),
+    )
+    joined = counts.join(F.broadcast(tot2), "event_type")
     ref_c = F.max(F.when(F.col("period") == "ref", F.col("c")).otherwise(0))
     cur_c = F.max(F.when(F.col("period") == "cur", F.col("c")).otherwise(0))
-    ref_t = F.max(F.when(F.col("period") == "ref", F.col("tot")))
-    cur_t = F.max(F.when(F.col("period") == "cur", F.col("tot")))
     p_q = joined.groupBy("event_type", "bin").agg(
-        (ref_c.cast("double") / ref_t).alias("p"),
-        (cur_c.cast("double") / cur_t).alias("q"),
+        F.coalesce(
+            ref_c.cast("double") / F.max("ref_tot"), F.lit(0.0)
+        ).alias("p"),
+        F.coalesce(
+            cur_c.cast("double") / F.max("cur_tot"), F.lit(0.0)
+        ).alias("q"),
     )
     p, q = F.col("p"), F.col("q")
     return p_q.groupBy("event_type").agg(
@@ -585,7 +620,7 @@ def _uniform_sql(fn: str) -> str:
   keyed AS (
     SELECT doc_id, n_chars,
            round(pow({_uniform_sql("strpos")},
-                     1.0 / n_chars), 9) AS sample_key
+                     1.0 / nullif(n_chars, 0)), 9) AS sample_key
     FROM h
   )
   SELECT doc_id, n_chars, sample_key
@@ -610,8 +645,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id",
         "n_chars",
-        f"round(pow({_uniform_sql('instr')}, 1.0 / n_chars), 9)"
-        " AS sample_key",
+        f"round(pow({_uniform_sql('instr')}, 1.0 / nullif(n_chars, 0)), 9)"
+        " AS sample_key",  # zero-weight doc: NULL key (never sampled)
     )
     return keyed.orderBy(F.desc("sample_key"), "doc_id").limit(20)
 
@@ -1040,7 +1075,8 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY o_orderpriority
   )
   SELECT o.o_orderkey, o.o_orderpriority,
-         round((g.sx - o.o_totalprice) / (g.n - 1), 6) AS loo_target_enc
+         round((g.sx - o.o_totalprice) / nullif(g.n - 1, 0), 6)
+           AS loo_target_enc
   FROM orders o JOIN g USING (o_orderpriority)
 """,
     doc="Leave-one-out target encoding of o_orderpriority against "
@@ -1063,7 +1099,9 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderpriority",
             F.round(
-                (F.col("sx") - F.col("o_totalprice")) / (F.col("n") - 1), 6
+                (F.col("sx") - F.col("o_totalprice"))
+                / F.nullif(F.col("n") - 1, F.lit(0)),
+                6,  # singleton category: NULL, matching the oracle
             ).alias("loo_target_enc"),
         )
     )
@@ -1089,7 +1127,7 @@ _IG_FEATURES = [
 def _ig_oracle() -> str:
     cells = "\n    UNION ALL ".join(
         f"SELECT '{name}' AS feature, {expr} AS val, o_orderstatus AS y FROM orders"
-        for name, expr, _ in ((n, d, d) for n, _, d in _IG_FEATURES)
+        for name, _, expr in _IG_FEATURES
     )
     return f"""
   WITH __cells AS (
@@ -1325,23 +1363,33 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("click", "sx").alias("sx2"),
         pick("click", "sxx").alias("sxx2"),
     )
-    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
-        F.col("n1") - 1
-    ) / F.col("n1")
-    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")) / (
-        F.col("n2") - 1
-    ) / F.col("n2")
+    # nullif guards on (n-1) and the zero-variance t denominator:
+    # one-sample or constant-value arms would ANSI-crash where the
+    # oracle yields NULL
+    nm1_1 = F.nullif(F.col("n1") - 1, F.lit(0))
+    nm1_2 = F.nullif(F.col("n2") - 1, F.lit(0))
+    v1 = (
+        (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+        / nm1_1
+        / F.col("n1")
+    )
+    v2 = (
+        (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
+        / nm1_2
+        / F.col("n2")
+    )
     diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
     return w.select(
         "n1",
         "n2",
         F.round(diff, 6).alias("mean_diff"),
-        F.round(diff / F.sqrt(v1 + v2), 6).alias("t_stat"),
+        F.round(
+            diff / F.nullif(F.sqrt(v1 + v2), F.lit(0.0)), 6
+        ).alias("t_stat"),
         F.round(
             F.pow(v1 + v2, 2)
-            / (
-                F.pow(v1, 2) / (F.col("n1") - 1)
-                + F.pow(v2, 2) / (F.col("n2") - 1)
+            / F.nullif(
+                F.pow(v1, 2) / nm1_1 + F.pow(v2, 2) / nm1_2, F.lit(0.0)
             ),
             6,
         ).alias("welch_df"),
@@ -1510,7 +1558,9 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 6).alias("u_stat"),
         F.round(
             (u - n1 * n2 / 2.0)
-            / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0),
+            / F.nullif(  # empty arm: NULL, not an ANSI crash
+                F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), F.lit(0.0)
+            ),
             6,
         ).alias("z_score"),
     )

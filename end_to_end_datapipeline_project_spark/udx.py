@@ -80,11 +80,20 @@ def _token_counts_udtf():
     @udtf(returnType="word: string, n: bigint")
     class _TokenCounts:
         def eval(self, doc_id, text: str):
+            import re
             from collections import Counter
 
             if text is None or not text.strip():
                 return
-            for w, n in Counter(text.lower().split()).items():
+            # explicit class, NOT str.split(): Python splits on extra
+            # controls (\x1c-\x1f, \x85) and unicode spaces that the
+            # engines' ASCII tokenizers do not
+            toks = [
+                t
+                for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower())
+                if t
+            ]
+            for w, n in Counter(toks).items():
                 yield w, n
 
     return _TokenCounts
@@ -96,7 +105,7 @@ def _token_counts_udtf():
   SELECT doc_id, tok AS word, count(*) AS n
   FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
     FROM documents WHERE trim(text) <> ''
   )
   GROUP BY doc_id, tok

@@ -281,3 +281,22 @@ def test_connected_components_converges_on_long_chains(spark):
     assert len(out) == n
     assert {r.cluster_id for r in out} == {0}
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_tokenizer_agrees_on_vertical_tab(spark):
+    """Java \\s includes \\x0B, RE2 \\s does not; the explicit class
+    makes both engines split identically."""
+    import duckdb
+
+    from end_to_end_datapipeline_project_spark.llm_ops.text import (
+        TOKENS_SQL,
+        tokens_col,
+    )
+
+    txt = "alpha\x0bbeta gamma"
+    df = spark.createDataFrame([(txt,)], "text string")
+    spark_toks = df.select(tokens_col().alias("t")).first().t
+    duck_toks = duckdb.sql(
+        f"SELECT {TOKENS_SQL} FROM (SELECT '{txt}' AS text)"
+    ).fetchone()[0]
+    assert spark_toks == duck_toks == ["alpha", "beta", "gamma"]
