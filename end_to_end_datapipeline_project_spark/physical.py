@@ -26,7 +26,12 @@ from .pipeline_queries import _cleansed_sql, events_cleansed
 from .registry import dsum, register, spark_dsum
 from .sources import read_parquet_table
 
-_STAGE_ROOT = "/tmp/spark_graft_physical"
+#: bump when a transformation feeding a staged dataset changes semantics
+#: (the fingerprint below covers input DATA, not code — without an epoch
+#: bump a code change would keep reading _SUCCESS-marked stale outputs)
+_STAGE_EPOCH = "v2"
+
+_STAGE_ROOT = f"/tmp/spark_graft_physical_{os.getuid()}"
 
 N_BUCKETS = 8
 
@@ -39,7 +44,7 @@ def _stage(sf_dir: str, leaf: str) -> str:
     would otherwise serve stale silver/bucketed copies)."""
     import hashlib
 
-    fp = [os.path.abspath(sf_dir)]
+    fp = [_STAGE_EPOCH, os.path.abspath(sf_dir)]
     try:
         for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
             if entry.name.endswith(".parquet"):
@@ -68,7 +73,11 @@ def _stage(sf_dir: str, leaf: str) -> str:
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # table names carry the SAME content-hash tag as the staging dirs:
+    # basename-derived names served stale bucketed tables for any other
+    # dataset sharing a basename (or in-place regenerated testdata), and
+    # non-identifier chars in the basename broke tableExists outright
+    tag = _stage(sf_dir, "").rstrip("/").rsplit("/", 1)[-1]
     t_orders, t_li = f"sg_orders_b_{tag}", f"sg_lineitem_b_{tag}"
     for name, df, key in ((t_orders, orders, "o_orderkey"), (t_li, li, "l_orderkey")):
         if not spark.catalog.tableExists(name):
@@ -129,6 +138,9 @@ def q_medallion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_SESSIONS: dict = {}
+
+
 @register(
     "q_bloom_join",
     f"""
@@ -152,7 +164,14 @@ def q_medallion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the plain join.",
 )
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s2 = spark.newSession()
+    # one isolated session per parent SparkSession, reused across calls:
+    # newSession() per invocation accumulated session state on the
+    # shared SparkContext for the application lifetime (slow leak in
+    # bench loops)
+    s2 = _BLOOM_SESSIONS.get(id(spark))
+    if s2 is None:
+        s2 = spark.newSession()
+        _BLOOM_SESSIONS[id(spark)] = s2
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s2.conf.set(

@@ -229,7 +229,7 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         one("intersect", building.intersect(urgent))
-        .unionAll(one("except", building.exceptAll(urgent).distinct()))
+        .unionAll(one("except", building.subtract(urgent)))
         .unionAll(one("union", building.union(urgent).distinct()))
     )
 
@@ -758,8 +758,6 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every warehouse dim table needs.",
 )
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = read_parquet_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
@@ -862,8 +860,6 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order makes navigation values deterministic under ties.",
 )
 def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = read_parquet_table(spark, sf_dir, "orders")
     wf = (
         Window.partitionBy("o_orderpriority")
