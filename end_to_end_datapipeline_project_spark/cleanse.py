@@ -127,8 +127,6 @@ def bronze_to_silver_observed(
     ``spark.listenerManager``-delivered QueryExecution or, simplest, the
     ``Observation`` helper (see tests).
     """
-    from pyspark.sql import functions as F
-
     exploded = explode_envelope(bronze).observe(
         "bronze_rows", F.count(F.lit(1)).alias("n_raw")
     )

@@ -54,9 +54,13 @@ def run_batch(
     try:
         silver.write.mode("overwrite").partitionBy("date").parquet(silver_dir)
 
-        silver_back = spark.read.parquet(silver_dir).filter(
-            F.col("date") == F.lit(process_date).cast("date")
-        )
+        # explicit schema: an all-filtered (empty) date writes only
+        # _SUCCESS, and schema inference on a file-less dir raises —
+        # a no-data day must yield an empty Gold partition, not abort
+        # the backfill
+        silver_back = spark.read.schema(silver.schema).parquet(
+            silver_dir
+        ).filter(F.col("date") == F.lit(process_date).cast("date"))
         enriched = enrich(silver_back, TrajectoryConfig())
         report = daily_report(enriched).withColumn(
             "date", F.lit(process_date).cast("date")
@@ -64,6 +68,7 @@ def run_batch(
         report.write.mode("overwrite").partitionBy("date").parquet(gold_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return spark.read.parquet(gold_dir).filter(
+        gold_schema = report.schema
+    return spark.read.schema(gold_schema).parquet(gold_dir).filter(
         F.col("date") == F.lit(process_date).cast("date")
     )

@@ -13,6 +13,7 @@ only ever sees bounded, already-aggregated data.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -29,7 +30,25 @@ def write_partitioned_parquet(
     """
     partition_cols = partition_cols or []
     if files_per_partition and partition_cols:
-        df = df.repartition(files_per_partition, *partition_cols)
+        # repartition(N, cols) alone CANNOT split a partition: every
+        # partition value hashes to one task, so file count per
+        # partition collapses to 1 and the whole partition's write
+        # serializes through a single task.  A deterministic row-hash
+        # salt spreads each partition over files_per_partition tasks.
+        salt = F.pmod(
+            F.xxhash64(*df.columns), F.lit(files_per_partition)
+        ).alias("__salt")
+        df = (
+            df.withColumn("__salt", salt)
+            # explicit count: a column-only repartition is AQE-coalesced
+            # back to one partition for small data, un-splitting the
+            # files; the x4 headroom reduces (partition, salt) hash
+            # collisions into the same task
+            .repartition(
+                files_per_partition * 4, *partition_cols, F.col("__salt")
+            )
+            .drop("__salt")
+        )
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -48,9 +67,15 @@ def to_pandas_edge(df: DataFrame, limit: int | None = None):
     Guard: refuse unbounded collection — presentation edges must be top-k'd
     or aggregated first.
     """
-    if limit is not None:
-        df = df.limit(limit)
-    return df.toPandas()
+    cap = 100_000 if limit is None else limit
+    pdf = df.limit(cap + 1).toPandas()
+    if limit is None and len(pdf) > cap:
+        raise ValueError(
+            "to_pandas_edge: unbounded collection refused — the frame "
+            f"exceeds the {cap}-row default cap; aggregate or top-k "
+            "first, or pass an explicit limit"
+        )
+    return pdf.iloc[:cap]
 
 
 def compact_partitioned(
@@ -78,8 +103,14 @@ def compact_partitioned(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        per_part = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
         (
-            df.repartition(n_files, partition_col)
+            # salt within each partition value: repartition(n, col)
+            # alone maps a whole partition to one task/file (see
+            # write_partitioned_parquet)
+            df.withColumn("__salt", per_part)
+            .repartition(n_files, partition_col, "__salt")
+            .drop("__salt")
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(path)

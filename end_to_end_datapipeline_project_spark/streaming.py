@@ -115,7 +115,11 @@ def stateful_user_stats(events_stream: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             batch_max = pdf["value"].max()
-            if len(pdf) and (mx is None or batch_max > mx):
+            # all-null chunk: pandas max() is NaN — adopting it would
+            # poison the running max forever (NaN never compares less)
+            if len(pdf) and not pd.isna(batch_max) and (
+                mx is None or batch_max > mx
+            ):
                 mx = float(batch_max)
         state.update((n, mx))
         yield pd.DataFrame(
@@ -144,7 +148,13 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
-    return spark.table(table_name)
+    # detach the result from the memory sink and DROP the sink's temp
+    # view: each invocation otherwise leaves its full result set
+    # resident in the driver for the session lifetime (bench loops and
+    # repeated gate runs accumulated every past run's rows)
+    out = spark.table(table_name).localCheckpoint()
+    spark.catalog.dropTempView(table_name)
+    return out
 
 
 def protobuf_available() -> bool:

@@ -41,6 +41,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive pinning, mirroring sources.read_parquet_table: the
+    # driver contract may hand us any SparkSession, and the ntz->ltz
+    # cast below shifts instants unless the session is UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # cache key = absolute source dir + current table schema, same as
     # _events_stream_with_flush: two datasets sharing a basename must
@@ -426,6 +431,8 @@ def _events_stream_with_flush(
     import datetime
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # cache key = absolute source dir + current table schema: two datasets
     # sharing a basename must not reuse each other's stage, and a schema

@@ -208,3 +208,22 @@ def test_corrupt_records_quarantined_not_dropped(spark, sf_dir):
     assert rows[True].n_rows == n_bad
     assert rows[True].total_price == 0.0
     assert rows[False].n_rows == orders.count() - n_bad
+
+
+def test_files_per_partition_actually_splits(spark, tmp_path):
+    """The salt must spread one partition value over multiple files —
+    repartition(N, partition_col) alone collapses to 1 file/partition."""
+    import glob
+
+    from end_to_end_datapipeline_project_spark.sinks import (
+        write_partitioned_parquet,
+    )
+
+    df = spark.range(10_000).withColumn("part", F.lit("only"))
+    out = str(tmp_path / "salted")
+    write_partitioned_parquet(
+        df, out, partition_cols=["part"], files_per_partition=4
+    )
+    files = glob.glob(f"{out}/part=only/*.parquet")
+    assert 2 <= len(files) <= 4
+    assert spark.read.parquet(out).count() == 10_000
