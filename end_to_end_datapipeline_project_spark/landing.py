@@ -82,8 +82,27 @@ class LandingClient:
         )
         os.makedirs(part, exist_ok=True)
         path = f"{part}/{self.city}_{now:%Y%m%d_%H%M%S}.json"
-        with open(path, "w") as f:
+        # atomic publish: a streaming file source listing the landing dir
+        # must never see a half-written snapshot (a 0-byte/truncated JSON
+        # parses to result=NULL and the poll silently vanishes from
+        # Silver) — write a dot-prefixed temp (Spark sources ignore
+        # those) and rename into place.  Exclusive-create disambiguates
+        # same-second polls instead of clobbering the earlier snapshot.
+        seq = 0
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                seq += 1
+                path = (
+                    f"{part}/{self.city}_{now:%Y%m%d_%H%M%S}_{seq}.json"
+                )
+        tmp = f"{part}/.{os.path.basename(path)}.tmp"
+        with open(tmp, "w") as f:
             json.dump(data, f)
+        os.replace(tmp, path)
         return path
 
     def poll_once(self, params: dict, now: datetime | None = None) -> str | None:

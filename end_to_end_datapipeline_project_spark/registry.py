@@ -40,6 +40,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:  # a silent overwrite would shrink the
+            raise ValueError(  # parity matrix with no failing signal
+                f"duplicate query registration: {name!r}"
+            )
         REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -50,7 +50,7 @@ def daily_report(
     report = agg.withColumn(
         "cost_of_1km",
         F.col("total_cost_pln") / F.nullif(F.col("total_distance_km"), F.lit(0.0)),
-    ).orderBy(F.desc("total_cost_pln"))
+    ).orderBy(F.desc("total_cost_pln"), F.asc(group_col))
     if round_to is not None:
         doubles = [
             "total_distance_km",
@@ -66,10 +66,23 @@ def daily_report(
     return report
 
 
-def top_k(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
-    """sort+limit → TakeOrderedAndProject (reference O3/O4)."""
-    order = F.asc(order_col) if ascending else F.desc(order_col)
-    return df.orderBy(order).limit(k)
+def top_k(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """sort+limit → TakeOrderedAndProject (reference O3/O4).
+
+    Pass ``tiebreak`` (ascending) to make ties deterministic — without
+    it, equal-metric rows surface in executor order and repeated runs
+    can return different survivors.
+    """
+    order = [F.asc(order_col) if ascending else F.desc(order_col)]
+    if tiebreak is not None:
+        order.append(F.asc(tiebreak))
+    return df.orderBy(*order).limit(k)
 
 
 def top_group_rows(
@@ -81,7 +94,9 @@ def top_group_rows(
     """All rows of ``df`` belonging to the top-1 group of ``report``
     (reference drill-down gtfsGold.py:110-119), as a broadcast semi-join
     instead of a driver-side ``.first()`` hand-off."""
-    top1 = top_k(report.select(group_col, metric), metric, 1).select(group_col)
+    top1 = top_k(
+        report.select(group_col, metric), metric, 1, tiebreak=group_col
+    ).select(group_col)
     return df.join(F.broadcast(top1), on=group_col, how="left_semi")
 
 
@@ -94,5 +109,7 @@ def top_vehicle_rows(
     per_vehicle = enriched.groupBy(vehicle_col).agg(
         F.sum("dist_km").alias("total_v_dist")
     )
-    top1 = top_k(per_vehicle, "total_v_dist", 1).select(vehicle_col)
+    top1 = top_k(
+        per_vehicle, "total_v_dist", 1, tiebreak=vehicle_col
+    ).select(vehicle_col)
     return enriched.join(F.broadcast(top1), on=vehicle_col, how="left_semi")
