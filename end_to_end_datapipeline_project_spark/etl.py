@@ -66,9 +66,9 @@ def run_batch(
             "date", F.lit(process_date).cast("date")
         )
         report.write.mode("overwrite").partitionBy("date").parquet(gold_dir)
+        gold_schema = report.schema
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        gold_schema = report.schema
     return spark.read.schema(gold_schema).parquet(gold_dir).filter(
         F.col("date") == F.lit(process_date).cast("date")
     )

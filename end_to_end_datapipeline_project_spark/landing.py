@@ -85,24 +85,27 @@ class LandingClient:
         # atomic publish: a streaming file source listing the landing dir
         # must never see a half-written snapshot (a 0-byte/truncated JSON
         # parses to result=NULL and the poll silently vanishes from
-        # Silver) — write a dot-prefixed temp (Spark sources ignore
-        # those) and rename into place.  Exclusive-create disambiguates
-        # same-second polls instead of clobbering the earlier snapshot.
+        # Silver, and file sources track paths-as-seen so the replaced
+        # content is never reprocessed) — write the dot-prefixed temp
+        # FIRST (Spark sources ignore dotfiles), then claim the final
+        # name atomically with link(2): the visible path only ever
+        # appears fully written.  FileExistsError on the link
+        # disambiguates same-second polls instead of clobbering the
+        # earlier snapshot.
+        tmp = f"{part}/.{self.city}_{now:%Y%m%d_%H%M%S}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
         seq = 0
         while True:
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                os.link(tmp, path)
                 break
             except FileExistsError:
                 seq += 1
                 path = (
                     f"{part}/{self.city}_{now:%Y%m%d_%H%M%S}_{seq}.json"
                 )
-        tmp = f"{part}/.{os.path.basename(path)}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f)
-        os.replace(tmp, path)
+        os.unlink(tmp)
         return path
 
     def poll_once(self, params: dict, now: datetime | None = None) -> str | None:

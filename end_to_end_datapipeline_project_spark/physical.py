@@ -18,6 +18,7 @@ These exercise the *storage side* of the scale playbook:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,7 +139,11 @@ def q_medallion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_SESSIONS: dict = {}
+# WeakKeyDictionary: keyed on the parent session object itself, so a
+# garbage-collected parent drops its cached child (id()-keying could hand
+# a new session a stale child bound to a stopped SparkContext after
+# CPython reuses the id, and never evicted entries)
+_BLOOM_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @register(
@@ -168,10 +173,10 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # newSession() per invocation accumulated session state on the
     # shared SparkContext for the application lifetime (slow leak in
     # bench loops)
-    s2 = _BLOOM_SESSIONS.get(id(spark))
+    s2 = _BLOOM_SESSIONS.get(spark)
     if s2 is None:
         s2 = spark.newSession()
-        _BLOOM_SESSIONS[id(spark)] = s2
+        _BLOOM_SESSIONS[spark] = s2
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s2.conf.set(

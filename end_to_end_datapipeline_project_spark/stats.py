@@ -1521,34 +1521,90 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM g
 """,
     doc="Mann-Whitney U test (purchase vs click values), the "
-    "nonparametric companion to q_abtest: tie-averaged ranks computed "
-    "as rank() + (ties−1)/2 — one global sort window (RANGE peers make "
-    "tie groups deterministic) — then U from the decimal-summed rank "
-    "total and the normal-approximation z. At 100 TB replace the "
-    "global sort with a two-pass histogram rank (bucket counts, then "
-    "prefix sums); this exact form is that path's oracle.",
+    "nonparametric companion to q_abtest, via a distributed two-pass "
+    "histogram rank (no global sort): pass 1 range-buckets the values "
+    "and collects the O(B) bucket histogram into rank offsets; pass 2 "
+    "reduces to one row per distinct value (map-side partial agg), "
+    "ranks within each bucket (Window PARTITIONED by bucket — ties "
+    "never span buckets because the bucket is a pure function of the "
+    "value), and adds the broadcast offset for the exact global "
+    "min-rank. Tie-averaged rank = r_lo + (ties−1)/2 contributes "
+    "a_v·avg_rank per distinct value to the decimal-summed rank total, "
+    "then U and the normal-approximation z. Every shuffle is keyed "
+    "(value / bucket); the only driver collects are the O(1) bounds "
+    "and the O(B) histogram. The oracle keeps the single-window "
+    "global-sort form this path replaces.",
 )
 def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    n_buckets = 1024
     ev = read_parquet_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    pooled = ev.select(
-        "event_type",
-        "value",
-        F.rank().over(Window.orderBy("value")).alias("r_lo"),
-        F.count(F.lit(1)).over(Window.partitionBy("value")).alias("n_ties"),
+    # pass 1a: O(1) value bounds (parquet column stats keep this scan
+    # cheap; defaults only matter when there are zero qualifying rows)
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    lo = bounds["lo"] if bounds["lo"] is not None else 0.0
+    hi = bounds["hi"] if bounds["hi"] is not None else 1.0
+    span = (hi - lo) or 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(span) * n_buckets),
+    ).cast("int")
+
+    # pass 1b: bucket histogram → exclusive prefix sums = the global
+    # rank offset of each bucket's first value (O(B) driver rows)
+    hist = sorted(
+        (r["bucket"], r["n"])
+        for r in ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    ranked = pooled.select(
-        "event_type",
-        (F.col("r_lo") + (F.col("n_ties") - 1) / 2.0).alias("avg_rank"),
+    offsets, acc = [], 0
+    for b, n in hist:
+        offsets.append((b, acc))
+        acc += n
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], "bucket int, bucket_offset long"
     )
+
+    # pass 2: one row per distinct value, ranked inside its bucket
     is_p = F.col("event_type") == "purchase"
+    byval = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count(F.when(is_p, 1)).alias("a"),
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        byval.withColumn("bucket", bucket)
+        .join(F.broadcast(offsets_df), "bucket")
+        .select(
+            "c",
+            "a",
+            (
+                F.col("bucket_offset")
+                + F.coalesce(F.sum("c").over(wb), F.lit(0))
+                + 1
+            ).alias("r_lo"),
+        )
+    )
     g = ranked.agg(
-        F.count(F.when(is_p, 1)).alias("n1"),
-        F.count(F.when(~is_p, 1)).alias("n2"),
-        spark_dsum(F.when(is_p, F.col("avg_rank")).otherwise(0.0)).alias("r1"),
+        # coalesce: zero qualifying rows must yield counts of 0 (the
+        # oracle's count(*) FILTER), not NULL sums
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("c") - F.sum("a"), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+        spark_dsum(
+            F.col("a") * (F.col("r_lo") + (F.col("c") - 1) / 2.0)
+        ).alias("r1"),
     )
     n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
     u = r1 - n1 * (n1 + 1) / 2.0

@@ -83,11 +83,14 @@ def _token_counts_udtf():
             import re
             from collections import Counter
 
-            if text is None or not text.strip():
+            if text is None:
                 return
             # explicit class, NOT str.split(): Python splits on extra
             # controls (\x1c-\x1f, \x85) and unicode spaces that the
-            # engines' ASCII tokenizers do not
+            # engines' ASCII tokenizers do not.  No str.strip() guard:
+            # full-Unicode strip would skip docs (e.g. all-  text)
+            # that the ASCII tokenizer still yields tokens for — empty
+            # docs simply produce zero tokens below
             toks = [
                 t
                 for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower())
@@ -105,9 +108,10 @@ def _token_counts_udtf():
   SELECT doc_id, tok AS word, count(*) AS n
   FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
-    FROM documents WHERE trim(text) <> ''
+           unnest(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+    FROM documents WHERE text IS NOT NULL
   )
+  WHERE tok <> ''
   GROUP BY doc_id, tok
 """,
     doc="Python UDTF surface (Spark 4): per-doc token histogram via a "
@@ -124,7 +128,6 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT d.doc_id, tc.word, tc.n
         FROM __udtf_docs d, LATERAL token_counts(d.doc_id, d.text) tc
-        WHERE trim(d.text) <> ''
         """
     )
 

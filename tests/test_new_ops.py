@@ -776,7 +776,16 @@ def test_python_datasource_partitioned_read(spark, sf_dir):
 def test_mannwhitney_u_in_valid_range(spark, sf_dir):
     from end_to_end_datapipeline_project_spark.stats import q_mannwhitney
 
-    [row] = q_mannwhitney(spark, sf_dir).collect()
+    df = q_mannwhitney(spark, sf_dir)
+    # plan gate: the histogram-rank window must be PARTITIONED by
+    # bucket — a bare Window [value ASC] (empty partition spec) would
+    # be the single-partition global sort this path exists to avoid
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bucket" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(value" in line:
+            raise AssertionError(f"unpartitioned window in plan: {line}")
+    [row] = df.collect()
     assert 0 <= row.u_stat <= row.n1 * row.n2
     # same populations => no extreme effect
     assert abs(row.z_score) < 10
