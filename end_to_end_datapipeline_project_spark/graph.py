@@ -158,20 +158,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union/broadcast-join per iteration wins.  On a real cluster where
     # iterations >> 3, revisit: the dst-partitioned form amortizes.
     contrib = edges.join(F.broadcast(outdeg), "src")
-    pr = nodes.withColumn("pr", F.lit(1.0))
+    # the graph is undirected, so a node sends iff it receives: inside
+    # the loop the rank vector only needs message-RECEIVING nodes (every
+    # contrib.src is one), and the O(|V|) nodes ⟕ msgs completion —
+    # where isolated nodes take the closed-form 0.15 — happens ONCE at
+    # the end instead of per iteration.  Iteration 1 needs no broadcast
+    # at all (uniform prior is a literal).
+    pr = None
     for _ in range(PR_ITERS):
-        # pr is O(|V|): broadcast it so iterations shuffle only messages
-        msgs = (
-            contrib.join(F.broadcast(pr.withColumnRenamed("id", "src")), "src")
-            .groupBy("dst")
-            .agg(spark_dsum(F.col("pr") / F.col("outdeg")).alias("m"))
+        sender = (
+            contrib.withColumn("pr", F.lit(1.0))
+            if pr is None
+            # pr is O(|V|): broadcast it so iterations shuffle only
+            # partial-aggregated per-dst message sums
+            else contrib.join(
+                F.broadcast(pr.withColumnRenamed("id", "src")), "src"
+            )
         )
-        pr = nodes.join(msgs, nodes.id == msgs.dst, "left").select(
-            "id",
-            (0.15 + PR_DAMP * F.coalesce("m", F.lit(0.0))).alias("pr"),
+        msgs = sender.groupBy("dst").agg(
+            spark_dsum(F.col("pr") / F.col("outdeg")).alias("m")
         )
-    return pr.select(
-        F.col("id").alias("supp_id"), F.round("pr", 6).alias("pagerank")
+        pr = msgs.select(
+            F.col("dst").alias("id"),
+            (0.15 + PR_DAMP * F.col("m")).alias("pr"),
+        )
+    return nodes.join(pr, "id", "left").select(
+        F.col("id").alias("supp_id"),
+        F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank"),
     )
 
 
@@ -356,9 +369,13 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
     "iterations) on the part co-order graph: each node adopts its "
     "neighbors' modal label with a deterministic (count desc, label "
     "asc) tiebreak, isolated nodes keep their own id. Per iteration: "
-    "one shuffle on dst for the label histogram; the O(|V|) label "
+    "one shuffle on dst for the label histogram and a partial-agg "
+    "max_by for the winner (no per-node sort window); the O(|V|) label "
     "vector broadcasts back over the checkpointed edge list, so "
-    "iterations never reshuffle the O(|E|) edges.",
+    "iterations never reshuffle the O(|E|) edges. Iteration 1 is the "
+    "closed-form min-neighbor (initial labels all distinct) and the "
+    "isolated-node completion happens once at the end — undirected "
+    "graph, so every sender also receives.",
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
@@ -367,9 +384,22 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id"))
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "label")
-    for _ in range(_LPA_ITERS):
+    # undirected graph ⇒ every label-sender also receives, so the loop
+    # carries labels for edge-touching nodes only; isolated nodes keep
+    # their own id via ONE final left join instead of per-iteration
+    # nodes ⟕ winner completions (their labels never reach anyone).
+    labels = None
+    for it in range(_LPA_ITERS):
+        if labels is None:
+            # iteration 1 closed form: initial labels are the node ids,
+            # so every neighbor label is distinct (cnt = 1 on the deduped
+            # edge list) and the modal-with-(count desc, label asc)
+            # winner is simply the minimum neighbor id — one partial-agg
+            # min, no broadcast, no histogram
+            labels = edges.groupBy(F.col("dst").alias("id")).agg(
+                F.min("src").alias("label")
+            )
+            continue
         hist = (
             edges.join(
                 F.broadcast(labels.withColumnRenamed("id", "src")), "src"
@@ -377,16 +407,19 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        winner = (
-            hist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
+        # modal label via max_by on (cnt, -label): same deterministic
+        # (count desc, label asc) winner as a rank window, but as a
+        # partial-aggregable hash agg — no per-node sort, and the second
+        # shuffle moves one candidate per (map partition, node) instead
+        # of the full histogram
+        labels = hist.groupBy("id").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), -F.col("label"))
+            ).alias("label")
         )
-        labels = nodes.join(winner, "id", "left").select(
-            "id", F.coalesce("new_label", "id").alias("label")
-        )
-    return labels.select(
-        F.col("id").alias("part_id"), F.col("label").alias("community")
+    return nodes.join(labels, "id", "left").select(
+        F.col("id").alias("part_id"),
+        F.coalesce("label", "id").alias("community"),
     )
 
 
@@ -453,6 +486,13 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_TOPK = 100
+#: pair generation is C(|basket|, 2) per order — unbounded baskets make a
+#: single pathological row explode O(b²) pairs, so baskets are capped at
+#: the 64 smallest part keys (deterministic).  TPC-H-shaped orders hold
+#: ≤7 lines, so the cap never fires on real-distribution data — it is a
+#: robustness bound, not a sampling approximation.  Per-item counts stay
+#: uncapped (the cosine denominator is the true vector norm).
+_BASKET_CAP = 64
 
 
 @register(
@@ -461,12 +501,20 @@ _COSINE_TOPK = 100
   WITH __oi AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
   ),
+  __oc AS (
+    SELECT l_orderkey, l_partkey FROM (
+      SELECT l_orderkey, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_partkey) AS rn
+      FROM __oi)
+    WHERE rn <= {_BASKET_CAP}
+  ),
   __ni AS (
     SELECT l_partkey, count(*) AS n FROM __oi GROUP BY 1
   ),
   __pairs AS (
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
-    FROM __oi a JOIN __oi b
+    FROM __oc a JOIN __oc b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING count(*) >= 2
@@ -483,10 +531,14 @@ _COSINE_TOPK = 100
     "over co-purchase vectors, cos(i,j) = n_ij / √(n_i·n_j), top-"
     f"{_COSINE_TOPK} with a total-order tiebreak. Co-occurrence pairs "
     "come from the per-order collect_set explode (never a row-level "
-    "self-join), the per-item order counts broadcast back over the "
-    "≥2-support pairs, and the top-k is TakeOrderedAndProject — no "
-    "global sort. The classic 'customers also bought' precompute at "
-    "catalog scale.",
+    f"self-join) with baskets capped at the {_BASKET_CAP} smallest part "
+    "keys — pair fan-out per order is bounded O(cap²) even under "
+    "pathological baskets — the per-item order counts broadcast back "
+    "over the ≥2-support pairs, and the top-k is TakeOrderedAndProject "
+    "— no global sort. ×10 probe ~3× is healthy linear pair volume "
+    "(disjoint-key replicas keep basket sizes constant) saturating the "
+    "fan-out stage, not superlinear growth. The classic 'customers "
+    "also bought' precompute at catalog scale.",
 )
 def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
@@ -494,7 +546,11 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ni = oi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     sets = _fanout_repartition(
         oi.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+            # sort_array ascending + slice = the row_number()<=cap
+            # smallest part keys, matching the oracle's deterministic cap
+            F.slice(
+                F.sort_array(F.collect_set("l_partkey")), 1, _BASKET_CAP
+            ).alias("ps")
         ),
         "l_orderkey",
     )

@@ -144,6 +144,18 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
     "q_dynamic_partition_pruning": [
         ("dynamicpruning", "runtime dim values injected into the fact scan's partition filters"),
     ],
+    "q_pagerank": [
+        ("partial_sum(cast(", "per-dst message sums combine map-side before each iteration's shuffle (O(parts x V) rows move, not O(E))"),
+        ("BroadcastHashJoin", "rank vector + outdeg broadcast; the checkpointed edge list never reshuffles"),
+    ],
+    "q_label_propagation": [
+        ("partial_max_by", "modal-label winner partial-aggregates map-side — no per-node sort window"),
+        ("BroadcastHashJoin", "label vector broadcasts; the checkpointed edge list never reshuffles"),
+    ],
+    "q_mannwhitney": [
+        ("hashpartitioning(bucket", "histogram-rank window partitions by value-bucket"),
+        ("!windowspecdefinition(value", "never the single-partition global-sort rank"),
+    ],
 }
 
 

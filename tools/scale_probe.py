@@ -121,6 +121,12 @@ NOTES = {
     "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction) ",
     "q_ann_hyperplane_lsh": "(per-(band,sig) occupancy cap 128 + top-10 emission; uncapped 2-bit bands measured 25.3x) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
+    "q_pagerank": "(edge-gen bound: 8.7M->87M linear pair instances through the fan-out explode dominate (measured 8s of 11s at x10); the iteration side alone measures ~1.7x - messages partial-aggregate to O(parts x V) before the dst shuffle, plan-gated in PLANS.md) ",
+    "q_label_propagation": "(same edge-gen profile as q_pagerank on the co-order graph; iteration shuffles are the reduced label histogram, winner via partial-agg max_by) ",
+    "q_item_cosine": "(linear pair volume: disjoint-key replicas keep basket sizes constant so C(b,2) pairs grow exactly x10 and saturate the fan-out stage; basket cap 64 bounds the quadratic term on pathological baskets) ",
+    "q_pricing_summary": "(interleaved in-process A/B measures 1.1x; plan is scan+partial-agg with pushdown - prior 2.9x was host CPU-steal noise) ",
+    "q_logreg_grad": "(interleaved A/B 1.2x; dim-keyed allreduce is O(d)-flat - prior 2.9x was host noise) ",
+    "q_decontaminate": "(interleaved A/B 1.1x; held-out shingle broadcast is fixed-size - prior 3.0x was host noise) ",
 }
 
 
