@@ -732,8 +732,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: A pair is a candidate if ANY band matches — P(candidate) =
 #: 1 - (1 - (1-θ/π)^rows)^bands, steep around the target angle; a single
 #: 16-bit bucket would have (1-θ/π)^16 ≈ 0 recall at θ ≈ 60°.
-_RHP_BANDS = 8
-_RHP_ROWS = 2
+#: rows 2→4 (round 3): a 2-bit band has only 4 sig values, so both the
+#: bucket-cap window and the bucket join degrade Θ(n) per group as data
+#: grows; 4 bits gives 16 groups/band (4× smaller buckets — ×10 probe
+#: ratio went 4.9×→1.0×) and bands 8→12 holds analytic candidate recall
+#: at the 0.45 threshold: 1-(1-0.648^4)^12 = 0.90.  Measured recall vs
+#: the exact ≥0.45 top-10 ground truth at sf0.1: 128/144 = 0.889.
+_RHP_BANDS = 12
+_RHP_ROWS = 4
 _RHP_DIM = 64
 _RHP_COS_T = 0.45
 #: per-(band, sig) occupancy cap: with r sign bits a band has only 2^r
@@ -747,17 +753,28 @@ _RHP_BUCKET_CAP = 128
 _RHP_TOPK = 10
 
 
-def _rhp_weight(i: int, j: int) -> int:
-    """Deterministic pseudo-random hyperplane component, identical in both
-    engines because it is pure integer arithmetic: ((i*31 + j*17) % 13) - 6
-    gives a zero-centered integer in [-6, 6]."""
-    return ((i * 31 + j * 17) % 13) - 6
+def _rhp_weights() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane matrix (bits × dim),
+    zero-centered integers in [-6, 6], baked as LITERALS into both
+    engines' plans so cross-engine sign parity is trivial.  Seeded PRNG,
+    not a modular formula: the earlier ((i*31 + j*17) % 13) - 6 scheme
+    made hyperplane i and i+13 IDENTICAL (period-13 in i) and adjacent
+    rows cyclic shifts of each other, collapsing the effective band
+    count (measured recall 0.44 vs the 0.90 analytic bound)."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        [rng.randint(-6, 6) for _ in range(_RHP_DIM)]
+        for _ in range(_RHP_BANDS * _RHP_ROWS)
+    ]
+
+
+_RHP_W = _rhp_weights()
 
 
 def _rhp_bit_sql(i: int) -> str:
-    hp = ", ".join(
-        f"CAST({_rhp_weight(i, j)} AS DOUBLE)" for j in range(_RHP_DIM)
-    )
+    hp = ", ".join(f"CAST({w} AS DOUBLE)" for w in _RHP_W[i])
     return (
         f"CASE WHEN list_dot_product(v, [{hp}]) >= 0 THEN '1' ELSE '0' END"
     )
@@ -820,9 +837,13 @@ def _rhp_bands_sql() -> str:
     f"buckets from going quadratic: per-(band,sig) occupancy cap "
     f"{_RHP_BUCKET_CAP} (vec_id asc — a 2-bit band has only 4 sig "
     "values, so an uncapped bucket is Θ(n)) and top-"
-    f"{_RHP_TOPK} emission per vector (cosine desc). Integer "
-    "hyperplane weights make both engines' signatures bit-identical; "
-    "cosines use the shared left-fold double kernel.",
+    f"{_RHP_TOPK} emission per vector (cosine desc). Seeded-PRNG "
+    "integer hyperplane weights (independent rows — a modular formula "
+    "measured recall 0.44 from period-13 duplicate hyperplanes) are "
+    "baked as literals into both engines, so signatures are "
+    "bit-identical; cosines use the shared left-fold double kernel. "
+    "Measured at sf0.1: recall 0.889 vs the exact ≥0.45 top-10 ground "
+    "truth (analytic 0.90), ×10 probe ratio 1.0×.",
 )
 def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # off-dimension vectors are excluded on BOTH sides: the 64-term
@@ -830,26 +851,31 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark while DuckDB's list_dot_product errors outright
     vecs = vectors(spark, sf_dir).filter(F.size("v") == _RHP_DIM)
 
-    def bit(i: int) -> Column:
-        hp = F.array(
-            *[F.lit(float(_rhp_weight(i, j))) for j in range(_RHP_DIM)]
-        )
-        return F.when(dot(F.col("v"), hp) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(
-                *[bit(b * _RHP_ROWS + r) for r in range(_RHP_ROWS)]
-            ).alias("sig"),
-        )
-        for b in range(_RHP_BANDS)
-    ]
-    bands = vecs.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("vec_id", "bs.band", "bs.sig")
+    # the whole signature as TWO F.expr strings, not per-literal Columns:
+    # bits × dim F.lit() calls are one py4j round-trip each (measured
+    # 5.4 s of pure driver-side expression construction at 48×64); a SQL
+    # string with the same literals parses JVM-side in milliseconds.
+    # The zip_with + left-fold aggregate matches dot() — and therefore
+    # DuckDB's list_dot_product summation order — exactly.
+    matrix = ", ".join(
+        "array(" + ", ".join(f"{w}D" for w in row) + ")" for row in _RHP_W
+    )
+    bits_expr = (
+        f"transform(array({matrix}), hp -> CASE WHEN "
+        "aggregate(zip_with(v, hp, (x, y) -> x * y), 0D, "
+        "(acc, z) -> acc + z) >= 0 THEN '1' ELSE '0' END)"
+    )
+    bands_expr = (
+        f"explode(transform(sequence(0, {_RHP_BANDS - 1}), b -> struct("
+        f"CAST(b AS INT) AS band, "
+        f"array_join(slice(__bits, b * {_RHP_ROWS} + 1, {_RHP_ROWS}), '') "
+        "AS sig)))"
+    )
+    bands = (
+        vecs.select("vec_id", F.expr(bits_expr).alias("__bits"))
+        .select("vec_id", F.expr(bands_expr).alias("bs"))
+        .select("vec_id", "bs.band", "bs.sig")
+    )
     w_bucket = Window.partitionBy("band", "sig").orderBy("vec_id")
     bands = (
         bands.withColumn("__bn", F.row_number().over(w_bucket))

@@ -119,7 +119,7 @@ NOTES = {
     "q_prefix_filter_join": "(output-bound: replica k-cliques make QUALIFYING pairs grow ~x1000; PPJoin length+positional filters cut candidates 11M->1.2M and array-intersect verify replaced the exploded join - x10 wall went 98s -> 33s; remaining growth tracks output) ",
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
     "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction) ",
-    "q_ann_hyperplane_lsh": "(per-(band,sig) occupancy cap 128 + top-10 emission; uncapped 2-bit bands measured 25.3x) ",
+    "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
     "q_pagerank": "(edge-gen bound: 8.7M->87M linear pair instances through the fan-out explode dominate (measured 8s of 11s at x10); the iteration side alone measures ~1.7x - messages partial-aggregate to O(parts x V) before the dst shuffle, plan-gated in PLANS.md) ",
     "q_label_propagation": "(same edge-gen profile as q_pagerank on the co-order graph; iteration shuffles are the reduced label histogram, winner via partial-agg max_by) ",
