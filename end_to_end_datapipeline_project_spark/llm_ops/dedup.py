@@ -244,10 +244,15 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
 
     mh_wide = arrs.select("doc_id", *[_seed_min(s) for s in range(N_SEEDS)])
     stack_expr = ", ".join(f"{s}L, m{s}" for s in range(N_SEEDS))
+    # checkpoint the O(docs × seeds) signature table: both sides of the
+    # bucket self-join reference it, and without the checkpoint each
+    # side re-runs the 8×md5-per-shingle signature pass (measured 2×
+    # 1.35 s of the 4.8 s sf0.1 wall) — the signatures are tiny
+    # (doc_id + seed + 32-char hash), the shingle stream is not
     mh = mh_wide.select(
         "doc_id",
         F.expr(f"stack({N_SEEDS}, {stack_expr}) AS (seed, minhash)"),
-    )
+    ).localCheckpoint()
     a = mh.alias("a")
     b = mh.alias("b")
     return (
@@ -299,6 +304,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ZERO shuffles before the candidate join.  At 100 TB this is the
     # difference between shuffling every (doc, shingle) posting and
     # shuffling nothing until the (small) LSH-bucket join.
+    # fan the raw docs out to all cores BEFORE the shingle/signature
+    # passes: the sf0.1 documents parquet reads as 2 splits, so the
+    # md5-heavy signature stage otherwise runs on 2 of 32 cores (the
+    # text shuffle is trivial next to 8 md5 evaluations per shingle)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     arrs = shingle_arrays(docs).localCheckpoint()
     cand = minhash_candidates(arrs)
     # Verify ONLY the LSH candidates (the point of LSH), by per-doc

@@ -466,7 +466,18 @@ def user_sequences(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(fit, SEQ_SCHEMA)
+    # explicit hash repartition on the group key: AQE sizes the grouped-
+    # map exchange by shuffle BYTES (a few MB here → coalesced to 1-2
+    # partitions), but the cost driver is per-GROUP Python invocations —
+    # pinning the partition count keeps the Python stage on all cores
+    # (measured 2.5 s → sub-second at sf0.1); the exchange satisfies the
+    # groupBy's distribution so no second shuffle is added
+    cores = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        events.repartition(cores, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(fit, SEQ_SCHEMA)
+    )
 
 
 @register(

@@ -169,9 +169,13 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # pin the cogroup fan-out: AQE sizes these exchanges by bytes, but
+    # the cost is per-GROUP Python invocations (see user_sequences)
+    cores = ev.sparkSession.sparkContext.defaultParallelism
     return (
-        ev.groupby("user_id")
-        .cogroup(orders.groupby("user_id"))
+        ev.repartition(cores, "user_id")
+        .groupby("user_id")
+        .cogroup(orders.repartition(cores, "user_id").groupby("user_id"))
         .applyInPandas(
             stats, "user_id BIGINT, n_events BIGINT, n_orders BIGINT"
         )
