@@ -18,6 +18,7 @@ concerns out of query plans (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from datetime import datetime, timezone
@@ -33,6 +34,10 @@ RETRY_POLICY = dict(
     allowed_methods=("GET",),
 )
 TIMEOUT_S = 10.0
+
+#: process-wide tmp-name counter (next() is atomic under the GIL), so
+#: concurrent threads never share a landing tmp inode
+_TMP_SEQ = itertools.count()
 
 
 def make_session() -> requests.Session:
@@ -92,7 +97,14 @@ class LandingClient:
         # appears fully written.  FileExistsError on the link
         # disambiguates same-second polls instead of clobbering the
         # earlier snapshot.
-        tmp = f"{part}/.{self.city}_{now:%Y%m%d_%H%M%S}.json.tmp"
+        # per-writer-unique tmp (pid + process-wide counter): two
+        # concurrent same-second polls must not share a tmp inode — a
+        # shared name would let writer B truncate the bytes writer A is
+        # about to link into visibility
+        tmp = (
+            f"{part}/.{self.city}_{now:%Y%m%d_%H%M%S}"
+            f"_{os.getpid()}_{next(_TMP_SEQ)}.json.tmp"
+        )
         with open(tmp, "w") as f:
             json.dump(data, f)
         seq = 0

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import read_parquet_table
+from ..sources import pin_parallelism, read_parquet_table
 from .text import TOKENS_SQL, tokens_col
 
 # --- shingles -------------------------------------------------------------
@@ -308,9 +308,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes: the sf0.1 documents parquet reads as 2 splits, so the
     # md5-heavy signature stage otherwise runs on 2 of 32 cores (the
     # text shuffle is trivial next to 8 md5 evaluations per shingle)
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = pin_parallelism(docs, "doc_id")
     arrs = shingle_arrays(docs).localCheckpoint()
     cand = minhash_candidates(arrs)
     # Verify ONLY the LSH candidates (the point of LSH), by per-doc

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ..sources import read_parquet_table
+from ..sources import pin_parallelism, read_parquet_table
 
 #: output schema of the feature-extraction kernel
 MEDIA_FEATURES_SCHEMA = T.StructType(
@@ -466,15 +466,10 @@ def user_sequences(events: DataFrame) -> DataFrame:
             }
         )
 
-    # explicit hash repartition on the group key: AQE sizes the grouped-
-    # map exchange by shuffle BYTES (a few MB here → coalesced to 1-2
-    # partitions), but the cost driver is per-GROUP Python invocations —
-    # pinning the partition count keeps the Python stage on all cores
-    # (measured 2.5 s → sub-second at sf0.1); the exchange satisfies the
-    # groupBy's distribution so no second shuffle is added
-    cores = events.sparkSession.sparkContext.defaultParallelism
+    # per-GROUP Python invocations dominate, not bytes — keep the
+    # grouped-map stage on all cores (see sources.pin_parallelism)
     return (
-        events.repartition(cores, "user_id")
+        pin_parallelism(events, "user_id")
         .groupBy("user_id")
         .applyInPandas(fit, SEQ_SCHEMA)
     )

@@ -743,10 +743,11 @@ _RHP_ROWS = 4
 _RHP_DIM = 64
 _RHP_COS_T = 0.45
 #: per-(band, sig) occupancy cap: with r sign bits a band has only 2^r
-#: sig values, so bucket size is Θ(n) and uncapped same-bucket pair
-#: generation is quadratic (the ×10 probe measured 25×).  Only the first
-#: CAP vectors of a bucket (vec_id asc) generate candidates — the same
-#: degenerate-block policy as the fuzzy-match and radius-join caps.
+#: sig values, so bucket size is Θ(n/2^r) and uncapped same-bucket pair
+#: generation is quadratic (the ×10 probe measured 25× on the earlier
+#: uncapped 2-bit form).  Only the first CAP vectors of a bucket
+#: (vec_id asc) generate candidates — the same degenerate-block policy
+#: as the fuzzy-match and radius-join caps.
 _RHP_BUCKET_CAP = 128
 #: per-vector output bound (cosine desc, vec_b asc), as in the other
 #: similarity joins: worst-case output K·n even on replica cliques
@@ -835,8 +836,9 @@ def _rhp_bands_sql() -> str:
     "band count tunes the recall/candidate trade-off analytically "
     "(P = 1-(1-(1-θ/π)^rows)^bands). Two bounds keep degenerate "
     f"buckets from going quadratic: per-(band,sig) occupancy cap "
-    f"{_RHP_BUCKET_CAP} (vec_id asc — a 2-bit band has only 4 sig "
-    "values, so an uncapped bucket is Θ(n)) and top-"
+    f"{_RHP_BUCKET_CAP} (vec_id asc — a {_RHP_ROWS}-bit band has only "
+    f"{2 ** _RHP_ROWS} sig values, so an uncapped bucket is still "
+    "Θ(n/2^rows)) and top-"
     f"{_RHP_TOPK} emission per vector (cosine desc). Seeded-PRNG "
     "integer hyperplane weights (independent rows — a modular formula "
     "measured recall 0.44 from period-13 duplicate hyperplanes) are "

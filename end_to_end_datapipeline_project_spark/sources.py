@@ -74,6 +74,24 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return df
 
 
+def pin_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit hash repartition to all cores before a Python-heavy or
+    hash-heavy stage (grouped-map pandas UDFs, per-row md5 cascades).
+
+    AQE sizes exchanges by shuffle BYTES, but these stages' cost driver
+    is per-row/per-group Python or digest work — a few-MB input gets
+    coalesced to 1-2 partitions and the expensive stage serializes on
+    1-2 of the cluster's cores (measured 2.5 s → 0.9 s on
+    q_user_sequences at sf0.1).  Hashing on the supplied keys satisfies
+    a downstream groupBy-on-the-same-keys distribution requirement, so
+    no second shuffle is inserted.  Cousin of graph._fanout_repartition,
+    which pins the partition count BELOW cores to trade explode
+    parallelism against map-side dedup efficiency.
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(cores, *[F.col(k) for k in keys])
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str]
 ) -> dict[str, DataFrame]:

@@ -1500,6 +1500,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank() OVER (ORDER BY value) AS r_lo,
            count(*) OVER (PARTITION BY value) AS n_ties
     FROM events WHERE event_type IN ('purchase', 'click')
+      AND value IS NOT NULL AND NOT isnan(value)
   ),
   ranked AS (
     SELECT event_type,
@@ -1539,8 +1540,15 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     n_buckets = 1024
+    # NULL / NaN values are excluded SYMMETRICALLY in both engines: a
+    # rank over them is meaningless, floor() would map them to a NULL
+    # bucket (silently dropped by the inner offset join while the
+    # oracle's rank window would still count them), and a None bucket
+    # key would crash the histogram sort on the driver
     ev = read_parquet_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
     )
     # pass 1a: O(1) value bounds (parquet column stats keep this scan
     # cheap; defaults only matter when there are zero qualifying rows)

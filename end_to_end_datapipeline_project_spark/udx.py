@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 from .registry import dsum, register
-from .sources import read_parquet_table
+from .sources import pin_parallelism, read_parquet_table
 
 
 def _wmean_udaf():
@@ -169,13 +169,12 @@ def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # pin the cogroup fan-out: AQE sizes these exchanges by bytes, but
-    # the cost is per-GROUP Python invocations (see user_sequences)
-    cores = ev.sparkSession.sparkContext.defaultParallelism
+    # per-GROUP Python invocations dominate, not bytes — pin both
+    # cogroup sides' fan-out (see sources.pin_parallelism)
     return (
-        ev.repartition(cores, "user_id")
+        pin_parallelism(ev, "user_id")
         .groupby("user_id")
-        .cogroup(orders.repartition(cores, "user_id").groupby("user_id"))
+        .cogroup(pin_parallelism(orders, "user_id").groupby("user_id"))
         .applyInPandas(
             stats, "user_id BIGINT, n_events BIGINT, n_orders BIGINT"
         )
