@@ -28,29 +28,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .registry import dsum, register, spark_dsum
-from .sources import read_parquet_table
+from .sources import read_parquet_table, stage_dir
 
-_STAGE_ROOT = "/tmp/spark_graft_formats"
+#: bump when a staging transformation below changes semantics (see
+#: sources.stage_dir — the fingerprint covers input data, not code)
+_STAGE_EPOCH = "v1"
 
 
 def _stage(sf_dir: str, leaf: str) -> str:
-    """Staging dir keyed on the source dir's absolute path and every
-    parquet's (name, mtime, size) — same contract as physical._stage:
-    basename collisions between datasets and in-place testdata
-    regeneration must invalidate the _STAGED-marker skips below, or a
-    stale staged copy is served while the oracle reads fresh source."""
-    import hashlib
-
-    fp = [os.path.abspath(sf_dir)]
-    try:
-        for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
-            if entry.name.endswith(".parquet"):
-                st = entry.stat()
-                fp.append(f"{entry.name}:{st.st_mtime_ns}:{st.st_size}")
-    except FileNotFoundError:
-        pass
-    tag = hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
-    return f"{_STAGE_ROOT}/{tag}/{leaf}"
+    return stage_dir("spark_graft_formats", _STAGE_EPOCH, sf_dir, leaf)
 
 
 ORDERS_CSV_SCHEMA = T.StructType(

@@ -25,36 +25,18 @@ from pyspark.sql import functions as F
 
 from .pipeline_queries import _cleansed_sql, events_cleansed
 from .registry import dsum, register, spark_dsum
-from .sources import read_parquet_table
+from .sources import read_parquet_table, stage_dir
 
 #: bump when a transformation feeding a staged dataset changes semantics
-#: (the fingerprint below covers input DATA, not code — without an epoch
-#: bump a code change would keep reading _SUCCESS-marked stale outputs)
+#: (the fingerprint covers input DATA, not code — without an epoch bump
+#: a code change would keep reading _SUCCESS-marked stale outputs)
 _STAGE_EPOCH = "v2"
-
-_STAGE_ROOT = f"/tmp/spark_graft_physical_{os.getuid()}"
 
 N_BUCKETS = 8
 
 
 def _stage(sf_dir: str, leaf: str) -> str:
-    """Staging dir keyed on the source dir's absolute path AND the
-    (name, mtime, size) of every parquet in it: two datasets sharing a
-    basename never collide, and regenerating the testdata in place
-    invalidates every derived stage (the _SUCCESS-marker skips below
-    would otherwise serve stale silver/bucketed copies)."""
-    import hashlib
-
-    fp = [_STAGE_EPOCH, os.path.abspath(sf_dir)]
-    try:
-        for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
-            if entry.name.endswith(".parquet"):
-                st = entry.stat()
-                fp.append(f"{entry.name}:{st.st_mtime_ns}:{st.st_size}")
-    except FileNotFoundError:
-        pass
-    tag = hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
-    return f"{_STAGE_ROOT}/{tag}/{leaf}"
+    return stage_dir("spark_graft_physical", _STAGE_EPOCH, sf_dir, leaf)
 
 
 @register(

@@ -74,6 +74,33 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return df
 
 
+def stage_dir(root: str, epoch: str, sf_dir: str, leaf: str) -> str:
+    """Content-keyed staging dir under /tmp for derived test fixtures.
+
+    Keyed on the source dir's absolute path AND every parquet's
+    (name, mtime_ns, size): two datasets sharing a basename never
+    collide, and regenerating the testdata in place invalidates every
+    derived stage (the _SUCCESS/_STAGED-marker skips callers use would
+    otherwise serve stale copies).  ``epoch`` covers CODE changes to the
+    staging transformation — the fingerprint only sees input data, so a
+    semantics change must bump its caller's epoch.  The root is
+    uid-suffixed so multi-user hosts never fight over /tmp ownership.
+    """
+    import hashlib
+    import os
+
+    fp = [epoch, os.path.abspath(sf_dir)]
+    try:
+        for entry in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if entry.name.endswith(".parquet"):
+                st = entry.stat()
+                fp.append(f"{entry.name}:{st.st_mtime_ns}:{st.st_size}")
+    except FileNotFoundError:
+        pass
+    tag = hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
+    return f"/tmp/{root}_{os.getuid()}/{tag}/{leaf}"
+
+
 def pin_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Explicit hash repartition to all cores before a Python-heavy or
     hash-heavy stage (grouped-map pandas UDFs, per-row md5 cascades).

@@ -67,11 +67,30 @@ def last_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the _DLAT/_DLON cell geometry guarantees adjacent-cell coverage only
+#: up to this radius and |lat| bound — enforced loudly in radius_pairs
+_MAX_ABS_LAT = 52.4
+
+
 def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:
     """All (a, b) pairs with haversine(a, b) <= radius_km, a < b, via
     grid-cell candidate generation (no cross join), with a per-cell
     occupancy cap and per-point top-k emission bounding worst-case
-    candidates and output."""
+    candidates and output.
+
+    The cell geometry (_DLAT/_DLON) is sized for RADIUS_KM at
+    |lat| <= _MAX_ABS_LAT; a larger radius would need wider cells (two
+    points 2+ cells apart never meet in the 3×3 neighborhood and the
+    pair would be SILENTLY dropped), and the constants are also baked
+    into the registered oracle's cap window — so an out-of-coverage
+    radius raises instead of under-reporting.
+    """
+    if radius_km > RADIUS_KM:
+        raise ValueError(
+            f"radius_km={radius_km} exceeds the {RADIUS_KM} km the "
+            "3x3 cell geometry covers; widen _DLAT/_DLON (and the "
+            "oracle's cap cells) together"
+        )
     cell_y = F.floor(F.col("lat") / _DLAT).cast("long")
     cell_x = F.floor(F.col("lon") / _DLON).cast("long")
     w_cell = Window.partitionBy(cell_y, cell_x).orderBy("user_id")
@@ -264,9 +283,13 @@ def q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.lat").alias("blat"),
         F.col("b.lon").alias("blon"),
         d.alias("dist"),
-    ).localCheckpoint()  # both directed aggregations consume the SAME
-    # pairwise block join (the dominant cost); without materialization
-    # each grouping re-executes the whole O(P^2) join
+    ).localCheckpoint(eager=False)
+    # both directed aggregations consume the SAME pairwise block join
+    # (the dominant cost); without materialization each grouping
+    # re-executes the whole O(P^2) join.  eager=False: plan-only callers
+    # (explain, registry enumeration) must not pay the join at
+    # DataFrame-construction time — the checkpoint materializes on first
+    # action and is shared from then on
     h_ab = (
         joined.groupBy("user_a", "user_b", "alat", "alon")
         .agg(F.min("dist").alias("min_d"))

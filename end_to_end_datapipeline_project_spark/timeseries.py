@@ -387,7 +387,7 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   WITH stats AS (
     SELECT user_id, event_id, ts, value,
-           count(*) OVER w AS n,
+           count(value) OVER w AS n,
            CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
            CAST(SUM(CAST(value * value AS DECIMAL(30,6))) OVER w AS DOUBLE)
              AS s2
@@ -421,7 +421,10 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-19, 0)
     )
-    n = F.count(F.lit(1)).over(w)
+    # count(value), not count(*): NULL values are absent from s1/s2, so
+    # counting their rows would treat them as zero-valued observations,
+    # biasing mean/std (and the >= 20 gate must count real observations)
+    n = F.count(F.col("value")).over(w)
     s1 = F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
     s2 = (
         F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
@@ -454,8 +457,8 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
   WITH per_cell AS (
     SELECT isodow(ts) - 1 AS dow, event_type,
-           count(*) AS n,
-           {dsum("value")} / count(*) AS avg_value
+           count(value) AS n,
+           {dsum("value")} / count(value) AS avg_value
     FROM events
     GROUP BY isodow(ts) - 1, event_type
   ),
@@ -480,11 +483,15 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_parquet_table(spark, sf_dir, "events")
     per_cell = (
+        # n = count(value): NULL values are absent from the sum, so a
+        # row count would bias avg_value (and therefore seasonal_index)
+        # wherever null density differs by cell; n doubles as the base
+        # weight below, keeping base = the true mean of observed values
         ev.groupBy(
             F.weekday("ts").alias("dow"), F.col("event_type")
         ).agg(
-            F.count(F.lit(1)).alias("n"),
-            (spark_dsum(F.col("value")) / F.count(F.lit(1))).alias(
+            F.count(F.col("value")).alias("n"),
+            (spark_dsum(F.col("value")) / F.count(F.col("value"))).alias(
                 "avg_value"
             ),
         )
