@@ -770,30 +770,45 @@ BM25_QUERY = ("spark", "hash", "merge")
   ORDER BY round(score, 6) DESC, doc_id
   LIMIT 20
 """,
-    doc="BM25 keyword retrieval (k1=1.2, b=0.75): tf per (doc, query "
-    "term) after an IN-list filter that prunes the token stream before "
-    "any shuffle; df and corpus stats are tiny aggregates broadcast to "
-    "the scoring join. Top-20 by tiebroken TakeOrderedAndProject. At "
-    "100 TB the token explode never leaves the scan stage and only "
-    "query-term hits (a ~1e-5 fraction) reach the network.",
+    doc="BM25 keyword retrieval (k1=1.2, b=0.75): ONE explode pass — "
+    "doclen and the per-query-term tfs come out of a single "
+    "groupBy(doc_id) with conditional counts (the lazy tf/df/dl-as-"
+    "separate-DataFrames form re-ran the scan+explode up to 4x: no "
+    "exchange reuse between branches whose partial aggregates differ), "
+    "then a 3-row stack unpivot; df and corpus stats are tiny "
+    "aggregates broadcast to the scoring expression. Top-20 by "
+    "tiebroken TakeOrderedAndProject. At 100 TB the token explode is "
+    "paid exactly once, never leaves the scan stage, and the only "
+    "all-docs shuffle is the compact (doc_id, doclen, tf x3) row.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").filter(
         F.trim("text") != ""
     )
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
-    stats = dl.agg(
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doclen"),
+        *[
+            F.count(F.when(F.col("token") == q, 1)).alias(f"tf_{i}")
+            for i, q in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (spark_dsum(F.col("doclen").cast("double")) / F.count(F.lit(1))).alias(
             "avgdl"
         ),
     )
-    tf = (
-        tok.filter(F.col("token").isin(*BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_args = ", ".join(
+        f"'{q}', tf_{i}" for i, q in enumerate(BM25_QUERY)
     )
+    tf = per_doc.select(
+        "doc_id",
+        "doclen",
+        F.expr(
+            f"stack({len(BM25_QUERY)}, {stack_args}) AS (token, tf)"
+        ),
+    ).filter(F.col("tf") > 0)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -809,7 +824,6 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

@@ -790,12 +790,29 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_parquet_table(spark, sf_dir, "events")
-    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
-    ends = ev.select(
-        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
-        F.lit(-1).alias("delta"),
+    # explode-of-array, not UNION ALL: pts feeds BOTH the running-sum
+    # and the day-net branches, and a union recomputes its two scans per
+    # consumer (4 full event scans); the explode emits both boundary
+    # points from ONE scan pass
+    pts = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("ts").alias("t"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias(
+                            "t"
+                        ),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.t", "p.delta")
+        .withColumn("day", F.to_date("t"))
     )
-    pts = starts.unionAll(ends).withColumn("day", F.to_date("t"))
     w_in = (
         Window.partitionBy("day")
         .orderBy("t", "delta")

@@ -118,7 +118,7 @@ KEY_OFFSETS = {
 NOTES = {
     "q_prefix_filter_join": "(output-bound: replica k-cliques make QUALIFYING pairs grow ~x1000; PPJoin length+positional filters cut candidates 11M->1.2M and array-intersect verify replaced the exploded join - x10 wall went 98s -> 33s; remaining growth tracks output) ",
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
-    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction) ",
+    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; ratio rose 2.2x->3.9x when doc fan-out pinning + signature checkpointing cut the SMALL scale 4.5s->2.0s - absolute x10 wall also improved 10.0s->8.0s) ",
     "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
     "q_pagerank": "(edge-gen bound: 8.7M->87M linear pair instances through the fan-out explode dominate (measured 8s of 11s at x10); the iteration side alone measures ~1.7x - messages partial-aggregate to O(parts x V) before the dst shuffle, plan-gated in PLANS.md) ",
@@ -127,6 +127,11 @@ NOTES = {
     "q_pricing_summary": "(interleaved in-process A/B measures 1.1x; plan is scan+partial-agg with pushdown - prior 2.9x was host CPU-steal noise) ",
     "q_logreg_grad": "(interleaved A/B 1.2x; dim-keyed allreduce is O(d)-flat - prior 2.9x was host noise) ",
     "q_decontaminate": "(interleaved A/B 1.1x; held-out shingle broadcast is fixed-size - prior 3.0x was host noise) ",
+    "q_user_sequences": "(pinned grouped-map fan-out: per-group Python work now runs on all 32 cores at BOTH scales, so the ratio is honest linear Python cost on fixed cores - absolute x10 wall improved 3.5s->2.4s vs the unpinned form whose 1.0x ratio just meant both sides underused cores) ",
+    "q_pareto_frontier": "(sub-second query: batch-probe outliers up to 9.4x were host noise, interleaved A/B reads 1.0x; level table is |distinct prices| and the join back is broadcast) ",
+    "q_scd2_history": "(sub-second query: batch-probe 2.5x was host noise, interleaved A/B reads 1.0x) ",
+    "q_bm25": "(single-scan rewrite: doclen + per-term tfs from ONE groupBy(doc_id) with conditional counts + stack unpivot; the lazy tf/df/dl branch form re-ran the scan+explode up to 4x) ",
+    "q_concurrency": "(explode-of-array boundary points: one event scan per consumer instead of a 2-scan union) ",
 }
 
 
