@@ -792,7 +792,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("token") == q, 1)).alias(f"tf_{i}")
             for i, q in enumerate(BM25_QUERY)
         ],
-    )
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: stats and tf both consume per_doc, and their
+    # differing column pruning defeats exchange reuse — without the
+    # materialization the full token explode runs twice.  per_doc is
+    # O(docs) compact rows (5 numeric cols), the token stream is not.
+    # eager=False so plan-only callers never pay the explode.
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (spark_dsum(F.col("doclen").cast("double")) / F.count(F.lit(1))).alias(
