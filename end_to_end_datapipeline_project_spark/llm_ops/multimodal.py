@@ -5,15 +5,16 @@ LLM-pipeline extension surface (SURVEY.md §7.2 M4; no binary columns exist
 in the reference data model, SURVEY.md §1.2).
 
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested.  Decode: UNCOMPRESSED formats decode for
-real in pure stdlib/numpy — binary PPM and BMP images (header + pixel
-math) and PCM WAV audio (RIFF parsing, sample-rate/duration/RMS) — via
-``decode_image``/``decode_audio`` and the ``decode_media`` kernel.
-Compressed codecs (JPEG/PNG/MP3/...) raise ``NotImplementedError`` (no
-codec library ships in this container) and fall back to the
-deterministic ``fake_decode``, which computes real features (byte
-length, sha256, md5-derived dimensions) so every payload stays
-end-to-end verifiable, including against the DuckDB oracle.
+shape — is real and tested.  Decode: PPM, BMP and PNG images (PNG via
+stdlib zlib + full filter reconstruction incl. Paeth, CRC-checked) and
+PCM WAV audio (RIFF parsing, sample-rate/duration/RMS) decode for REAL
+in pure stdlib/numpy, via ``decode_image``/``decode_audio`` and the
+``decode_media`` kernel.  Codecs that genuinely need an external
+library (JPEG/WebP/MP3/...) raise ``NotImplementedError`` (none ships
+in this container) and fall back to the deterministic ``fake_decode``,
+which computes real features (byte length, sha256, md5-derived
+dimensions) so every payload stays end-to-end verifiable, including
+against the DuckDB oracle.
 
 Scale notes (100 TB of media):
 
@@ -69,13 +70,14 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode for UNCOMPRESSED formats (pure stdlib/numpy).
+    """Real image decode in pure stdlib/numpy — no image library.
 
-    Binary PPM (``P6``) and BMP (``BM``) are parsed from their headers
-    and pixel data — no image library needed.  Compressed codecs
-    (JPEG/PNG/WebP) still raise: decoding them honestly requires a
-    library this container does not ship, and the deterministic
-    ``fake_decode`` stand-in keeps those payloads pipeline-testable.
+    Binary PPM (``P6``) and BMP (``BM``) parse from their headers and
+    pixel data; PNG decodes fully (stdlib zlib inflate + scanline
+    filter reconstruction, see :func:`_decode_png`).  Codecs that
+    genuinely need an external library (JPEG/WebP) still raise, and
+    the deterministic ``fake_decode`` stand-in keeps those payloads
+    pipeline-testable.
     """
     import numpy as np
 
@@ -147,11 +149,116 @@ def decode_image(payload: bytes) -> dict:
             "maxval": 255,
             "mean_level": None,  # pixel layout depends on compression field
         }
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/...) require an image "
-        "library not present in this environment; uncompressed PPM/BMP "
-        "decode natively, everything else uses fake_decode"
+        "JPEG/WebP/... require an image library not present in this "
+        "environment; PPM/BMP/PNG decode natively, everything else "
+        "uses fake_decode"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel (palette type 3 is refused)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode in pure stdlib+numpy: CRC-checked chunk walk,
+    zlib-inflate of the IDAT stream, scanline filter reconstruction
+    (types 0-4 incl. Paeth).
+
+    Supported: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), no interlace.  Palette (type 3), 16-bit samples and Adam7
+    raise ValueError → the kernel's fake_decode fallback — same
+    discipline as the BMP structural checks: malformed or unsupported
+    payloads must never surface as a "real" decode with garbage pixels,
+    and every chunk CRC is verified so corrupt bytes are caught before
+    zlib sees them.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while True:
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG: ran out of chunks before IEND")
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            "unsupported PNG variant (palette/16-bit/interlaced)"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data does not match IHDR dimensions")
+    arr = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    prev = np.zeros(stride, dtype=np.int32)
+    total = 0
+    for y in range(height):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] → per-lane
+            cur = row.copy()  # cumsum, vectorized per byte lane
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif f == 2:  # Up — fully vectorized
+            cur = (row + prev) % 256
+        elif f == 3:  # Average — left-sequential
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth — inherently sequential
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        total += int(cur.sum())
+        prev = cur
+    n_px = height * stride
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "maxval": 255,
+        "mean_level": (total / n_px) if n_px else 0.0,
+    }
 
 
 def decode_audio(payload: bytes) -> dict:
@@ -266,11 +373,12 @@ REAL_DECODE_SCHEMA = T.StructType(
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL media decode: PPM/BMP images and PCM WAV audio
-    parse natively (header + numpy pixel/sample math); payloads in any
-    other format fall back to the deterministic ``fake_decode``
-    (format=NULL marks the fallback).  Same 100 TB shape as the feature
-    kernel: mapInPandas, no shuffle, Arrow batch memory bounded by
+    """Arrow-batched REAL media decode: PPM/BMP/PNG images and PCM WAV
+    audio parse natively (header + numpy pixel/sample math; PNG via
+    stdlib zlib + filter reconstruction); payloads in any other format
+    fall back to the deterministic ``fake_decode`` (format=NULL marks
+    the fallback).  Same 100 TB shape as the feature kernel:
+    mapInPandas, no shuffle, Arrow batch memory bounded by
     maxRecordsPerBatch.
     """
 
@@ -286,7 +394,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 # bad row must fall back to fake_decode, never crash
                 # the whole Spark job
                 try:
-                    if p[:2] in (b"P6", b"BM"):
+                    if p[:2] in (b"P6", b"BM") or p[:8] == _PNG_SIG:
                         d = decode_image(p)
                         rows.append(
                             (int(aid), d["format"], d["width"], d["height"],

@@ -65,6 +65,10 @@ def test_fake_decode_deterministic():
 
 
 def test_decode_stub_raises():
+    # JPEG genuinely needs a codec lib -> NotImplementedError
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+    # a bare PNG signature prefix shorter than 8 bytes is not PNG either
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
 
