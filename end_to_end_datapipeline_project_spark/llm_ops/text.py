@@ -285,6 +285,182 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE merge training: number of merges learned and the word-frequency
+#: table cap that bounds trainer state (real trainers truncate the same
+#: way — the corpus is scanned ONCE, iterations run on the capped table)
+N_BPE_MERGES = 6
+BPE_VOCAB_CAP = 4096
+
+#: symbol delimiter inside a word's symbol string.  chr(1) cannot occur
+#: in a kept word: both engines filter words containing it (symmetric),
+#: and the BPE pre-tokenizer never emits whitespace.
+_BPE_D = "chr(1)"
+#: the fold accumulator's last symbol (segment after the final delimiter)
+_BPE_LAST = "regexp_extract(acc, '([^\\x01]*)$', 1)"
+
+
+def _bpe_oracle_sql() -> str:
+    """K chained CTE blocks: pair-count → deterministic argmax → greedy
+    merge fold (list_reduce with a delimited-string accumulator — the
+    same fold the Spark side runs, so same-symbol runs like 'aaaa'
+    merge identically: [aa, aa])."""
+    blocks = [
+        f"""
+  WITH __words AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS word
+          FROM documents)
+    WHERE length(word) > 0 AND strpos(word, {_BPE_D}) = 0
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT {BPE_VOCAB_CAP}
+  ),
+  __w0 AS (
+    SELECT array_to_string(
+             list_transform(range(1, length(word) + 1),
+                            i -> substring(word, i, 1)), {_BPE_D}) AS sym,
+           freq
+    FROM __words
+  )"""
+    ]
+    for k in range(1, N_BPE_MERGES + 1):
+        blocks.append(
+            f""",
+  __p{k} AS (
+    SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (
+      SELECT freq,
+             unnest(list_transform(range(1, len(arr)),
+                    i -> struct_pack(a := arr[i], b := arr[i + 1]))) AS pr
+      FROM (SELECT string_split(sym, {_BPE_D}) AS arr, freq FROM __w{k - 1})
+    )
+    GROUP BY pr.a, pr.b
+    ORDER BY cnt DESC, a, b
+    LIMIT 1
+  ),
+  __w{k} AS (
+    SELECT list_reduce(arr, (acc, x) -> CASE
+             WHEN {_BPE_LAST} = p.a AND x = p.b
+             THEN substr(acc, 1, length(acc) - length({_BPE_LAST}))
+                  || p.a || p.b
+             ELSE acc || {_BPE_D} || x END) AS sym,
+           freq
+    FROM (SELECT string_split(sym, {_BPE_D}) AS arr, freq FROM __w{k - 1})
+    CROSS JOIN __p{k} p
+  )"""
+        )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {k} AS iter, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, cnt FROM __p{k}"
+        for k in range(1, N_BPE_MERGES + 1)
+    )
+    return "".join(blocks) + "\n  " + unions
+
+
+@register(
+    "q_bpe_merges",
+    _bpe_oracle_sql(),
+    doc="Distributed BPE merge TRAINING (not just pre-tokenization): "
+    "the corpus is scanned once into a word-frequency table capped at "
+    f"the top {BPE_VOCAB_CAP} types (freq desc, word — deterministic), "
+    f"then {N_BPE_MERGES} iterations of adjacent-pair counting "
+    "(weighted by word freq), deterministic argmax (count desc, pair "
+    "asc), and greedy left-to-right merge application run entirely on "
+    "that small table.  The merge fold is a string-accumulator "
+    "aggregate() whose semantics are EXACTLY canonical greedy BPE — "
+    "same-symbol runs included ('aaaaa' + (a,a) → [aa, aa, a]) — and "
+    "the oracle runs the identical fold via DuckDB list_reduce.  Per "
+    "iteration the engine collects one 3-field row (the argmax pair — "
+    "same O(1)-per-iteration discipline as q_kmeans_step); at 100 TB "
+    "the only corpus-sized work is the single tokenize+count shuffle, "
+    "and trainer state is bounded by the vocab cap.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+        ).alias("word")
+    )
+    base = (
+        words.filter(
+            (F.length("word") > 0) & (F.instr("word", "\x01") == 0)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(BPE_VOCAB_CAP)
+    )
+    w = base.select(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            ),
+            "\x01",
+        ).alias("sym"),
+        "freq",
+    ).localCheckpoint()  # each iteration below reads it twice (pairs +
+    # merge); without materialization round k would re-run the corpus
+    # tokenize + k-1 merge folds per consumer
+    merges: list = []
+    for k in range(1, N_BPE_MERGES + 1):
+        arr = F.split("sym", "\x01")
+        npairs = F.greatest(F.size(arr) - 1, F.lit(0))
+        pairs = w.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, npairs),
+                    F.slice(arr, 2, npairs),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # pairs ran dry (all words single-symbol)
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((k, a, b, a + b, cnt))
+        def make_merge_fn(pair_a: str, pair_b: str):
+            aL, bL = F.lit(pair_a), F.lit(pair_b)
+
+            def merge_fn(acc, x):
+                last = F.regexp_extract(acc, "([^\\x01]*)$", 1)
+                hit = (last == aL) & (x == bL)
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.substring(
+                            acc, F.lit(1), F.length(acc) - F.length(last)
+                        ),
+                        aL,
+                        bL,
+                    ),
+                ).otherwise(F.concat(acc, F.lit("\x01"), x))
+
+            return merge_fn
+
+        merge_fn = make_merge_fn(a, b)
+
+        w = w.select(
+            F.aggregate(
+                F.slice(arr, 2, npairs), F.element_at(arr, 1), merge_fn
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "iter int, pair_a string, pair_b string, merged string, cnt long",
+    )
+
+
 TFIDF_TOP_K = 3
 
 

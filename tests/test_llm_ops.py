@@ -231,3 +231,60 @@ def test_ann_recall_bounded(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert 0.0 <= r.recall_at_5 <= 1.0
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    """The distributed trainer must reproduce an INDEPENDENT canonical
+    greedy-BPE reference (pure-Python, re + Counter) bit-for-bit:
+    same argmax pairs, same tie-breaks, same counts."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from end_to_end_datapipeline_project_spark.llm_ops.text import (
+        BPE_PATTERN,
+        BPE_VOCAB_CAP,
+        N_BPE_MERGES,
+        q_bpe_merges,
+    )
+
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"]
+    pat = re.compile(BPE_PATTERN)
+    freq = collections.Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for wrd in pat.findall(t):
+            if wrd and "\x01" not in wrd:
+                freq[wrd] += 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    words = [[list(w), f] for w, f in top[:BPE_VOCAB_CAP]]
+    expected = []
+    for it in range(1, N_BPE_MERGES + 1):
+        pc = collections.Counter()
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((it, a, b, a + b, cnt))
+        for wrec in words:
+            syms = wrec[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            wrec[0] = out
+
+    got = [
+        (r.iter, r.pair_a, r.pair_b, r.merged, r.cnt)
+        for r in sorted(q_bpe_merges(spark, sf_dir).collect(),
+                        key=lambda r: r.iter)
+    ]
+    assert got == expected
