@@ -205,9 +205,16 @@ def _decode_png(payload: bytes) -> dict:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if (
+        bit_depth != 8
+        or color_type not in _PNG_CHANNELS
+        or interlace != 0
+        or _comp != 0
+        or _filt != 0
+    ):
         raise ValueError(
-            "unsupported PNG variant (palette/16-bit/interlaced)"
+            "unsupported PNG variant (palette/16-bit/interlaced/"
+            "non-zero compression or filter method)"
         )
     channels = _PNG_CHANNELS[color_type]
     stride = width * channels

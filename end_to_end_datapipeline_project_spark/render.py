@@ -115,12 +115,13 @@ def render_top10_bar(
     """SVG bar chart of the top-10 lines by total fuel cost.
 
     ``chart_pdf`` is the ``q_chart_top10_costs`` frame: (bar_pos, line,
-    total_cost_pln) with bar_pos ranked ASCENDING by cost; the display
-    order mirrors reference ``main.py:86-98`` — most expensive line
-    leftmost — so bars are laid out by descending bar_pos.  Bars are
-    skyblue with proportional heights and value captions.
+    total_cost_pln) with bar_pos = the bar's x position ranked ASCENDING
+    by cost — the same display order as reference ``main.py:86-98``
+    (cheapest of the top-10 leftmost), so bars are laid out by ascending
+    bar_pos.  Bars are skyblue with proportional heights and value
+    captions.
     """
-    rows = chart_pdf.sort_values("bar_pos", ascending=False)
+    rows = chart_pdf.sort_values("bar_pos", ascending=True)
     n = len(rows)
     if n == 0:
         raise ValueError("chart frame is empty — nothing to render")
@@ -201,7 +202,9 @@ def render_speed_lines(
     xspan = (x1 - x0) or 1.0
     yspan = (y1 - y0) or 1.0
     top, bottom, left = 40.0, 70.0, 60.0
-    plot_w, plot_h = width - left - 20.0, height - top - bottom
+    # 130 px right gutter so legend labels render inside the viewBox
+    # instead of clipping at the edge
+    plot_w, plot_h = width - left - 130.0, height - top - bottom
 
     def sx(v: float) -> float:
         return left + (v - x0) / xspan * plot_w
@@ -227,7 +230,7 @@ def render_speed_lines(
             f'stroke-width="2"/>'
         )
         out.append(
-            f'<text x="{left + plot_w + 4:.1f}" y="{top + 14 + i * 16:.1f}" '
+            f'<text x="{left + plot_w + 8:.1f}" y="{top + 14 + i * 16:.1f}" '
             f'font-size="11" fill="{color}">{escape(str(key))}</text>'
         )
     _axis_labels(out, width, height, xlabel, ylabel)
@@ -235,12 +238,18 @@ def render_speed_lines(
     return "\n".join(out)
 
 
+#: process-wide tmp-name counter (next() is atomic under the GIL) so
+#: concurrent same-process saves to one dest never share a tmp inode —
+#: same discipline as landing._TMP_SEQ
+_TMP_SEQ = __import__("itertools").count()
+
+
 def _atomic_write(text: str, dest: str) -> None:
     """Publish via dot-tmp + rename so readers never see a partial file
     (same discipline as landing.save_raw)."""
     d, base = os.path.split(os.path.abspath(dest))
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".{base}.{os.getpid()}.tmp")
+    tmp = os.path.join(d, f".{base}.{os.getpid()}_{next(_TMP_SEQ)}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(text)
         f.flush()

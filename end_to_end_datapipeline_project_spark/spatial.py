@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .geo import haversine_km, haversine_sql
+from .geo import WARSAW_BOX, haversine_km, haversine_sql
 from .pipeline_queries import TYPED_SQL, events_typed
 from .registry import register
 
@@ -68,8 +68,19 @@ def last_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: the _DLAT/_DLON cell geometry guarantees adjacent-cell coverage only
-#: up to this radius and |lat| bound — enforced loudly in radius_pairs
+#: up to RADIUS_KM at |lat| <= this bound.  The radius side is enforced
+#: loudly in radius_pairs; the latitude side is guaranteed by
+#: CONSTRUCTION, not by a runtime check: every caller derives positions
+#: via events_typed, whose lat expression is literally
+#: 52.0 + frac(value) * 0.4 ∈ [52.0, 52.4) (pipeline_queries.py:124) —
+#: the Warsaw bounding box the reference cleanse enforces.  A new caller
+#: feeding higher-latitude points must widen _DLON (and the oracle's cap
+#: cells) first.
 _MAX_ABS_LAT = 52.4
+
+assert _MAX_ABS_LAT == WARSAW_BOX["lat_max"], (
+    "cell geometry bound must track the cleanse bounding box"
+)
 
 
 def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:

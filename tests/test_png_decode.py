@@ -122,6 +122,22 @@ def test_png_corrupt_crc_refused():
         decode_image(bytes(png))
 
 
+def test_png_nonzero_method_bytes_refused():
+    # IHDR compression-method / filter-method bytes must be 0: a
+    # CRC-valid file declaring method 1 must NOT decode as if it were 0
+    for comp, filt in ((1, 0), (0, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, comp, filt, 0)
+        raw = b"\x00" + b"\x01" * 6 + b"\x00" + b"\x02" * 6
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_image(png)
+
+
 def test_png_unsupported_variants_refused():
     # palette color type
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)

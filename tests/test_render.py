@@ -72,12 +72,13 @@ def test_top10_bar_svg():
         if r.get("fill") == "skyblue"
     ]
     assert len(rects) == 3
-    # display order = descending cost: first bar is the 40.0 one, and
-    # bar heights are proportional to value
+    # display order = ascending bar_pos (the contract's x position,
+    # mirroring the reference's ascending sort: cheapest of the top-10
+    # leftmost), and bar heights are proportional to value
     heights = [float(r.get("height")) for r in rects]
-    assert heights[0] == max(heights)
-    assert abs(heights[1] / heights[0] - 0.5) < 1e-6
-    assert abs(heights[2] / heights[0] - 0.25) < 1e-6
+    assert heights[-1] == max(heights)
+    assert abs(heights[0] / heights[-1] - 0.25) < 1e-6
+    assert abs(heights[1] / heights[-1] - 0.5) < 1e-6
     labels = [t.text for t in root.iter(f"{SVG_NS}text")]
     assert "L<2>" in labels and "L9" in labels
 
@@ -106,7 +107,7 @@ def test_speed_lines_svg():
     assert len({pl.get("stroke") for pl in lines}) == 2
 
 
-def test_render_from_real_contracts(spark):
+def test_render_from_real_contracts(spark, sf_dir):
     """End-to-end: the oracle-checked contract queries feed the
     renderers directly — the full S10/S11 path minus a browser."""
     from end_to_end_datapipeline_project_spark.pipeline_queries import (
@@ -115,7 +116,7 @@ def test_render_from_real_contracts(spark):
     )
     from end_to_end_datapipeline_project_spark.sinks import to_pandas_edge
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     path_pdf = to_pandas_edge(q_route_map_path(spark, sf))
     html = render_route_map(path_pdf)
     assert "L.polyline" in html and "Koniec" in html
