@@ -79,6 +79,8 @@ PROBES = [
     "q_table_diff",
     "q_info_gain",
     "q_minhash_lsh",
+    "q_bpe_merges",
+    "q_tfidf",
     "q_script_mix",
     "q_winsorized_stats",
     "q_bigram_logprob",
@@ -132,6 +134,7 @@ NOTES = {
     "q_scd2_history": "(sub-second query: batch-probe 2.5x was host noise, interleaved A/B reads 1.0x) ",
     "q_bm25": "(single-scan rewrite: doclen + per-term tfs from ONE groupBy(doc_id) with conditional counts + stack unpivot; the lazy tf/df/dl branch form re-ran the scan+explode up to 4x) ",
     "q_concurrency": "(explode-of-array boundary points: one event scan per consumer instead of a 2-scan union) ",
+    "q_bpe_merges": "(vocab-cap-bounded trainer: corpus tokenize+count is the only data-sized stage, iterations run on the capped word table - ratio ~1.0x by design) ",
 }
 
 
