@@ -12,7 +12,7 @@ joins"); this is part of the 100 TB LLM-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register, spark_dsum
@@ -203,13 +203,37 @@ _CO_ORDER_HALF_SQL = """
   )"""
 
 
-def _co_order_half_edges(li: DataFrame) -> DataFrame:
-    """(src < dst) part pairs co-ordered in >= 2 distinct orders.
+def ordered_pairs(
+    sets: DataFrame, set_col: str, a: str, b: str
+) -> DataFrame:
+    """Explode every C(set, 2) ordered pair (x earlier than y in the
+    sorted array) INSIDE the scan stage — the quadratic pair kernel
+    every co-occurrence graph builder here shares.  q_pagerank keeps
+    its own packed-long variant of this expression (one BIGINT per pair
+    instead of a two-long struct, ~40% less dedup-shuffle payload,
+    valid only while keys < 2^31).
+    """
+    return sets.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({set_col}, (x, i) -> "
+                f"transform(slice({set_col}, i + 2, size({set_col})), "
+                f"y -> struct(x AS {a}, y AS {b}))))"
+            )
+        ).alias("__p")
+    ).select(f"__p.{a}", f"__p.{b}")
+
+
+def _co_order_half_edges(li: DataFrame, weighted: bool = False) -> DataFrame:
+    """(src < dst) part pairs co-ordered in >= 2 distinct orders;
+    ``weighted`` adds w = 1 / co-order-count (the SSSP edge weight).
 
     One shuffle on l_orderkey with a map-side-combined collect_set (orders
     hold ~4 lines, so per-order sets are tiny), pairs exploded inside the
     stage, then one (src, dst) counting shuffle.  Never materializes the
-    weight-1 noise the naive self-join + distinct would.
+    weight-1 noise the naive self-join + distinct would.  The support
+    floor filters on the COUNT (n_co >= 2), matching the oracle's
+    HAVING — never on a derived float.
     """
     sets = _fanout_repartition(
         li.groupBy("l_orderkey").agg(
@@ -217,21 +241,17 @@ def _co_order_half_edges(li: DataFrame) -> DataFrame:
         ),
         "l_orderkey",
     )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps)), "
-                "y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
-    return (
-        pairs.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("src", "dst")
+    agg = (
+        ordered_pairs(sets, "ps", "src", "dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
     )
+    if weighted:
+        return agg.select(
+            "src", "dst", (F.lit(1.0) / F.col("n_co")).alias("w")
+        )
+    return agg.select("src", "dst")
 
 
 def orient_by_degree(half: DataFrame) -> DataFrame:
@@ -555,16 +575,7 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
     )
     pairs = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
+        ordered_pairs(sets, "ps", "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 2)
@@ -641,28 +652,7 @@ def _sssp_iter_sql(prev: str, out: str) -> str:
 )
 def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    oi = li.select("l_orderkey", "l_partkey").distinct()
-    sets = _fanout_repartition(
-        oi.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
-        ),
-        "l_orderkey",
-    )
-    half = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .groupBy("src", "dst")
-        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("w"))
-        .filter(F.col("w") <= 0.5)
-    )
+    half = _co_order_half_edges(li, weighted=True)
     edges = half.unionAll(
         half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"

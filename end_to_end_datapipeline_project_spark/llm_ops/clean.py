@@ -224,22 +224,30 @@ def _shingles5(docs: DataFrame) -> DataFrame:
     toks = docs.select("doc_id", tokens_col().alias("toks")).filter(
         F.size("toks") >= 5
     )
+    # array_distinct BEFORE the explode, not .distinct() after it: the
+    # dedup is per-doc (shingles can't collide across doc_ids in the
+    # output key), so doing it in-row keeps the corpus out of any
+    # shuffle — a post-explode .distinct() would exchange every
+    # (doc_id, shingle) of every training doc just to dedupe within
+    # single documents
     return toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i),
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                    F.element_at("toks", i + 3),
-                    F.element_at("toks", i + 4),
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                        F.element_at("toks", i + 4),
+                    ),
+                )
             )
         ).alias("sh"),
-    ).distinct()
+    )
 
 
 @register(
@@ -763,8 +771,13 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
+    # fingerprint ONCE in chunked: both the boiler aggregation and the
+    # flag join reuse the projected column, instead of re-digesting
+    # every chunk in the join predicate (md5 over the full chunked
+    # corpus twice), and the join becomes a plain equi-join key
+    chunked = chunked.withColumn("chunk_fp", F.md5("chunk"))
     boiler = (
-        chunked.select(F.md5("chunk").alias("fp"), "doc_id")
+        chunked.select(F.col("chunk_fp").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= _BP_MIN_DOCS)
@@ -772,7 +785,7 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = chunked.join(
         F.broadcast(boiler),
-        F.md5(F.col("chunk")) == F.col("fp"),
+        F.col("chunk_fp") == F.col("fp"),
         "left",
     ).select(
         "doc_id",

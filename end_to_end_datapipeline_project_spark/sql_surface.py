@@ -364,18 +364,31 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 10).cast("int"),
         ).alias("ia"),
     )
+    # try_element_at, not element_at: under the session's ANSI mode an
+    # out-of-bounds index would CRASH the query, while the DuckDB
+    # oracle's v[k] / list_sort(v)[k] return NULL — try_element_at
+    # reproduces the oracle's NULL semantics (latent with the fixed
+    # 64-dim testdata, but a shorter vector must not diverge
+    # crash-vs-NULL between engines)
     return d.select(
         "vec_id",
         F.size("v").alias("n_dims"),
-        F.round(F.element_at("v", 1), 6).alias("first_dim"),
+        F.round(F.try_element_at("v", F.lit(1)), 6).alias("first_dim"),
         F.round(
-            F.element_at("v", 2) + F.element_at("v", 3) + F.element_at("v", 4), 6
+            F.try_element_at("v", F.lit(2))
+            + F.try_element_at("v", F.lit(3))
+            + F.try_element_at("v", F.lit(4)),
+            6,
         ).alias("slice_sum"),
         F.round(F.array_max("v"), 6).alias("vmax"),
         F.round(F.array_min("v"), 6).alias("vmin"),
-        F.round(F.element_at(F.sort_array("v"), 3), 6).alias("third_smallest"),
+        F.round(
+            F.try_element_at(F.sort_array("v"), F.lit(3)), 6
+        ).alias("third_smallest"),
         F.size(F.array_distinct("ia")).alias("n_distinct_deciles"),
         F.array_contains("ia", 5).alias("has_half"),
         F.array_position("ia", 5).alias("half_pos"),
-        F.round(F.element_at(F.reverse("v"), 1), 6).alias("last_dim"),
+        F.round(
+            F.try_element_at(F.reverse("v"), F.lit(1)), 6
+        ).alias("last_dim"),
     )
