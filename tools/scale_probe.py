@@ -128,7 +128,7 @@ NOTES = {
     "q_item_cosine": "(linear pair volume: disjoint-key replicas keep basket sizes constant so C(b,2) pairs grow exactly x10 and saturate the fan-out stage; basket cap 64 bounds the quadratic term on pathological baskets) ",
     "q_pricing_summary": "(interleaved in-process A/B measures 1.1x; plan is scan+partial-agg with pushdown - prior 2.9x was host CPU-steal noise) ",
     "q_logreg_grad": "(interleaved A/B 1.2x; dim-keyed allreduce is O(d)-flat - prior 2.9x was host noise) ",
-    "q_decontaminate": "(interleaved A/B 1.1x; held-out shingle broadcast is fixed-size - prior 3.0x was host noise) ",
+    "q_decontaminate": "(in-row array_distinct shingle dedup replaced the post-explode corpus-wide distinct shuffle; held-out shingle broadcast is fixed-size) ",
     "q_user_sequences": "(pinned grouped-map fan-out: per-group Python work now runs on all 32 cores at BOTH scales, so the ratio is honest linear Python cost on fixed cores - absolute x10 wall improved 3.5s->2.4s vs the unpinned form whose 1.0x ratio just meant both sides underused cores) ",
     "q_pareto_frontier": "(sub-second query: batch-probe outliers up to 9.4x were host noise, interleaved A/B reads 1.0x; level table is |distinct prices| and the join back is broadcast) ",
     "q_scd2_history": "(sub-second query: batch-probe 2.5x was host noise, interleaved A/B reads 1.0x) ",
