@@ -80,7 +80,9 @@ _STATS_SQL = f"""
            {dsum("value * user_id")} AS sxy,
            {dsum("CAST(user_id AS DOUBLE)")} AS sy,
            {dsum("CAST(user_id AS DOUBLE) * user_id")} AS syy
-    FROM events GROUP BY event_type
+    FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
   )
   SELECT event_type, n,
          round(sx / n, 6) AS mean_value,
@@ -103,7 +105,12 @@ _STATS_SQL = f"""
     "parallelism, unlike naive float one-pass co-moments.",
 )
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events")
+    # complete-case: every power sum must run over the SAME row support
+    # (a NULL value row would be excluded from sx/sxx/sxy but counted
+    # in n and included in sy/syy, biasing every statistic)
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     x = F.col("value")
     y = F.col("user_id").cast("double")
     sums = ev.groupBy("event_type").agg(
@@ -274,7 +281,11 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            # same guard as slope: constant x or y zeroes the product
+            # exactly — NULL (oracle's x/0), not an ANSI crash
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            ),
             6,
         ).alias("r2"),
     )
@@ -407,7 +418,9 @@ _MODEL_SCHEMA = (
            {dsum("value")} AS sy,
            {dsum("value * value")} AS syy,
            {dsum("value * user_id")} AS sxy
-    FROM events GROUP BY event_type
+    FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
   )
   SELECT event_type, n,
          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
@@ -427,7 +440,10 @@ _MODEL_SCHEMA = (
     "IEEE double arithmetic agrees bit-for-bit.",
 )
 def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events")
+    # complete-case filter: see q_stats (same support-mismatch bias)
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     x = F.col("user_id").cast("double")
     y = F.col("value")
     sums = ev.groupBy("event_type").agg(
@@ -440,7 +456,17 @@ def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def solve(pdf):
+        import math
+
         import pandas as pd
+
+        def r6(v):
+            # DuckDB round(double, 6): half-away-from-zero on the scaled
+            # binary value (verified: copysign(floor(|v|*1e6+0.5))/1e6
+            # matches DuckDB on half-way doubles where Python's round()
+            # — round-half-even on the binary value — does NOT, e.g.
+            # 0.1234565 -> 0.123457 (DuckDB/this) vs 0.123456 (round))
+            return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
 
         out = []
         for r in pdf.itertuples(index=False):
@@ -456,14 +482,14 @@ def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "event_type": r.event_type,
                     "n": r.n,
-                    "slope": round(slope, 6) if slope is not None else None,
+                    "slope": r6(slope) if slope is not None else None,
                     "intercept": (
-                        round((r.sy - slope * r.sx) / n, 6)
+                        r6((r.sy - slope * r.sx) / n)
                         if slope is not None
                         else None
                     ),
                     "r2": (
-                        round((num * num) / r2_den, 6)
+                        r6((num * num) / r2_den)
                         if r2_den != 0.0
                         else None
                     ),
@@ -518,8 +544,9 @@ _DRIFT_BIN = "CAST(floor(value / 20) AS BIGINT)"
     GROUP BY c.event_type, c.bin
   )
   SELECT event_type,
-         round(sum(CASE WHEN p > 0 AND q > 0
-                        THEN p * ln(p / q) ELSE 0 END), 6) AS kl_ref_cur,
+         round(CAST(sum(CAST(round(CASE WHEN p > 0 AND q > 0
+                                        THEN p * ln(p / q) ELSE 0 END, 9)
+                            AS DECIMAL(30,9))) AS DOUBLE), 6) AS kl_ref_cur,
          count(*) AS n_bins,
          CAST(sum(CASE WHEN p = 0 OR q = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS disjoint_bins
@@ -580,13 +607,16 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     p, q = F.col("p"), F.col("q")
+    # round each ln-derived term at 9dp and sum as DECIMAL(30,9): the
+    # raw-double sum was partial-agg-merge-order dependent AND libm-
+    # divergent in the last ulps (JVM log vs DuckDB log) — the same
+    # per-row-round-then-decimal-sum treatment every other libm-derived
+    # aggregate here gets (cf. q_info_gain)
+    term = F.round(
+        F.when((p > 0) & (q > 0), p * F.log(p / q)).otherwise(0.0), 9
+    ).cast("decimal(30,9)")
     return p_q.groupBy("event_type").agg(
-        F.round(
-            F.sum(
-                F.when((p > 0) & (q > 0), p * F.log(p / q)).otherwise(0.0)
-            ),
-            6,
-        ).alias("kl_ref_cur"),
+        F.round(F.sum(term).cast("double"), 6).alias("kl_ref_cur"),
         F.count(F.lit(1)).alias("n_bins"),
         F.sum(F.when((p == 0) | (q == 0), 1).otherwise(0)).alias(
             "disjoint_bins"
@@ -663,9 +693,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
   rows_m AS (SELECT lang, sum(c) AS rc FROM obs GROUP BY lang),
   cols_m AS (SELECT source, sum(c) AS cc FROM obs GROUP BY source),
   tot AS (SELECT sum(c) AS n FROM obs)
-  SELECT round(sum(
+  SELECT round(CAST(sum(CAST(round(
            pow(coalesce(o.c, 0) - r.rc * c.cc / t.n, 2)
-             / (r.rc * c.cc / t.n)), 6) AS chi2,
+             / (r.rc * c.cc / t.n), 9) AS DECIMAL(30,9))) AS DOUBLE), 6)
+           AS chi2,
          (count(DISTINCT r.lang) - 1) * (count(DISTINCT c.source) - 1)
            AS dof,
          CAST(min(t.n) AS BIGINT) AS n
@@ -691,9 +722,13 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = rows_m.crossJoin(F.broadcast(cols_m)).crossJoin(F.broadcast(tot))
     cells = grid.join(obs, ["lang", "source"], "left")
     exp = F.col("rc") * F.col("cc") / F.col("n")
-    term = F.pow(F.coalesce(F.col("c"), F.lit(0)) - exp, 2) / exp
+    # per-cell round at 9dp + decimal sum: pow() is libm-derived and a
+    # raw-double sum is merge-order dependent (see q_distribution_drift)
+    term = F.round(
+        F.pow(F.coalesce(F.col("c"), F.lit(0)) - exp, 2) / exp, 9
+    ).cast("decimal(30,9)")
     return cells.agg(
-        F.round(F.sum(term), 6).alias("chi2"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
         (
             (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
         ).alias("dof"),
@@ -936,7 +971,13 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssx, ssy, sp = F.col(f"ss_{x}"), F.col(f"ss_{y}"), F.col(f"sp_{x}_{y}")
         corr = F.round(
             (n * sp - sx * sy)
-            / F.sqrt((n * ssx - sx * sx) * (n * ssy - sy * sy)),
+            # nullif: a constant column zeroes the variance product
+            # exactly (decimal sums), and ANSI would crash where the
+            # oracle's x/0 yields NULL
+            / F.nullif(
+                F.sqrt((n * ssx - sx * sx) * (n * ssy - sy * sy)),
+                F.lit(0.0),
+            ),
             6,
         )
         structs.append(
@@ -1000,12 +1041,19 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, n = F.col("k"), F.col("n_total")
     ssb = F.col("gsb") - F.col("gsx") * F.col("gsx") / n
     ssw = F.col("gsxx") - F.col("gsb")
+    # nullif guards for degenerate designs (single group: k-1 = 0;
+    # saturated: n = k; all groups internally constant: ssw = 0) — the
+    # oracle's divisions yield NULL, ANSI must not crash instead
+    msw = ssw / F.nullif((n - k).cast("double"), F.lit(0.0))
+    f_stat = (ssb / F.nullif((k - 1).cast("double"), F.lit(0.0))) / F.nullif(
+        msw, F.lit(0.0)
+    )
     return t.select(
         "k",
         "n_total",
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
-        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(f_stat, 6).alias("f_stat"),
     )
 
 
@@ -1018,7 +1066,7 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum("value * value")} AS s2,
            {dsum("value * value * value")} AS s3,
            {dsum("value * value * value * value")} AS s4
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
   )
   SELECT event_type, n,
          round(s1 / n, 6) AS mean,
@@ -1040,7 +1088,10 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     "computes per column at 100 TB.",
 )
 def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events")
+    # value IS NOT NULL: n is the divisor of sums that skip NULLs
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     x = F.col("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1062,8 +1113,15 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(m1, 6).alias("mean"),
         F.round(m2, 6).alias("m2"),
-        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
-        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
+        # nullif: a constant-valued group makes m2 exactly 0 (decimal
+        # sums) — skew/kurtosis are NULL (the oracle's x/0), not an
+        # ANSI DIVIDE_BY_ZERO crash
+        F.round(
+            m3 / F.nullif(F.pow(m2, 1.5), F.lit(0.0)), 6
+        ).alias("skewness"),
+        F.round(
+            m4 / F.nullif(F.pow(m2, 2), F.lit(0.0)) - 3, 6
+        ).alias("excess_kurtosis"),
     )
 
 
@@ -1313,6 +1371,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum("value")} AS sx,
            {dsum("value * value")} AS sxx
     FROM events WHERE event_type IN ('purchase', 'click')
+      AND value IS NOT NULL
     GROUP BY event_type
   ),
   w AS (
@@ -1347,6 +1406,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_parquet_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()  # n1/n2 divide sums that skip NULLs
     )
     x = F.col("value")
     g = ev.groupBy("event_type").agg(
@@ -1701,7 +1761,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            quantile_cont(value, 0.05) AS lo,
            quantile_cont(value, 0.95) AS hi
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
   ),
   c AS (
     SELECT e.event_type,
@@ -1709,6 +1769,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN e.value > t.hi THEN t.hi
                 ELSE e.value END AS v
     FROM events e JOIN th t ON e.event_type = t.event_type
+    WHERE e.value IS NOT NULL
   ),
   s AS (
     SELECT event_type,
@@ -1732,7 +1793,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile becomes approx_percentile.",
 )
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events")
+    # value IS NOT NULL: a NULL value would survive the clamp CASE as
+    # NULL and be counted in n while absent from the sums
+    ev = read_parquet_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     th = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.05)").alias("lo"),
         F.expr("percentile(value, 0.95)").alias("hi"),
