@@ -705,8 +705,6 @@ SN_BUCKET = 4
     "on rank after a 1→w-1 offset explode, never a range join.",
 )
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = read_parquet_table(spark, sf_dir, "documents")
     keys = docs.select(
         "doc_id",
@@ -998,8 +996,6 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inside each cluster, never a global sort.",
 )
 def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import tokens_col
-
     docs = docs_with_text(spark, sf_dir)
     jac = jaccard_pairs(shingles(docs))
     edges1 = jac.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
@@ -1101,7 +1097,11 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("doc_id").orderBy("df", "shingle")
             ),
         )
-        .join(F.broadcast(sz), "doc_id")
+        # NO broadcast hint: sz is one row per DOCUMENT — O(corpus) —
+        # and a broadcast would hit the 8 GB relation limit (or driver
+        # OOM) long before 100 TB; the stream is already shuffled on
+        # doc_id by the row_number window, so the equi-join is cheap
+        .join(sz, "doc_id")
     )
     prefix = ranked.filter(
         F.col("pos")
@@ -1445,8 +1445,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two aggregate consumers (per-shingle and per-source) — checkpoint
     # the annotated shingle stream once instead of re-running the
     # explode + distinct shuffle per consumer
+    # NO broadcast hint on src: one row per document — O(corpus) — a
+    # broadcast caps out at Spark's 8 GB relation limit well below the
+    # claimed scale; a plain hash join on doc_id costs one shuffle of
+    # the skinny (doc_id, source) side
     with_src = (
-        shingles(docs).join(F.broadcast(src), "doc_id").localCheckpoint()
+        shingles(docs).join(src, "doc_id").localCheckpoint()
     )
     per_shingle = with_src.groupBy("shingle").agg(
         F.countDistinct("source").alias("n_sources"),

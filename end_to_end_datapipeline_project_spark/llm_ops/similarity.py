@@ -59,8 +59,12 @@ def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cos(prefix_a: str = "a", prefix_b: str = "b") -> Column:
-    return dot(F.col(f"{prefix_a}.v"), F.col(f"{prefix_b}.v")) / (
-        F.col(f"{prefix_a}.norm") * F.col(f"{prefix_b}.norm")
+    # nullif: a zero-norm (all-zero) embedding would ANSI-crash the
+    # division where DuckDB's x/0 yields NULL — latent with the current
+    # fixture (no zero vectors) but the kernel must not diverge
+    # crash-vs-NULL on degenerate data
+    return dot(F.col(f"{prefix_a}.v"), F.col(f"{prefix_b}.v")) / F.nullif(
+        F.col(f"{prefix_a}.norm") * F.col(f"{prefix_b}.norm"), F.lit(0.0)
     )
 
 
@@ -190,17 +194,32 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
-    cos_to_centroid = dot(F.col("v"), F.col("cv")) / (
-        F.col("norm") * F.col("cnorm")
+    cos_to_centroid = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("norm") * F.col("cnorm"), F.lit(0.0)
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("centroid_id")
-    )
+    # max_by partial aggregation, NOT a row_number window: the window
+    # form shuffles all n_centroids copies of every 64-dim embedding
+    # just to keep rank 1 (q_kmeans_step measured that shape at 15x
+    # super-linear before its identical rewrite); the partial max_by
+    # collapses the candidates map-side so the shuffle carries one row
+    # per vector.  Tiebreak struct (cos desc, centroid_id asc) matches
+    # the oracle's ORDER BY exactly.
     assign = (
         vecs.crossJoin(F.broadcast(centroids))
         .withColumn("cos_c", cos_to_centroid)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("cos_c").alias("c"),
+                    (-F.col("centroid_id")).alias("t"),
+                ),
+            ).alias("centroid_id"),
+            F.first("label").alias("label"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
         .select("vec_id", "label", "v", "norm", "centroid_id")
     )
     queries = assign.filter(F.col("vec_id") < 5)
@@ -248,6 +267,12 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = vecs.select(
         "label", F.posexplode("v").alias("dim", "val")
     )
+    # plain double sums, deliberately NOT dsum: embedding components
+    # are full-precision doubles, so a DECIMAL(30,6) cast would QUANTIZE
+    # the values (unlike the price/quantity columns dsum serves).  The
+    # order-dependence this leaves is bounded ~sqrt(n)·eps·Σ|x| ≈ 1e-10
+    # per dim at sf0.1 — three orders below the round(·,6) grid — and
+    # three rounds of full sweeps at three SFs have never tripped it.
     means = exploded.groupBy("label", "dim").agg(
         (F.sum("val") / F.count(F.lit(1))).alias("m")
     )
@@ -360,9 +385,9 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
-    cos_to_centroid = dot(F.col("v"), F.col("cv")) / (
-        F.col("norm") * F.col("cnorm")
-    )
+    cos_to_centroid = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("norm") * F.col("cnorm"), F.lit(0.0)
+    )  # zero-norm guard: NULL (DuckDB's x/0), not an ANSI crash
     # argmax via max_by, NOT a row_number window: the 64 candidate rows
     # per vector are produced consecutively by the broadcast cross join,
     # so the partial aggregate collapses them to one row inside the scan
@@ -567,10 +592,10 @@ def _pca_iter_sql(prev: str, out: str) -> str:
   __v0 AS (
     SELECT DISTINCT dim, 0.125 AS val FROM __coords
   ),
-  {_pca_iter_sql("__v0", "__v1")},
-  {_pca_iter_sql("__v1", "__v2")}
+  {", ".join(_pca_iter_sql(f"__v{i}", f"__v{i + 1}")
+             for i in range(_PCA_ITERS))}
   SELECT dim, val AS pc1_component, round(nrm, 6) AS eigenvalue_est
-  FROM __v2
+  FROM __v{_PCA_ITERS}
 """,
     doc=f"First principal direction of the raw (uncentered) embedding "
     f"second-moment matrix via {_PCA_ITERS} distributed power "

@@ -136,11 +136,12 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cogroup_stats",
     """
   WITH e AS (
-    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    SELECT user_id, count(*) AS n_events FROM events
+    WHERE user_id IS NOT NULL GROUP BY user_id
   ),
   o AS (
     SELECT o_custkey AS user_id, count(*) AS n_orders
-    FROM orders GROUP BY o_custkey
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
   )
   SELECT coalesce(e.user_id, o.user_id) AS user_id,
          coalesce(e.n_events, 0) AS n_events,
@@ -155,9 +156,19 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate join this reduces to for countable stats.",
 )
 def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_parquet_table(spark, sf_dir, "events").select("user_id")
-    orders = read_parquet_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id")
+    # NULL keys excluded on BOTH sides, mirroring the oracle's WHERE:
+    # Spark's cogroup treats NULL as one matching group while SQL's
+    # FULL OUTER JOIN never matches NULLs (two separate rows) — the
+    # semantics would silently diverge on a fixture with NULL keys
+    ev = (
+        read_parquet_table(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    orders = (
+        read_parquet_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"))
+        .filter(F.col("user_id").isNotNull())
     )
 
     def stats(key, left, right):

@@ -124,6 +124,9 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("partial_max_by", "argmax collapses the 64 candidates per vector inside the scan stage"),
         ("!Window", "no row_number window: embeddings never shuffle x64"),
     ],
+    "q_ann_ivf": [
+        ("partial_max_by", "centroid assignment collapses candidates map-side (same form as q_kmeans_step; the window form measured 15x super-linear)"),
+    ],
     "q_mixture_sample": [
         ("BroadcastHashJoin", "O(|sources|) probability table broadcasts back over the corpus scan"),
         ("partial_", "keep/char counts combine map-side"),
