@@ -564,8 +564,11 @@ def connected_components(
     "against exact SQL semantics.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
-    jac = jaccard_pairs(shingles(docs_with_text(spark, sf_dir)))
+    # one documents read serves both the node list (doc_id projection —
+    # column pruning keeps it narrow) and the shingle source
+    full = docs_with_text(spark, sf_dir)
+    docs = full.select("doc_id")
+    jac = jaccard_pairs(shingles(full))
     edges1 = jac.filter(F.col("jaccard") >= CLUSTER_JACCARD).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
