@@ -74,3 +74,35 @@ def test_run_batch_end_to_end_and_idempotent(spark, tmp_path):
         "2026-02-24",
     }
     assert spark.read.parquet(gold).count() == 2
+
+
+def test_rerun_with_zero_rows_replaces_stale_partition(spark, tmp_path):
+    """A corrected landing file that cleanses to ZERO rows must still
+    replace the previous run's partition — dynamic partition overwrite
+    no-ops on empty frames and would leave stale Silver/Gold data."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    _land(
+        bronze, 2026, 2, 23, "s1",
+        [rec("180", "1000", f"{DAY} 12:00:00"),
+         rec("180", "1000", f"{DAY} 12:00:15", lat=52.2001)],
+    )
+    report = run_batch(
+        spark, bronze, silver, gold, DAY, year=2026, month=2, day=23
+    )
+    assert report.count() == 1
+    assert spark.read.parquet(silver).count() == 2
+
+    # "correct" the landing data: every row now fails the bounding-box
+    # cleanse -> the re-run's silver frame is EMPTY
+    _land(
+        bronze, 2026, 2, 23, "s1",
+        [rec("180", "1000", f"{DAY} 12:00:00", lat=0.0, lon=0.0),
+         rec("180", "1000", f"{DAY} 12:00:15", lat=0.0, lon=0.0)],
+    )
+    report2 = run_batch(
+        spark, bronze, silver, gold, DAY, year=2026, month=2, day=23
+    )
+    assert report2.count() == 0  # stale Gold must NOT resurface
+    assert spark.read.parquet(silver).count() == 0
