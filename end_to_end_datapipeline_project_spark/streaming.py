@@ -46,6 +46,16 @@ def bronze_to_silver_stream(
     The watermark bounds the dedup state: keys older than event-time
     ``watermark`` are evicted, so state is O(traffic × watermark), not
     O(history) — the thing that makes this viable on an unbounded stream.
+
+    Survivor semantics caveat: streaming dropDuplicates keeps the FIRST
+    ARRIVAL per key (arrival order, not a deterministic ranking — no
+    window functions on streams), while the batch tier's
+    dedup_deterministic keeps the rank-1 row.  The two tiers agree
+    whenever duplicate keys carry identical payloads (true of re-polled
+    landing files, the reference's duplicate source); conflicting
+    payloads under one key resolve arrival-ordered here and
+    deterministically in batch — batch is the reproducible source of
+    truth for such conflicts.
     """
     df = typed_projection(explode_envelope(bronze))
     df = cleanse_filters(df, current_date)
@@ -262,24 +272,23 @@ def geofence_transitions_stream(events_stream: DataFrame) -> DataFrame:
         # in arbitrary row order, and sorting each chunk independently
         # would walk the in/out state out of timestamp order
         whole = pd.concat(list(pdfs), ignore_index=True)
-        for pdf in (whole,):
-            pdf = pdf.dropna(subset=["value", "ts"]).sort_values(
-                ["ts", "event_id"]
-            )
-            frac = pdf["value"] - pdf["value"].floordiv(1)
-            lat = 52.0 + frac * 0.4
-            lon7 = pdf["value"] * 7
-            lon = 20.5 + (lon7 - lon7.floordiv(1))
-            inside = (
-                lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
-            ).astype(int)
-            for eid, ts, ins in zip(pdf["event_id"], pdf["ts"], inside):
-                if last != -1 and ins != last:
-                    out["user_id"].append(key[0])
-                    out["event_id"].append(int(eid))
-                    out["ts"].append(ts)
-                    out["transition"].append("enter" if ins else "exit")
-                last = int(ins)
+        pdf = whole.dropna(subset=["value", "ts"]).sort_values(
+            ["ts", "event_id"]
+        )
+        frac = pdf["value"] - pdf["value"].floordiv(1)
+        lat = 52.0 + frac * 0.4
+        lon7 = pdf["value"] * 7
+        lon = 20.5 + (lon7 - lon7.floordiv(1))
+        inside = (
+            lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
+        ).astype(int)
+        for eid, ts, ins in zip(pdf["event_id"], pdf["ts"], inside):
+            if last != -1 and ins != last:
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["ts"].append(ts)
+                out["transition"].append("enter" if ins else "exit")
+            last = int(ins)
         state.update((last,))
         yield pd.DataFrame(out)
 

@@ -20,14 +20,69 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .sources import read_parquet_table
+from .sources import read_parquet_table, stage_dir
 from .streaming import (
     run_stream_to_memory,
     stateful_user_stats,
     windowed_event_counts,
 )
 
-_MEM_SEQ = [0]
+#: memory-sink name counter — itertools.count: next() is atomic under
+#: the GIL, so concurrent driver threads never mint the same query name
+#: (a [0] += 1 list cell is read-modify-write and can collide)
+_MEM_SEQ = __import__("itertools").count(1)
+
+#: bump when the staging layout below changes shape (stage_dir's
+#: fingerprint covers source DATA, not this code)
+_STREAM_STAGE_EPOCH = "v1"
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str, leaf: str):
+    """Shared landing-dir staging for the file-source streams: pin the
+    session confs, content-key the stage (uid-suffixed root + parquet
+    mtime/size fingerprint via sources.stage_dir — a schema-only key
+    missed in-place data regeneration), and symlink the events parquet
+    in race-safely.  Returns (stage, schema, ts_type).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive pinning, mirroring sources.read_parquet_table: the
+    # driver contract may hand us any SparkSession, and the ntz->ltz
+    # cast shifts instants unless the session is UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = stage_dir(
+        "spark_graft_stream", _STREAM_STAGE_EPOCH, sf_dir, leaf
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    target = f"{sf_dir}/events.parquet"
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.exists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # concurrent process won the exists→symlink race; the
+            # content-keyed stage guarantees its target is identical
+    ts_type = dict(
+        zip(schema.names, [f.dataType.typeName() for f in schema.fields])
+    ).get("ts")
+    return stage, schema, ts_type
+
+
+def _normalize_ts(stream: DataFrame, ts_type: str) -> DataFrame:
+    if ts_type in ("long", "bigint"):
+        return stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    if ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); with the session timezone
+        # pinned to UTC (session.py) the cast is value-identical.
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,42 +92,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a *directory*; stage a symlink dir (the
     landing-zone shape a real deployment would have).
     """
-    import hashlib
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # defensive pinning, mirroring sources.read_parquet_table: the
-    # driver contract may hand us any SparkSession, and the ntz->ltz
-    # cast below shifts instants unless the session is UTC
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # cache key = absolute source dir + current table schema, same as
-    # _events_stream_with_flush: two datasets sharing a basename must
-    # not reuse each other's stage, and a schema change invalidates it
-    cache_key = hashlib.md5(
-        (os.path.abspath(sf_dir) + "|" + schema.json()).encode()
-    ).hexdigest()[:16]
-    stage = f"/tmp/spark_graft_stream/{cache_key}/events"
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if os.path.islink(link) and os.readlink(link) != (
-        f"{sf_dir}/events.parquet"
-    ):
-        os.remove(link)
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    stage, schema, ts_type = _stage_events_dir(spark, sf_dir, "events")
     stream = spark.readStream.schema(schema).parquet(stage)
-    ts_type = dict(
-        zip(schema.names, [f.dataType.typeName() for f in schema.fields])
-    ).get("ts")
-    if ts_type in ("long", "bigint"):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    elif ts_type == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (LTZ); with the session timezone
-        # pinned to UTC (session.py) the cast is value-identical.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return _normalize_ts(stream, ts_type)
 
 
 @register(
@@ -90,9 +112,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     counts = windowed_event_counts(stream, "1 day", "1 day")
-    _MEM_SEQ[0] += 1
     return run_stream_to_memory(
-        spark, counts, f"stream_event_counts_{_MEM_SEQ[0]}", complete=True
+        spark, counts, f"stream_event_counts_{next(_MEM_SEQ)}", complete=True
     )
 
 
@@ -156,9 +177,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     stats = stateful_user_stats(stream)
-    _MEM_SEQ[0] += 1
     emitted = run_stream_to_memory(
-        spark, stats, f"stateful_user_stats_{_MEM_SEQ[0]}", complete=False
+        spark, stats, f"stateful_user_stats_{next(_MEM_SEQ)}", complete=False
     )
     return emitted.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -178,7 +198,12 @@ def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evicted, so state ∝ keys-per-day, not keys-ever. Output projects "
     "only the key columns (the survivor's other columns are "
     "arrival-order-dependent), making the stateful operator exactly "
-    "oracle-checkable as SELECT DISTINCT.",
+    "oracle-checkable as SELECT DISTINCT. Parity regime: the staged "
+    "source is ONE file = one micro-batch, so no key recurs after its "
+    "state expires; a multi-batch ingestion of this 30-day span under "
+    "a 1-day delay would legitimately re-emit expired keys (that IS "
+    "the bounded-state semantics) and the DISTINCT oracle would need "
+    "a per-eviction-window formulation instead.",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
@@ -187,9 +212,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    _MEM_SEQ[0] += 1
     return run_stream_to_memory(
-        spark, deduped, f"stream_dedup_{_MEM_SEQ[0]}", complete=False
+        spark, deduped, f"stream_dedup_{next(_MEM_SEQ)}", complete=False
     )
 
 
@@ -242,9 +266,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias("lag_sec"),
     )
-    _MEM_SEQ[0] += 1
     return run_stream_to_memory(
-        spark, joined, f"stream_stream_join_{_MEM_SEQ[0]}", complete=False
+        spark, joined, f"stream_stream_join_{next(_MEM_SEQ)}", complete=False
     )
 
 
@@ -279,9 +302,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(
         F.col("c_mktsegment").alias("mktsegment"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n"))
-    _MEM_SEQ[0] += 1
     emitted = run_stream_to_memory(
-        spark, agg, f"stream_static_join_{_MEM_SEQ[0]}", complete=True
+        spark, agg, f"stream_static_join_{next(_MEM_SEQ)}", complete=True
     )
     return emitted.groupBy("mktsegment").agg(
         F.sum("n").alias("n_events"),
@@ -345,7 +367,16 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target)
+    # materialize the final state, then remove the per-invocation temp
+    # table + checkpoint: without the cleanup every invocation (bench
+    # loops, repeated gate runs) leaks a full parquet copy of the
+    # per-user table into /tmp.  eager checkpoint: the read must
+    # complete before its source dir is deleted.
+    result = spark.read.parquet(target).localCheckpoint()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return result
 
 
 @register(
@@ -402,9 +433,8 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clicks",
         )
     )
-    _MEM_SEQ[0] += 1
     return run_stream_to_memory(
-        spark, sessions, f"stream_session_window_{_MEM_SEQ[0]}", complete=True
+        spark, sessions, f"stream_session_window_{next(_MEM_SEQ)}", complete=True
     )
 
 
@@ -421,38 +451,15 @@ def _events_stream_with_flush(
     advance the watermark past all real data and then evict with it,
     exactly what a production stream's continuing traffic does.
     """
-    import hashlib
+    import datetime
     import os
-    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    import datetime
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # cache key = absolute source dir + current table schema: two datasets
-    # sharing a basename must not reuse each other's stage, and a schema
-    # change in events.parquet must invalidate previously staged sentinels
-    cache_key = hashlib.md5(
-        (os.path.abspath(sf_dir) + "|" + schema.json()).encode()
-    ).hexdigest()[:16]
-    stage = f"/tmp/spark_graft_stream/{cache_key}/events_flush_{tag}"
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if os.path.islink(link) and os.readlink(link) != (
-        f"{sf_dir}/events.parquet"
-    ):
-        shutil.rmtree(stage)
-        os.makedirs(stage, exist_ok=True)
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    ts_type = dict(
-        zip(schema.names, [f.dataType.typeName() for f in schema.fields])
-    ).get("ts")
+    stage, schema, ts_type = _stage_events_dir(
+        spark, sf_dir, f"events_flush_{tag}"
+    )
     # sentinel event types MUST pass the query's own predicates: Catalyst
     # pushes filters below EventTimeWatermark, so a row the filter drops
     # never reaches the watermark tracker (verified empirically) — each
@@ -463,6 +470,11 @@ def _events_stream_with_flush(
         sentinel = f"{stage}/zz_flush_{i}.parquet"
         if not os.path.exists(sentinel):
             n = len(sentinel_types)
+            # atomic publish (dot-tmp + rename, landing.save_raw's
+            # discipline): a concurrent process's already-running file
+            # stream may be LISTING this dir — a half-written sentinel
+            # would either crash its read or, worse, be recorded as
+            # seen and never re-read, so its watermark never advances
             when = datetime.datetime(2200, 1, day)
             if ts_type in ("long", "bigint"):
                 nanos = int(
@@ -486,8 +498,12 @@ def _events_stream_with_flush(
                     cols.append(pa.array([0.0] * n, pa.float64()))
                 else:
                     cols.append(pa.array(["__flush__"] * n, pa.string()))
-            pq.write_table(pa.table(cols, names=names), sentinel)
-        os.utime(sentinel, (4102444800 + i, 4102444800 + i))
+            tmp = f"{stage}/.zz_flush_{i}.{os.getpid()}.tmp"
+            pq.write_table(pa.table(cols, names=names), tmp)
+            os.utime(tmp, (4102444800 + i, 4102444800 + i))
+            os.replace(tmp, sentinel)
+        else:
+            os.utime(sentinel, (4102444800 + i, 4102444800 + i))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -555,9 +571,8 @@ def q_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")).alias("lag_sec"),
     )
-    _MEM_SEQ[0] += 1
     result = run_stream_to_memory(
-        spark, joined, f"stream_left_outer_{_MEM_SEQ[0]}", complete=False
+        spark, joined, f"stream_left_outer_{next(_MEM_SEQ)}", complete=False
     )
     # strip the watermark-flush sentinels (negative ids, see
     # _events_stream_with_flush)
@@ -600,7 +615,6 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         subset=["user_id", "event_id"]
     )
     trans = geofence_transitions_stream(stream)
-    _MEM_SEQ[0] += 1
     return run_stream_to_memory(
-        spark, trans, f"stream_geofence_{_MEM_SEQ[0]}", complete=False
+        spark, trans, f"stream_geofence_{next(_MEM_SEQ)}", complete=False
     )
