@@ -42,13 +42,24 @@ def explode_envelope(bronze: DataFrame) -> DataFrame:
 
 def typed_projection(df: DataFrame) -> DataFrame:
     """Trim strings, cast Lat/Lon to double, Time to timestamp, derive date
-    (reference gtfstransformerSilver.py:33-39)."""
+    (reference gtfstransformerSilver.py:33-39).
+
+    try_to_timestamp, not to_timestamp: under the session's ANSI mode a
+    single malformed Time string would otherwise abort the whole batch
+    with CANNOT_PARSE_TIMESTAMP — the cleanse contract is "cast, then
+    DROP null rows", so a bad timestamp must become NULL and fall to
+    cleanse_filters' dropna, exactly what the reference's lax-mode cast
+    did.  (Lat/Lon need no try_: BRONZE_SCHEMA already declares them
+    double, so the cast is a no-op.)
+    """
     return df.select(
         F.trim(F.col("Lines")).alias("Lines"),
         F.trim(F.col("VehicleNumber")).alias("VehicleNumber"),
         F.col("Lat").cast("double").alias("Lat"),
         F.col("Lon").cast("double").alias("Lon"),
-        F.to_timestamp(F.col("Time"), "yyyy-MM-dd HH:mm:ss").alias("Time"),
+        F.try_to_timestamp(
+            F.col("Time"), F.lit("yyyy-MM-dd HH:mm:ss")
+        ).alias("Time"),
     ).withColumn("date", F.to_date(F.col("Time")))
 
 
@@ -104,6 +115,8 @@ def bronze_to_silver(bronze: DataFrame, current_date: str) -> DataFrame:
 def null_probe(df: DataFrame, cols: list[str]) -> int:
     """DQ probe: count rows where any of ``cols`` is NULL (reference P9,
     gtfsGold.py:17-21).  One job, predicate pushed to the scan."""
+    if not cols:
+        return 0  # no columns to probe — not a py4j error from filter(None)
     pred = None
     for c in cols:
         p = F.col(c).isNull()

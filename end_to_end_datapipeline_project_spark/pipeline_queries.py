@@ -339,11 +339,11 @@ def _drill_enrich_sql(src: str) -> str:
   __l5 AS (SELECT * FROM __l4 WHERE speed_kmh <= 70.0),"""
 
 
-@register(
-    "q_drilldown_top_vehicle",
-    f"""
-  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
-  __src AS (SELECT * FROM __dedup),
+#: drill-down CTE chain shared VERBATIM by q_drilldown_top_vehicle and
+#: q_route_map_path (top line by cost → that line's rows → re-enrich →
+#: top vehicle by distance): one definition so the tiebreaks / cutoffs
+#: can never silently desynchronize between the two oracles
+_TOP_VEHICLE_SQL = f"""__src AS (SELECT * FROM __dedup),
   {ENRICH_SQL},
   {REPORT_SQL},
   __top_line AS (
@@ -362,17 +362,13 @@ def _drill_enrich_sql(src: str) -> str:
   __top_vehicle AS (
     SELECT user_id FROM __per_vehicle
     ORDER BY total_v_dist DESC, user_id LIMIT 1
-  )
-  SELECT event_id, user_id, event_type, ts,
-         round(dist_km, 6) AS dist_km, diff_time_sec,
-         round(speed_kmh, 6) AS speed_kmh
-  FROM __l5
-  WHERE user_id IN (SELECT user_id FROM __top_vehicle)
-""",
-    doc="Two-level top-1 drill-down (reference P8/A3/O3: gtfsGold.py:110-134) "
-    "re-expressed as broadcast semi-joins instead of driver .first() hand-offs.",
-)
-def q_drilldown_top_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
+  )"""
+
+
+def top_vehicle_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of _TOP_VEHICLE_SQL: the drill-down top vehicle's
+    enriched pings, shared by q_drilldown_top_vehicle and
+    q_route_map_path (broadcast semi-joins, no driver .first())."""
     cleansed = events_cleansed(spark, sf_dir)
     report = events_report(spark, sf_dir)
     top_line = (
@@ -390,7 +386,25 @@ def q_drilldown_top_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("user_id")
     )
-    out = enr.join(F.broadcast(top_vehicle), "user_id", "left_semi")
+    return enr.join(F.broadcast(top_vehicle), "user_id", "left_semi")
+
+
+@register(
+    "q_drilldown_top_vehicle",
+    f"""
+  {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
+  {_TOP_VEHICLE_SQL}
+  SELECT event_id, user_id, event_type, ts,
+         round(dist_km, 6) AS dist_km, diff_time_sec,
+         round(speed_kmh, 6) AS speed_kmh
+  FROM __l5
+  WHERE user_id IN (SELECT user_id FROM __top_vehicle)
+""",
+    doc="Two-level top-1 drill-down (reference P8/A3/O3: gtfsGold.py:110-134) "
+    "re-expressed as broadcast semi-joins instead of driver .first() hand-offs.",
+)
+def q_drilldown_top_vehicle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = top_vehicle_enriched(spark, sf_dir)
     return out.select(
         "event_id",
         "user_id",
@@ -447,26 +461,7 @@ def q_chart_top10_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_route_map_path",
     f"""
   {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
-  __src AS (SELECT * FROM __dedup),
-  {ENRICH_SQL},
-  {REPORT_SQL},
-  __top_line AS (
-    SELECT event_type FROM __report2
-    ORDER BY total_cost_pln DESC, event_type LIMIT 1
-  ),
-  __line_src AS (
-    SELECT d.* FROM __dedup d
-    WHERE d.event_type IN (SELECT event_type FROM __top_line)
-  ),
-{_drill_enrich_sql("__line_src")}
-  __per_vehicle AS (
-    SELECT user_id, {dsum("dist_km")} AS total_v_dist
-    FROM __l5 GROUP BY user_id
-  ),
-  __top_vehicle AS (
-    SELECT user_id FROM __per_vehicle
-    ORDER BY total_v_dist DESC, user_id LIMIT 1
-  ),
+  {_TOP_VEHICLE_SQL},
   __pts AS (
     SELECT ts, event_id, lat, lon FROM __l5
     WHERE user_id IN (SELECT user_id FROM __top_vehicle)
@@ -499,24 +494,7 @@ def q_chart_top10_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a decimal-exact mean so Spark and DuckDB agree bit-for-bit.",
 )
 def q_route_map_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cleansed = events_cleansed(spark, sf_dir)
-    report = events_report(spark, sf_dir)
-    top_line = (
-        report.orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
-        .limit(1)
-        .select("event_type")
-    )
-    line_rows = cleansed.join(F.broadcast(top_line), "event_type", "left_semi")
-    enr = enrich(line_rows, EVENTS_TRAJ)
-    per_vehicle = enr.groupBy("user_id").agg(
-        spark_dsum(F.col("dist_km")).alias("total_v_dist")
-    )
-    top_vehicle = (
-        per_vehicle.orderBy(F.desc("total_v_dist"), F.asc("user_id"))
-        .limit(1)
-        .select("user_id")
-    )
-    pts = enr.join(F.broadcast(top_vehicle), "user_id", "left_semi").select(
+    pts = top_vehicle_enriched(spark, sf_dir).select(
         "ts", "event_id", "lat", "lon"
     )
     w_all = Window.partitionBy()
@@ -1210,7 +1188,6 @@ _FENCE = (52.15, 52.25, 20.9, 21.1)  # inner box: lat_min, lat_max, lon_min, lon
     "q_geofence_transitions",
     f"""
   {_cleansed_sql(52.0, 52.4, 20.5, 21.5)},
-  __src AS (SELECT * FROM __dedup),
   __inout AS (
     SELECT user_id, ts, lat, lon,
            (lat BETWEEN {_FENCE[0]} AND {_FENCE[1]}

@@ -29,6 +29,11 @@ def write_partitioned_parquet(
     1000-task shuffle does not fan out into 1000 tiny files per partition.
     """
     partition_cols = partition_cols or []
+    if files_per_partition and not partition_cols:
+        # honor the file budget for UNPARTITIONED writes too: without
+        # this, a 1000-task shuffle upstream writes 1000 small files —
+        # the exact problem this knob exists to prevent
+        df = df.repartition(files_per_partition)
     if files_per_partition and partition_cols:
         # repartition(N, cols) alone CANNOT split a partition: every
         # partition value hashes to one task, so file count per
@@ -98,19 +103,46 @@ def compact_partitioned(
     import os
 
     df = spark.read.parquet(path)
-    n_rows = df.count()
-    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    data_cols = [c for c in df.columns if c != partition_col]
+    # PER-PARTITION file budget, not a global one: salting by a global
+    # n_files spreads EVERY partition over up to n_files salt values, so
+    # the output becomes ~n_partitions x n_files small files — the
+    # opposite of compaction.  Each partition gets its own
+    # ceil(rows/target) budget via a broadcast join of the (tiny)
+    # per-partition row counts.
+    budgets = (
+        df.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            partition_col,
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__n") / F.lit(float(target_rows_per_file))),
+            )
+            .cast("int")
+            .alias("__budget"),
+        )
+    )
+    total_files = (
+        budgets.agg(F.sum("__budget").alias("t")).first()["t"] or 1
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        per_part = F.pmod(F.xxhash64(*df.columns), F.lit(n_files))
         (
-            # salt within each partition value: repartition(n, col)
-            # alone maps a whole partition to one task/file (see
-            # write_partitioned_parquet)
-            df.withColumn("__salt", per_part)
-            .repartition(n_files, partition_col, "__salt")
-            .drop("__salt")
+            # salt within each partition value, bounded by ITS budget:
+            # repartition(n, col) alone maps a whole partition to one
+            # task/file (see write_partitioned_parquet); the x4 task
+            # headroom reduces (partition, salt) hash collisions
+            df.join(F.broadcast(budgets), partition_col)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*data_cols), F.col("__budget")),
+            )
+            .repartition(
+                int(math.ceil(total_files)) * 4, partition_col, "__salt"
+            )
+            .drop("__salt", "__budget")
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(path)

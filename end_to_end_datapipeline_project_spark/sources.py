@@ -64,7 +64,12 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # oracle-parity confs must hold even on a vanilla driver session
     # (SURVEY.md §7.4: pinned UTC, ANSI on) — the session factory sets
-    # them too, but the driver contract may hand us any SparkSession
+    # them too, but the driver contract may hand us any SparkSession.
+    # DELIBERATE session-wide side effect: these pins persist for the
+    # session's lifetime, which is the engine's documented contract
+    # (every query and the GTFS batch path assume UTC + ANSI; cleanse
+    # uses try_-variants where lax parsing is the semantic).  A caller
+    # needing different session semantics must use a separate session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -227,3 +227,34 @@ def test_files_per_partition_actually_splits(spark, tmp_path):
     files = glob.glob(f"{out}/part=only/*.parquet")
     assert 2 <= len(files) <= 4
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compaction_budget_is_per_partition(spark, tmp_path):
+    """The file budget must be computed PER PARTITION: a global budget
+    of ceil(total/target) salts every partition over every salt value,
+    emitting ~n_partitions x n_files small files instead of compacting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.sinks import compact_partitioned
+
+    path = str(tmp_path / "t3")
+    # 6 partitions x 3000 rows, target 2000 -> budget 2 files/partition
+    df = spark.range(18000).select(F.col("id"), (F.col("id") % 6).alias("p"))
+    for _ in range(5):
+        df.repartition(8).write.mode("append").partitionBy("p").parquet(path)
+    after = compact_partitioned(spark, path, "p", target_rows_per_file=2000)
+    # per-partition budget: ceil(15000/2000)=8 files per partition, 48
+    # total (the old global budget ceil(90000/2000)=45 salts per
+    # partition would emit up to 6*45=270 files)
+    assert after <= 6 * 8
+    per_part = {}
+    for root, _dirs, files in os.walk(path):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_part[os.path.basename(root)] = n
+    assert len(per_part) == 6
+    assert all(n <= 8 for n in per_part.values()), per_part
+    back = spark.read.parquet(path)
+    assert back.count() == 90000
