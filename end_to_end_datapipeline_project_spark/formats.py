@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .registry import dsum, register, spark_dsum
-from .sources import read_parquet_table, stage_dir
+from .sources import claim_staged, read_parquet_table, stage_dir
 
 #: bump when a staging transformation below changes semantics (see
 #: sources.stage_dir — the fingerprint covers input data, not code)
@@ -71,11 +71,21 @@ def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, sep: str = "|"
 ) -> DataFrame:
     """Schema-declared FAILFAST CSV read — no inference scan, no silent
-    nulls from malformed rows."""
+    nulls from malformed rows.
+
+    multiLine on: the writer quotes embedded newlines, so a symmetric
+    reader must parse quoted multi-line fields or FAILFAST aborts on
+    any free-text column (the round-trip contract is lossless).  Cost:
+    multiLine CSV files are not byte-range splittable — parallelism is
+    per FILE, which the writer's task-per-partition layout provides;
+    keep free-text tables on the JSONL path when per-file granularity
+    is too coarse.
+    """
     return (
         spark.read.schema(schema)
         .option("header", "true")
         .option("sep", sep)
+        .option("multiLine", "true")
         .option("mode", "FAILFAST")
         .csv(path)
     )
@@ -106,8 +116,10 @@ def read_jsonl(
     doc="CSV round-trip: orders → pipe-delimited CSV with header → "
     "schema-declared FAILFAST re-read → aggregate. Oracle aggregates "
     "the original parquet, so a pass proves the text encode/decode "
-    "(quoting, separators, float formatting) is lossless. Uncompressed "
-    "CSV stays byte-range splittable for a 1000-executor read.",
+    "(quoting, separators, float formatting) is lossless. The reader "
+    "parses quoted multi-line fields (symmetric with the writer's "
+    "quoting), so read parallelism is per FILE — the writer's "
+    "task-per-partition layout supplies the files.",
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage(sf_dir, "orders_csv")
@@ -211,15 +223,16 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     stage = _stage(sf_dir, "evolving_orders")
-    marker = f"{stage}/_STAGED"
-    if not os.path.exists(marker):
+
+    def _build(tmp: str) -> None:
         orders.filter("o_orderkey % 2 = 0").select(
             "o_orderkey", "o_totalprice"
-        ).write.mode("overwrite").parquet(f"{stage}/gen=1")
+        ).write.mode("overwrite").parquet(f"{tmp}/gen=1")
         orders.filter("o_orderkey % 2 = 1").select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
-        ).write.mode("overwrite").parquet(f"{stage}/gen=2")
-        open(marker, "w").write("ok")
+        ).write.mode("overwrite").parquet(f"{tmp}/gen=2")
+
+    claim_staged(stage, _build)
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{stage}/gen=1", f"{stage}/gen=2"
     )
@@ -260,15 +273,15 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     stage = _stage(sf_dir, "corrupt_orders_csv")
-    marker = f"{stage}/_STAGED"
-    if not os.path.exists(marker):
-        orders.select(
+    claim_staged(
+        stage,
+        lambda tmp: orders.select(
             "o_orderkey",
             F.when(F.col("o_orderkey") % 41 == 0, F.lit("N/A"))
             .otherwise(F.col("o_totalprice").cast("string"))
             .alias("price"),
-        ).write.mode("overwrite").option("header", "false").csv(stage)
-        open(marker, "w").write("ok")
+        ).write.mode("overwrite").option("header", "false").csv(tmp),
+    )
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),

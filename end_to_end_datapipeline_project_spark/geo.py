@@ -35,19 +35,29 @@ def haversine_km(
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
     )
-    c = 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+    # greatest(0, 1-a): near-antipodal points can push a to
+    # 1.0000000000000004 in IEEE double (verified reachable), and an
+    # unclamped sqrt(1-a) is NaN on Spark but a HARD ERROR in DuckDB —
+    # the clamp is applied identically in haversine_sql so the engines
+    # stay bit-for-bit equal on in-range inputs too (greatest(0, x)
+    # returns x unchanged for x > 0)
+    c = 2 * F.atan2(F.sqrt(a), F.sqrt(F.greatest(F.lit(0.0), 1 - a)))
     return F.lit(EARTH_RADIUS_KM) * c
 
 
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
-    """The same formula as ANSI SQL text (for oracle parity checks)."""
+    """The same formula as ANSI SQL text (for oracle parity checks) —
+    every constant and clamp mirrors haversine_km exactly."""
     dlat = f"radians({lat2} - {lat1})"
     dlon = f"radians({lon2} - {lon1})"
     a = (
         f"(pow(sin({dlat}/2), 2) + cos(radians({lat1})) * cos(radians({lat2}))"
         f" * pow(sin({dlon}/2), 2))"
     )
-    return f"(6371.0 * 2 * atan2(sqrt({a}), sqrt(1 - {a})))"
+    return (
+        f"({EARTH_RADIUS_KM} * 2 * atan2(sqrt({a}), "
+        f"sqrt(greatest(0.0, 1 - {a}))))"
+    )
 
 
 def in_bounding_box(

@@ -803,10 +803,10 @@ def _stage_blob_dir(spark: SparkSession, sf_dir: str) -> str:
     key = _h.md5(
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    stage = f"/tmp/spark_graft_blobs/{key}"
-    sentinel = f"{stage}/_STAGED"
-    if not os.path.exists(sentinel):
-        os.makedirs(stage, exist_ok=True)
+    stage = f"/tmp/spark_graft_blobs_{os.getuid()}/{key}"
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
         rows = (
             read_parquet_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < _BLOB_N)
@@ -814,10 +814,14 @@ def _stage_blob_dir(spark: SparkSession, sf_dir: str) -> str:
             .collect()
         )
         for r in rows:
-            with open(f"{stage}/doc_{r.doc_id:08d}.bin", "wb") as f:
+            with open(f"{tmp}/doc_{r.doc_id:08d}.bin", "wb") as f:
                 f.write(r.text.encode("utf-8"))
-        with open(sentinel, "w") as f:
-            f.write("ok")
+
+    # atomic dir publish (claim_staged): a binaryFile stream/scan in a
+    # concurrent process must never list a half-staged blob dir
+    from ..sources import claim_staged
+
+    claim_staged(stage, _build)
     return stage
 
 

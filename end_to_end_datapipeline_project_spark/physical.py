@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .pipeline_queries import _cleansed_sql, events_cleansed
 from .registry import dsum, register, spark_dsum
-from .sources import read_parquet_table, stage_dir
+from .sources import claim_staged, read_parquet_table, stage_dir, stage_fingerprint
 
 #: bump when a transformation feeding a staged dataset changes semantics
 #: (the fingerprint covers input DATA, not code — without an epoch bump
@@ -59,8 +59,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table names carry the SAME content-hash tag as the staging dirs:
     # basename-derived names served stale bucketed tables for any other
     # dataset sharing a basename (or in-place regenerated testdata), and
-    # non-identifier chars in the basename broke tableExists outright
-    tag = _stage(sf_dir, "").rstrip("/").rsplit("/", 1)[-1]
+    # non-identifier chars in the basename broke tableExists outright.
+    # stage_fingerprint, not path-parsing: the tag must survive any
+    # change to stage_dir's directory layout
+    tag = stage_fingerprint(_STAGE_EPOCH, sf_dir)
     t_orders, t_li = f"sg_orders_b_{tag}", f"sg_lineitem_b_{tag}"
     for name, df, key in ((t_orders, orders, "o_orderkey"), (t_li, li, "l_orderkey")):
         if not spark.catalog.tableExists(name):
@@ -105,11 +107,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_medallion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver_dir = _stage(sf_dir, "silver_events")
-    marker = f"{silver_dir}/_SUCCESS"
-    if not os.path.exists(marker):
-        events_cleansed(spark, sf_dir).write.mode("overwrite").partitionBy(
-            "date"
-        ).parquet(silver_dir)
+    claim_staged(
+        silver_dir,
+        lambda tmp: events_cleansed(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(tmp),
+    )
     back = spark.read.parquet(silver_dir)
     pruned = back.filter(
         (F.col("date") >= F.lit("2024-01-10").cast("date"))
@@ -344,10 +348,13 @@ def hll_rollup(sketches: DataFrame, *keys: str) -> DataFrame:
 )
 def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver_dir = _stage(sf_dir, "silver_events")
-    if not os.path.exists(f"{silver_dir}/_SUCCESS"):
-        events_cleansed(spark, sf_dir).write.mode("overwrite").partitionBy(
-            "date"
-        ).parquet(silver_dir)
+    claim_staged(
+        silver_dir,
+        lambda tmp: events_cleansed(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(tmp),
+    )
     silver = spark.read.parquet(silver_dir)
     dim = (
         silver.select(F.col("date").alias("d"))
@@ -395,18 +402,20 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag_dir = _stage(sf_dir, "frag_documents")
     compact_dir = _stage(sf_dir, "compact_documents")
     docs = read_parquet_table(spark, sf_dir, "documents")
-    if not os.path.exists(f"{frag_dir}/_SUCCESS"):
-        # simulate micro-batch fragmentation: 64 shards of ~80 rows
-        docs.repartition(_COMPACT_SHARDS).write.mode("overwrite").parquet(
-            frag_dir
-        )
-    if not os.path.exists(f"{compact_dir}/_SUCCESS"):
-        (
-            spark.read.parquet(frag_dir)
-            .repartition(_COMPACT_TARGET_FILES)
-            .write.mode("overwrite")
-            .parquet(compact_dir)
-        )
+    # simulate micro-batch fragmentation: 64 shards of ~80 rows
+    claim_staged(
+        frag_dir,
+        lambda tmp: docs.repartition(_COMPACT_SHARDS)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    claim_staged(
+        compact_dir,
+        lambda tmp: spark.read.parquet(frag_dir)
+        .repartition(_COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     back = spark.read.parquet(compact_dir)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),

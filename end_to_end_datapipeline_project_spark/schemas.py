@@ -70,16 +70,6 @@ TESTDATA_TABLES = [
     "embeddings",
 ]
 
-#: Multimodal asset table contract (llm_ops.multimodal) — media payloads are
-#: opaque binary columns with typed metadata alongside.
-MEDIA_SCHEMA = T.StructType(
-    [
-        T.StructField("asset_id", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),  # image | audio | video
-        T.StructField("payload", T.BinaryType(), True),
-        T.StructField("mime", T.StringType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("duration_ms", T.LongType(), True),
-    ]
-)
+# (the multimodal asset/feature contracts live with their kernels in
+# llm_ops/multimodal.py — a second copy here drifted from the real
+# schema and was removed)

@@ -91,6 +91,48 @@ def stage_dir(root: str, epoch: str, sf_dir: str, leaf: str) -> str:
     semantics change must bump its caller's epoch.  The root is
     uid-suffixed so multi-user hosts never fight over /tmp ownership.
     """
+    import os
+
+    tag = stage_fingerprint(epoch, sf_dir)
+    return f"/tmp/{root}_{os.getuid()}/{tag}/{leaf}"
+
+
+#: process-wide tmp-name counter for claim_staged (next() is atomic
+#: under the GIL)
+_STAGE_TMP_SEQ = __import__("itertools").count()
+
+
+def claim_staged(final_dir: str, build) -> None:
+    """Multi-process-safe build-once staging: publish a directory
+    atomically via build-into-tmp + rename.
+
+    A bare check-then-act marker (``if not exists(marker): write; touch
+    marker``) lets two processes (e.g. bench.py and pytest on the same
+    content-keyed stage) both pass the check and overwrite each other's
+    in-flight output.  Here ``build(tmp_dir)`` writes into a
+    process-unique sibling, and os.rename publishes it — the final dir
+    therefore only ever EXISTS fully written (existence IS the marker),
+    and a builder that loses the rename race discards its copy.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(final_dir):
+        return
+    tmp = f"{final_dir}.build.{os.getpid()}_{next(_STAGE_TMP_SEQ)}"
+    build(tmp)
+    try:
+        os.rename(tmp, final_dir)
+    except OSError:
+        # another process published first; ours is redundant
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stage_fingerprint(epoch: str, sf_dir: str) -> str:
+    """The content-hash tag stage_dir keys its directories on — exposed
+    so callers that need the fingerprint itself (e.g. content-keyed
+    TABLE names in physical.q_bucketed_join) never parse it back out of
+    the path layout."""
     import hashlib
     import os
 
@@ -102,8 +144,7 @@ def stage_dir(root: str, epoch: str, sf_dir: str, leaf: str) -> str:
                 fp.append(f"{entry.name}:{st.st_mtime_ns}:{st.st_size}")
     except FileNotFoundError:
         pass
-    tag = hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
-    return f"/tmp/{root}_{os.getuid()}/{tag}/{leaf}"
+    return hashlib.md5("|".join(fp).encode()).hexdigest()[:16]
 
 
 def pin_parallelism(df: DataFrame, *keys: str) -> DataFrame:

@@ -82,3 +82,16 @@ def test_null_probe_counts(spark):
         [("a", "1"), (None, "2"), ("c", None)], "Lines string, VehicleNumber string"
     )
     assert null_probe(df, ["Lines", "VehicleNumber"]) == 2
+
+
+def test_silver_schema_contract(spark):
+    """bronze_to_silver's output must match the declared SILVER_SCHEMA
+    (name + type, reference tests/test_silver.py:134-144) — the schema
+    constant is a live contract, not documentation."""
+    from end_to_end_datapipeline_project_spark.schemas import SILVER_SCHEMA
+
+    bronze = make_bronze_df(spark, [rec()])
+    out = bronze_to_silver(bronze, DAY)
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in SILVER_SCHEMA.fields]
+    assert got == want
