@@ -485,7 +485,7 @@ TFIDF_TOP_K = 3
   )
   SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, term) AS rank
     FROM __scored)
   WHERE rank <= {TFIDF_TOP_K}
 """,
@@ -522,7 +522,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    # rank on the ROUNDED score (both engines): ln() is libm-derived,
+    # so two mathematically-equal scores (e.g. 2*ln(4) vs ln(16)) can
+    # differ by an ulp differently per engine and flip the unrounded
+    # order — rounding first makes the rank tie-break on `term` fire
+    # identically (round-before-rank, the repo convention)
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tfidf", 6)), F.asc("term")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)
@@ -929,7 +936,7 @@ BM25_QUERY = ("spark", "hash", "merge")
   tf AS (
     SELECT doc_id, token, count(*) AS tf
     FROM tok
-    WHERE token IN ('spark', 'hash', 'merge')
+    WHERE token IN ({", ".join(f"'{q}'" for q in BM25_QUERY)})
     GROUP BY doc_id, token
   ),
   df AS (
@@ -939,8 +946,9 @@ BM25_QUERY = ("spark", "hash", "merge")
     SELECT t.doc_id,
            sum(
              ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-             * (t.tf * (1.2 + 1.0))
-             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.doclen / s.avgdl))
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * l.doclen / s.avgdl))
            ) AS score,
            count(*) AS n_terms_hit
     FROM tf t

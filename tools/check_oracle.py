@@ -69,6 +69,17 @@ def type_lint(arrow_schema) -> list:
 
 
 def main() -> int:
+    # pin the PROCESS timezone: PySpark's collect() converts timestamps
+    # via datetime.fromtimestamp (SYSTEM tz, not the session tz), so on
+    # a non-UTC host every timestamp cell would shift by the UTC offset
+    # against DuckDB's naive-UTC values and false-fail
+    import os as _os
+    import time as _time
+
+    _os.environ["TZ"] = "UTC"
+    if hasattr(_time, "tzset"):
+        _time.tzset()
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -76,6 +87,11 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd subset must be a loud failure, not a green 0-query run
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -127,8 +143,9 @@ def main() -> int:
         if not problems:
             s_set, d_set = rowset(scols, srows), rowset(dcols, drows)
             if s_set != d_set:
-                diff_s = [r for r in s_set if r not in set(d_set)][:3]
-                diff_d = [r for r in d_set if r not in set(s_set)][:3]
+                ss, ds = set(s_set), set(d_set)  # hoisted: O(n), not O(n^2)
+                diff_s = [r for r in s_set if r not in ds][:3]
+                diff_d = [r for r in d_set if r not in ss][:3]
                 problems.append(
                     f"values differ; spark-only={diff_s} duck-only={diff_d}"
                 )

@@ -139,37 +139,46 @@ NOTES = {
 
 
 def build(spark, k: int) -> str:
-    out = f"/tmp/spark_graft_scale/x{k}"
-    if os.path.exists(f"{out}/_BUILT"):
-        return out
-    os.makedirs(out, exist_ok=True)
-    for table, offsets in KEY_OFFSETS.items():
-        df = read_parquet_table(spark, BASE_SF, table)
-        if table in ("nation", "region"):
-            big = df  # dimension lookups: keep identical
-        else:
-            reps = []
-            for i in range(k):
-                r = df
-                for col, off in offsets.items():
-                    if off:
-                        r = r.withColumn(col, F.col(col) + F.lit(i * off))
-                if table == "documents":
-                    # vary text across replicas so near-dup structure stays
-                    # ~constant per replica instead of creating k-cliques.
-                    # APPEND the marker: a prepended one gave every doc in a
-                    # replica the same leading 8 chars, collapsing all
-                    # prefix-blocked queries into one giant block — probe
-                    # artifact, not a property of the data distribution
-                    r = r.withColumn(
-                        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
-                    )
-                reps.append(r)
-            big = reps[0]
-            for r in reps[1:]:
-                big = big.unionByName(r)
-        big.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
-    open(f"{out}/_BUILT", "w").write("ok")
+    from end_to_end_datapipeline_project_spark.sources import claim_staged
+
+    out = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}"
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        for table, offsets in KEY_OFFSETS.items():
+            df = read_parquet_table(spark, BASE_SF, table)
+            if table in ("nation", "region"):
+                big = df  # dimension lookups: keep identical
+            else:
+                reps = []
+                for i in range(k):
+                    r = df
+                    for col, off in offsets.items():
+                        if off:
+                            r = r.withColumn(col, F.col(col) + F.lit(i * off))
+                    if table == "documents":
+                        # vary text across replicas so near-dup structure
+                        # stays ~constant per replica instead of creating
+                        # k-cliques.  APPEND the marker: a prepended one
+                        # gave every doc in a replica the same leading 8
+                        # chars, collapsing all prefix-blocked queries
+                        # into one giant block — probe artifact, not a
+                        # property of the data distribution.  n_chars is
+                        # refreshed to keep the length(text) == n_chars
+                        # invariant the base data satisfies.
+                        r = r.withColumn(
+                            "text",
+                            F.concat(F.col("text"), F.lit(f" replica{i}")),
+                        ).withColumn("n_chars", F.length("text").cast("long"))
+                    reps.append(r)
+                big = reps[0]
+                for r in reps[1:]:
+                    big = big.unionByName(r)
+            big.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
+
+    # atomic build-once publish (claim_staged): two concurrent probe /
+    # bench processes must never overwrite each other mid-build
+    claim_staged(out, _build)
     return out
 
 
@@ -188,11 +197,14 @@ def main() -> None:
         dt = time.time() - t0
         # queries that persist()/localCheckpoint() intermediates pin
         # executor memory; without cleanup those RDDs survive into the
-        # NEXT query's timing and skew it with GC/spill pressure
+        # NEXT query's timing and skew it with GC/spill pressure.
+        # ContextCleaner frees checkpoint blocks only after a JVM GC —
+        # Python gc alone never triggers one (same fix as bench.py)
         import gc
 
         spark.catalog.clearCache()
         gc.collect()
+        spark._jvm.System.gc()
         return dt
 
     # warm both datasets' footers + codegen with one cheap query each
