@@ -134,6 +134,8 @@ NOTES = {
     "q_scd2_history": "(sub-second query: batch-probe 2.5x was host noise, interleaved A/B reads 1.0x) ",
     "q_bm25": "(single-scan rewrite: doclen + per-term tfs from ONE groupBy(doc_id) with conditional counts + stack unpivot; the lazy tf/df/dl branch form re-ran the scan+explode up to 4x) ",
     "q_concurrency": "(explode-of-array boundary points: one event scan per consumer instead of a 2-scan union) ",
+    "q_triangle_count": "(degree-ordered orientation: wedge work bounded O(E^1.5) under hub skew; slightly pricier edge prep at uniform degree) ",
+    "q_hard_negatives": "(scan-bound: anchors fixed, corpus side scales x10; BNLJ cost is one corpus scan per anchor batch) ",
     "q_bpe_merges": "(vocab-cap-bounded trainer: corpus tokenize+count is the only data-sized stage, iterations run on the capped word table - ratio ~1.0x by design) ",
 }
 
