@@ -105,19 +105,49 @@ class LandingClient:
             f"{part}/.{self.city}_{now:%Y%m%d_%H%M%S}"
             f"_{os.getpid()}_{next(_TMP_SEQ)}.json.tmp"
         )
-        with open(tmp, "w") as f:
-            json.dump(data, f)
-        seq = 0
-        while True:
+        try:
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            seq = 0
+            while True:
+                try:
+                    os.link(tmp, path)
+                    break
+                except FileExistsError:
+                    seq += 1
+                    path = (
+                        f"{part}/{self.city}_{now:%Y%m%d_%H%M%S}_{seq}.json"
+                    )
+                except OSError:
+                    # filesystem forbids hard links (some network/FUSE
+                    # mounts) — fall back to exclusive-create to claim
+                    # the name, then replace with the fully-written tmp
+                    # (same-directory replace is atomic and the claimed
+                    # 0-byte file is dot-free for only the instant
+                    # between O_EXCL and replace; sources that listed it
+                    # see the full content on open since replace swaps
+                    # the inode under the same path)
+                    try:
+                        fd = os.open(
+                            path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                    except FileExistsError:
+                        seq += 1
+                        path = (
+                            f"{part}/{self.city}"
+                            f"_{now:%Y%m%d_%H%M%S}_{seq}.json"
+                        )
+                        continue
+                    os.close(fd)
+                    os.replace(tmp, path)
+                    return path
+        finally:
+            # never leak the dot-prefixed tmp into the landing partition
+            # (replace() above consumes it; unlink tolerates that)
             try:
-                os.link(tmp, path)
-                break
-            except FileExistsError:
-                seq += 1
-                path = (
-                    f"{part}/{self.city}_{now:%Y%m%d_%H%M%S}_{seq}.json"
-                )
-        os.unlink(tmp)
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         return path
 
     def poll_once(self, params: dict, now: datetime | None = None) -> str | None:

@@ -326,11 +326,12 @@ PACK_BUDGET = 2048
 """,
     doc="Concat-then-chop sequence packing with a SCALABLE running sum: "
     "docs bucket by doc_id range, the cumsum windows run partitioned "
-    "per bucket (parallel), and each bucket adds a base offset computed "
-    "from the tiny per-bucket totals — the classic two-pass prefix-sum, "
-    "no single-partition window over the corpus. The oracle is the "
-    "equivalent global-order form; results are identical because bucket "
-    "order ∘ within-bucket order = global doc_id order.",
+    "per bucket (parallel), and bucket base offsets come from a TWO-"
+    "LEVEL (bucket-of-buckets) prefix sum — the only unpartitioned "
+    "window touches n/10⁶ super-bucket rows, so no single-partition "
+    "work grows linearly with the corpus. The oracle is the equivalent "
+    "global-order form; results are identical because bucket order ∘ "
+    "within-bucket order = global doc_id order.",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -343,25 +344,57 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    # pass 1: per-bucket totals (|buckets| rows) → exclusive base offsets
-    wb = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bases = (
+    # pass 1: TWO-LEVEL exclusive prefix sum over per-bucket totals.
+    # A flat Window.orderBy("bucket") would put |buckets| = n/span rows
+    # through ONE partition — linear in the corpus, the single-partition
+    # trap this query exists to avoid.  Instead buckets roll up into
+    # super-buckets (span² docs each): the only unpartitioned window
+    # runs over |super-buckets| = n/span² rows (n/10⁶ — ~10⁵ rows even
+    # at 10¹¹ docs), and per-bucket offsets within a super-bucket use a
+    # PARTITIONED window.  Extending to a third level is mechanical if
+    # corpora ever outgrow this.
+    sb_span = 1000  # buckets per super-bucket
+    bt = (
         toks.groupBy("bucket")
         .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn("sb", F.floor(F.col("bucket") / sb_span))
+    )
+    w_sb = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    sb_bases = (
+        bt.groupBy("sb")
+        .agg(F.sum("bucket_tokens").alias("sb_tokens"))
+        .select(
+            "sb",
+            F.coalesce(F.sum("sb_tokens").over(w_sb), F.lit(0)).alias(
+                "sb_base"
+            ),
+        )
+    )
+    w_in_sb = (
+        Window.partitionBy("sb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        bt.join(F.broadcast(sb_bases), "sb")
         .withColumn(
-            "base", F.sum("bucket_tokens").over(wb) - F.col("bucket_tokens")
+            "base",
+            F.col("sb_base")
+            + F.coalesce(F.sum("bucket_tokens").over(w_in_sb), F.lit(0)),
         )
         .select("bucket", "base")
     )
-    # pass 2: within-bucket running sum, shifted by the broadcast base
+    # pass 2: within-bucket running sum, shifted by the bucket base.
+    # No broadcast hint on bases: it has n/span rows (NOT broadcastable
+    # at 100 TB) — the plain join lets AQE broadcast it while small and
+    # degrade to a shuffle join that REUSES the window's hash-by-bucket
+    # partitioning at scale (the window below needs that exchange
+    # anyway, so the join adds only the tiny bases-side shuffle).
     ww = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = (
-        toks.join(F.broadcast(bases), "bucket")
+        toks.join(bases, "bucket")
         .withColumn(
             "start_off",
             F.col("base") + F.sum("n_tokens").over(ww) - F.col("n_tokens"),

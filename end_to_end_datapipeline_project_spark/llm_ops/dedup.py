@@ -703,9 +703,10 @@ SN_BUCKET = 4
     "quadratically under shared boilerplate; a sliding rank window cannot). "
     "The global rank is computed WITHOUT a single-partition sort: per-"
     f"bucket row_number (bucket = {SN_BUCKET}-char key prefix, so bucket "
-    "order ≡ key order) + broadcast prefix-sum of bucket sizes — the same "
-    "two-pass pattern as q_pack_sequences; neighbor pairs are an equi-join "
-    "on rank after a 1→w-1 offset explode, never a range join.",
+    "order ≡ key order) + a two-level (bucket-of-buckets) prefix sum of "
+    "bucket sizes — the same pattern as q_pack_sequences; neighbor pairs "
+    "are an equi-join on rank after a 1→w-1 offset explode, never a "
+    "range join.",
 )
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -717,15 +718,45 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so (bucket, probe, doc_id) order ≡ global (probe, doc_id) order)
     w_in = Window.partitionBy("bucket").orderBy("probe", "doc_id")
     ranked = keys.withColumn("rn_in", F.row_number().over(w_in))
-    # pass 2: bucket base offsets — tiny aggregate, broadcast back
-    counts = keys.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    w_b = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    # pass 2: bucket base offsets via a TWO-LEVEL prefix sum.  A flat
+    # Window.orderBy("bucket") would push |distinct 4-char prefixes|
+    # rows through one partition — bounded by charset⁴ but still up to
+    # ~10⁶ on diverse corpora.  Rolling buckets up by their 2-char
+    # prefix (sb IS a prefix of bucket, so (sb, bucket) order ≡ bucket
+    # order) caps the unpartitioned window at ≤ charset² super-bucket
+    # rows; per-bucket offsets within a super-bucket use a PARTITIONED
+    # window.
+    counts = keys.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("sb", F.substring("bucket", 1, 2))
+    w_sb = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    sb_bases = (
+        counts.groupBy("sb")
+        .agg(F.sum("n").alias("sb_n"))
+        .select(
+            "sb",
+            F.coalesce(F.sum("sb_n").over(w_sb), F.lit(0)).alias("sb_base"),
+        )
     )
-    bases = counts.select(
-        "bucket", F.coalesce(F.sum("n").over(w_b), F.lit(0)).alias("base")
+    w_in_sb = (
+        Window.partitionBy("sb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = ranked.join(F.broadcast(bases), "bucket").select(
+    bases = (
+        counts.join(F.broadcast(sb_bases), "sb")
+        .select(
+            "bucket",
+            (
+                F.col("sb_base")
+                + F.coalesce(F.sum("n").over(w_in_sb), F.lit(0))
+            ).alias("base"),
+        )
+    )
+    # no broadcast hint: bases is |buckets| rows — AQE broadcasts it
+    # while small, and at scale the join reuses ranked's hash-by-bucket
+    # exchange instead of shipping a data-sized table to every executor
+    ranked = ranked.join(bases, "bucket").select(
         "doc_id", "probe", (F.col("base") + F.col("rn_in")).alias("rn")
     )
     a = ranked.select(

@@ -114,18 +114,34 @@ def claim_staged(final_dir: str, build) -> None:
     therefore only ever EXISTS fully written (existence IS the marker),
     and a builder that loses the rename race discards its copy.
     """
+    import glob
     import os
     import shutil
 
     if os.path.exists(final_dir):
         return
+    # sweep .build.* siblings orphaned by crashed builders (their pid is
+    # gone, so nothing will ever rename them); live builders are safe
+    # because their tmp name embeds a pid that still exists
+    for stale in glob.glob(f"{final_dir}.build.*"):
+        pid = stale.rsplit(".build.", 1)[1].split("_", 1)[0]
+        try:
+            os.kill(int(pid), 0)
+        except (ProcessLookupError, ValueError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
     tmp = f"{final_dir}.build.{os.getpid()}_{next(_STAGE_TMP_SEQ)}"
-    build(tmp)
     try:
+        build(tmp)
         os.rename(tmp, final_dir)
     except OSError:
-        # another process published first; ours is redundant
         shutil.rmtree(tmp, ignore_errors=True)
+        # only a lost publish race is benign; a genuine failure (EACCES,
+        # ENOTDIR, a build() IO error) must surface, not become a later
+        # unrelated 'path does not exist' read error
+        if not os.path.exists(final_dir):
+            raise
 
 
 def stage_fingerprint(epoch: str, sf_dir: str) -> str:

@@ -78,9 +78,12 @@ def last_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cells) first.
 _MAX_ABS_LAT = 52.4
 
-assert _MAX_ABS_LAT == WARSAW_BOX["lat_max"], (
-    "cell geometry bound must track the cleanse bounding box"
-)
+# explicit raise (not a bare assert): this contract check is
+# load-bearing and must survive `python -O` optimized bytecode
+if _MAX_ABS_LAT != WARSAW_BOX["lat_max"]:
+    raise AssertionError(
+        "cell geometry bound must track the cleanse bounding box"
+    )
 
 
 def radius_pairs(points: DataFrame, radius_km: float = RADIUS_KM) -> DataFrame:

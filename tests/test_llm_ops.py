@@ -233,6 +233,44 @@ def test_ann_recall_bounded(spark, sf_dir):
         assert 0.0 <= r.recall_at_5 <= 1.0
 
 
+def test_hard_negatives_recall_vs_exact(spark, sf_dir):
+    """The LSH-prefiltered q_hard_negatives must keep high recall
+    against the exact (BNLJ) per-anchor top-5 cross-label ground truth
+    it replaced (measured 0.85 at sf0.001/sf0.01, 0.775 at sf0.1)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        _cos,
+        q_hard_negatives,
+        vectors,
+    )
+
+    vecs = vectors(spark, sf_dir)
+    a = vecs.filter(F.col("vec_id") < 8).alias("a")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), "negative_id"
+    )
+    exact = (
+        a.join(vecs.alias("b"), F.col("a.label") != F.col("b.label"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("negative_id"),
+            _cos().alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "negative_id")
+    )
+    got = q_hard_negatives(spark, sf_dir).select("query_id", "negative_id")
+    n_exact = exact.count()
+    n_hit = exact.join(
+        got, ["query_id", "negative_id"], "left_semi"
+    ).count()
+    assert n_exact == 40
+    assert n_hit / n_exact >= 0.8
+
+
 def test_bpe_merges_match_reference(spark, sf_dir):
     """The distributed trainer must reproduce an INDEPENDENT canonical
     greedy-BPE reference (pure-Python, re + Counter) bit-for-bit:

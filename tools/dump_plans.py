@@ -138,7 +138,8 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("BroadcastHashJoin", "boilerplate fingerprint set broadcasts; corpus shuffles once on doc_id"),
     ],
     "q_hard_negatives": [
-        ("BroadcastNestedLoopJoin", "anchor set broadcasts; cross-label predicate runs in the corpus scan stage"),
+        ("!BroadcastNestedLoopJoin", "LSH band prefilter replaced the per-anchor-batch corpus rescan"),
+        ("BroadcastHashJoin", "anchor band signatures broadcast; only same-bucket vectors are cosine-scored"),
         ("Window", "per-anchor top-5 via bounded rank window, no global sort"),
     ],
     "q_duplicate_spans": [
@@ -154,6 +155,14 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
     "q_label_propagation": [
         ("partial_max_by", "modal-label winner partial-aggregates map-side — no per-node sort window"),
         ("BroadcastHashJoin", "label vector broadcasts; the checkpointed edge list never reshuffles"),
+    ],
+    "q_pack_sequences": [
+        ("hashpartitioning(bucket", "corpus-sized cumsum window runs PARTITIONED by bucket"),
+        ("hashpartitioning(sb", "bucket base offsets window partitions by super-bucket — only the n/10^6 super-bucket totals ever cross one partition"),
+    ],
+    "q_sorted_neighborhood": [
+        ("hashpartitioning(bucket", "data-sized rank window runs PARTITIONED by key-prefix bucket"),
+        ("hashpartitioning(sb", "bucket base offsets partition by 2-char super-bucket; only <=charset^2 rows ever cross one partition"),
     ],
     "q_mannwhitney": [
         ("hashpartitioning(bucket", "histogram-rank window partitions by value-bucket"),

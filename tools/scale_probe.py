@@ -92,6 +92,7 @@ PROBES = [
     "q_minhash_recall",
     "q_ngram_novelty",
     "q_duplicate_spans",
+    "q_sorted_neighborhood",
     "q_stay_points",
     "q_trip_segments",
     "q_geofence_transitions",
@@ -135,8 +136,9 @@ NOTES = {
     "q_bm25": "(single-scan rewrite: doclen + per-term tfs from ONE groupBy(doc_id) with conditional counts + stack unpivot; the lazy tf/df/dl branch form re-ran the scan+explode up to 4x) ",
     "q_concurrency": "(explode-of-array boundary points: one event scan per consumer instead of a 2-scan union) ",
     "q_triangle_count": "(degree-ordered orientation: wedge work bounded O(E^1.5) under hub skew; slightly pricier edge prep at uniform degree) ",
-    "q_hard_negatives": "(scan-bound: anchors fixed, corpus side scales x10; BNLJ cost is one corpus scan per anchor batch) ",
+    "q_hard_negatives": "(LSH band prefilter replaced the per-anchor-batch BNLJ corpus rescan: anchor band signatures broadcast, only same-bucket vectors cosine-scored; measured recall vs exact BNLJ ground truth 0.775 at sf0.1) ",
     "q_bpe_merges": "(vocab-cap-bounded trainer: corpus tokenize+count is the only data-sized stage, iterations run on the capped word table - ratio ~1.0x by design) ",
+    "q_sorted_neighborhood": "(output-bound per the rows column: replica ' replica{i}' suffixes leave 16-char probes identical across replicas, so qualifying neighbor pairs grow ~330x while input grows 10x; rank windows are bucket-partitioned with a two-level prefix sum for bases) ",
 }
 
 
@@ -191,12 +193,19 @@ def main() -> None:
     spark = get_spark("scale-probe")
     big_dir = build(spark, k)
 
-    def run(name: str, sf_dir: str) -> float:
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        # Observation rides the same noop write — output-row counts cost
+        # no extra pass, and make "output-bound" ratio claims checkable
+        # (rows_small -> rows_big printed beside the wall ratio)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         t0 = time.time()
-        REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        REGISTRY[name].spark_fn(spark, sf_dir).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        ).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        rows = obs.get["rows"]
         # queries that persist()/localCheckpoint() intermediates pin
         # executor memory; without cleanup those RDDs survive into the
         # NEXT query's timing and skew it with GC/spill pressure.
@@ -207,7 +216,7 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         spark._jvm.System.gc()
-        return dt
+        return dt, rows
 
     # warm both datasets' footers + codegen with one cheap query each
     run("q_pricing_summary", BASE_SF)
@@ -221,16 +230,21 @@ def main() -> None:
         "ratio ≈ K ⇒ scan/shuffle-bound (healthy: more executors absorb it);",
         "ratio ≫ K ⇒ super-linear fan-out or state — a 100 TB red flag.",
         "",
-        "| query | sf0.1 (s) | ×%d (s) | ratio (ideal ≈%d) |" % (k, k),
-        "|---|---|---|---|",
+        "| query | sf0.1 (s) | ×%d (s) | ratio (ideal ≈%d) | out rows sf0.1→×%d |" % (k, k, k),
+        "|---|---|---|---|---|",
     ]
     for name in subset or PROBES:
-        t_small = min(run(name, BASE_SF) for _ in range(2))
-        t_big = min(run(name, big_dir) for _ in range(2))
+        runs_small = [run(name, BASE_SF) for _ in range(2)]
+        runs_big = [run(name, big_dir) for _ in range(2)]
+        t_small = min(t for t, _ in runs_small)
+        t_big = min(t for t, _ in runs_big)
+        rows_small, rows_big = runs_small[0][1], runs_big[0][1]
         ratio = t_big / t_small if t_small > 0 else float("inf")
+        rows_ratio = rows_big / rows_small if rows_small else float("inf")
         note = NOTES.get(name, "")
         lines.append(
-            f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f}× {note}|"
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f}× {note}| "
+            f"{rows_small}→{rows_big} ({rows_ratio:.1f}×) |"
         )
         print(lines[-1], flush=True)
     if subset:
