@@ -120,25 +120,22 @@ class LandingClient:
                     )
                 except OSError:
                     # filesystem forbids hard links (some network/FUSE
-                    # mounts) — fall back to exclusive-create to claim
-                    # the name, then replace with the fully-written tmp
-                    # (same-directory replace is atomic and the claimed
-                    # 0-byte file is dot-free for only the instant
-                    # between O_EXCL and replace; sources that listed it
-                    # see the full content on open since replace swaps
-                    # the inode under the same path)
-                    try:
-                        fd = os.open(
-                            path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                        )
-                    except FileExistsError:
-                        seq += 1
-                        path = (
-                            f"{part}/{self.city}"
-                            f"_{now:%Y%m%d_%H%M%S}_{seq}.json"
-                        )
-                        continue
-                    os.close(fd)
+                    # mounts).  No claim dance here: an O_EXCL claim +
+                    # replace exposes a visible 0-byte .json between the
+                    # two calls — exactly the half-written-snapshot
+                    # hazard this function exists to prevent (a file
+                    # source that lists in that window records the path
+                    # as seen, parses NULL, and never reprocesses the
+                    # replaced bytes).  Instead make the FINAL name
+                    # writer-unique (pid + process-wide counter, same
+                    # scheme as tmp) and atomically rename the fully
+                    # written tmp onto it — the path only ever appears
+                    # complete, and uniqueness removes the collision the
+                    # claim was guarding against.
+                    path = (
+                        f"{part}/{self.city}_{now:%Y%m%d_%H%M%S}"
+                        f"_{os.getpid()}_{next(_TMP_SEQ)}.json"
+                    )
                     os.replace(tmp, path)
                     return path
         finally:

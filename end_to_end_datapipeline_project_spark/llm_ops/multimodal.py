@@ -5,12 +5,14 @@ LLM-pipeline extension surface (SURVEY.md §7.2 M4; no binary columns exist
 in the reference data model, SURVEY.md §1.2).
 
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested.  Decode: PPM, BMP and PNG images (PNG via
-stdlib zlib + full filter reconstruction incl. Paeth, CRC-checked) and
-PCM WAV audio (RIFF parsing, sample-rate/duration/RMS) decode for REAL
-in pure stdlib/numpy, via ``decode_image``/``decode_audio`` and the
+shape — is real and tested.  Decode: PPM, BMP, PNG (stdlib zlib + full
+filter reconstruction incl. Paeth, CRC-checked) and baseline JPEG
+(canonical Huffman entropy decode, dequantize, 8x8 IDCT, chroma
+upsampling, YCbCr→RGB — see ``_decode_jpeg``) images and PCM WAV audio
+(RIFF parsing, sample-rate/duration/RMS) decode for REAL in pure
+stdlib/numpy, via ``decode_image``/``decode_audio`` and the
 ``decode_media`` kernel.  Codecs that genuinely need an external
-library (JPEG/WebP/MP3/...) raise ``NotImplementedError`` (none ships
+library (WebP/MP3/...) raise ``NotImplementedError`` (none ships
 in this container) and fall back to the deterministic ``fake_decode``,
 which computes real features (byte length, sha256, md5-derived
 dimensions) so every payload stays end-to-end verifiable, including
@@ -151,10 +153,12 @@ def decode_image(payload: bytes) -> dict:
         }
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/WebP/... require an image library not present in this "
-        "environment; PPM/BMP/PNG decode natively, everything else "
-        "uses fake_decode"
+        "WebP/TIFF/... require an image library not present in this "
+        "environment; PPM/BMP/PNG/baseline-JPEG decode natively, "
+        "everything else uses fake_decode"
     )
 
 
@@ -265,6 +269,303 @@ def _decode_png(payload: bytes) -> dict:
         "channels": channels,
         "maxval": 255,
         "mean_level": (total / n_px) if n_px else 0.0,
+    }
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_basis():
+    """8x8 orthonormal DCT-II basis A with A[u,x] = C(u)/2·cos((2x+1)uπ/16)
+    — spatial = Aᵀ·coef·A, forward coef = A·spatial·Aᵀ."""
+    import math
+
+    import numpy as np
+
+    a = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG scan data: un-stuffs
+    0xFF00, byte-aligns + consumes RSTn at restart boundaries, and treats
+    any other marker as end-of-data (truncation ⇒ ValueError upstream)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG scan data")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt != 0x00:
+                # a real marker (EOI/RST/next SOS) — no more entropy bits
+                raise ValueError("JPEG scan hit a marker mid-symbol")
+            self.pos = p + 2
+        else:
+            self.pos = p + 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.nbits = 0
+        self.buf = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos = p + 2
+
+
+def _huff_table(bits: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman table from a DHT BITS/HUFFVAL pair:
+    {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(br: _JpegBitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Real baseline-JPEG decode in pure stdlib+numpy: marker walk,
+    DQT/DHT/SOF0/SOS parsing, canonical Huffman entropy decode (DC
+    predictors, AC run-length, EOB/ZRL), dequantize + de-zigzag, 8x8
+    IDCT via the orthonormal basis matrix, per-component nearest
+    upsampling, and BT.601 YCbCr→RGB.
+
+    Supported: baseline (SOF0) and extended-sequential (SOF1) Huffman
+    scans, 1 or 3 components, any sampling factors, restart intervals.
+    Progressive (SOF2), lossless, arithmetic coding, and >8-bit
+    precision raise ValueError → the kernel's fake_decode fallback —
+    the same never-emit-garbage discipline as the PNG/BMP decoders.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        length = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + length]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        seg[i : i + 64], np.uint8
+                    ).astype(np.int32)
+                    i += 64
+                else:  # 16-bit entries
+                    tbl = np.frombuffer(
+                        seg[i : i + 128], ">u2"
+                    ).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", seg, 0
+            )
+            if precision != 8:
+                raise ValueError("JPEG precision != 8 unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "non-baseline JPEG (progressive/lossless/arithmetic)"
+            )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = seg[i + 1 : i + 17]
+                n = sum(bits)
+                symbols = seg[i + 17 : i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(
+                    bits, symbols
+                )
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = struct.unpack_from(">BB", seg, 1 + 2 * c)
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
+            pos += length
+            break
+        pos += length
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    comps = frame["comps"]
+    if len(scan) != len(comps):
+        raise ValueError("JPEG multi-scan files unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG invalid sampling factors")
+    w, h = frame["w"], frame["h"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        c = by_id.get(s["cs"])
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        c["dc"] = huff_dc[s["td"]]
+        c["ac"] = huff_ac[s["ta"]]
+        c["q"] = qt[c["tq"]]
+        c["plane"] = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+        c["pred"] = 0
+    basis = _idct_basis()
+    br = _JpegBitReader(payload, pos)
+    zz = _ZIGZAG
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.restart()
+                for c in comps:
+                    c["pred"] = 0
+            n_mcu += 1
+            for c in comps:
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        # quantized coefficients in ZIGZAG order
+                        qcoef = np.zeros(64, dtype=np.float64)
+                        s = _huff_decode(br, c["dc"])
+                        c["pred"] += _receive_extend(br, s)
+                        qcoef[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, c["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            qcoef[k] = _receive_extend(br, s)
+                            k += 1
+                        # dequantize (both zigzag-ordered), then de-zigzag
+                        # into raster order: raster[zz[i]] = dq[i]
+                        raster = np.zeros(64, dtype=np.float64)
+                        raster[zz] = qcoef * c["q"]
+                        block = (
+                            basis.T @ raster.reshape(8, 8) @ basis + 128.0
+                        )
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + u) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(p[:h, :w])
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        px = np.stack([r, g, b])
+        channels = 3
+    elif len(planes) == 1:
+        px = planes[0][None, :, :]
+        channels = 1
+    else:
+        raise ValueError("JPEG CMYK/unusual component counts unsupported")
+    px = np.clip(np.rint(px), 0, 255)
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "maxval": 255,
+        "mean_level": float(px.mean()) if px.size else 0.0,
     }
 
 
@@ -401,7 +702,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                 # bad row must fall back to fake_decode, never crash
                 # the whole Spark job
                 try:
-                    if p[:2] in (b"P6", b"BM") or p[:8] == _PNG_SIG:
+                    if (
+                        p[:2] in (b"P6", b"BM", b"\xff\xd8")
+                        or p[:8] == _PNG_SIG
+                    ):
                         d = decode_image(p)
                         rows.append(
                             (int(aid), d["format"], d["width"], d["height"],

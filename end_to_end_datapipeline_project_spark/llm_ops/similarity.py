@@ -1045,7 +1045,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    qa = vecs.select(
+    # anchors-only: cand.query_id < 8 by construction (anchor_bands above),
+    # so filtering here is semantically identical and keeps the broadcast
+    # O(|anchors|) instead of O(corpus) — the full-table broadcast would
+    # ship every embedding to every executor at the 100 TB target.
+    qa = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("v").alias("v_a"),

@@ -121,10 +121,24 @@ def claim_staged(final_dir: str, build) -> None:
     if os.path.exists(final_dir):
         return
     # sweep .build.* siblings orphaned by crashed builders (their pid is
-    # gone, so nothing will ever rename them); live builders are safe
-    # because their tmp name embeds a pid that still exists
+    # gone, so nothing will ever rename them).  The pid probe is
+    # host-local, so it is gated on mtime age too: on a shared
+    # filesystem a live builder on ANOTHER host would look dead to
+    # os.kill, and conversely local pid reuse would look alive — only
+    # dirs that are both pid-dead AND untouched for >10 minutes are
+    # swept (an active build touches its tmp far more often; staging is
+    # primarily same-host, the age gate just makes cross-host listing
+    # safe instead of destructive)
+    import time
+
+    _STALE_AGE_S = 600
     for stale in glob.glob(f"{final_dir}.build.*"):
         pid = stale.rsplit(".build.", 1)[1].split("_", 1)[0]
+        try:
+            if time.time() - os.path.getmtime(stale) < _STALE_AGE_S:
+                continue
+        except OSError:
+            continue  # vanished under us — someone else swept it
         try:
             os.kill(int(pid), 0)
         except (ProcessLookupError, ValueError):

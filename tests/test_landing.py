@@ -71,6 +71,37 @@ def test_poll_once_skips_save_on_failure(tmp_path):
     assert list(tmp_path.iterdir()) == []
 
 
+def test_save_raw_linkless_fs_fallback(tmp_path, monkeypatch):
+    """On filesystems that forbid hard links, save_raw must NOT expose a
+    visible 0-byte .json at any instant: the fallback renames the fully
+    written tmp onto a writer-unique final name.  Simulated by making
+    os.link raise EPERM (as FUSE/network mounts do)."""
+    import os as _os
+
+    def _no_link(*a, **kw):
+        raise PermissionError("hard links not supported")
+
+    monkeypatch.setattr(
+        "end_to_end_datapipeline_project_spark.landing.os.link", _no_link
+    )
+    payload = {"result": [{"Lines": "180"}]}
+    fake = _FakeSession([_FakeResponse(payload), _FakeResponse(payload)])
+    c = LandingClient("WAW", "http://api", str(tmp_path), session=fake)
+    now = datetime(2026, 2, 23, 12, 21, 44, tzinfo=timezone.utc)
+    p1 = c.poll_once({}, now=now)
+    p2 = c.poll_once({}, now=now)  # same-second poll must not clobber
+    assert p1 != p2
+    for p in (p1, p2):
+        assert json.load(open(p)) == payload
+        base = _os.path.basename(p)
+        assert base.startswith("WAW_20260223_122144_")  # writer-unique
+        assert not base.startswith(".")
+    part = _os.path.dirname(p1)
+    # no leaked tmp, no claimed empty files
+    names = sorted(_os.listdir(part))
+    assert names == sorted([_os.path.basename(p1), _os.path.basename(p2)])
+
+
 def test_http_error_returns_none(tmp_path):
     fake = _FakeSession([_FakeResponse(status=503)])
     c = LandingClient("WAW", "http://api", str(tmp_path), session=fake)

@@ -65,12 +65,16 @@ def test_fake_decode_deterministic():
 
 
 def test_decode_stub_raises():
-    # JPEG genuinely needs a codec lib -> NotImplementedError
+    # WebP genuinely needs a codec lib -> NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # a bare PNG signature prefix shorter than 8 bytes is not PNG either
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    # a truncated JPEG (real decoder since round 5) is refused as
+    # malformed, never "decoded" to garbage
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_media_features_pipeline(spark):

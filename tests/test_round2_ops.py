@@ -138,10 +138,12 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in _executed_plan(
         q_quality_calibration(spark, sf_dir)
     )
-    # hard negatives: broadcast the anchor set, nested-loop over the scan
-    # (cross-label predicate), NEVER a shuffled cartesian
+    # hard negatives: LSH band prefilter replaced the corpus-rescan BNLJ
+    # (round 4) — candidates come from a broadcast hash join of the tiny
+    # anchor band table; NEVER a nested-loop or shuffled cartesian
     plan = _executed_plan(q_hard_negatives(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 

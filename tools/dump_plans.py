@@ -140,6 +140,7 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
     "q_hard_negatives": [
         ("!BroadcastNestedLoopJoin", "LSH band prefilter replaced the per-anchor-batch corpus rescan"),
         ("BroadcastHashJoin", "anchor band signatures broadcast; only same-bucket vectors are cosine-scored"),
+        ("LessThan(vec_id,8)", "verify-side broadcast is anchors-only (pushed to the scan) — never the O(corpus) vector table"),
         ("Window", "per-anchor top-5 via bounded rank window, no global sort"),
     ],
     "q_duplicate_spans": [
