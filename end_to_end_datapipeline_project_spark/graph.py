@@ -110,12 +110,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part+supplier collapse) — then an equi-join on l_partkey emits
     # each ordered (src < dst) co-supply pair inside the join stage.
     # Measured against the round-3 collect_set + nested-array-explode
-    # form (interleaved A/B on the ×10 probe data): 2.3 s vs 3.9 s at
-    # sf0.1, 8.3 s vs 9.0 s at ×10 — the join kernel beats per-row
-    # array allocation at the ~30-supplier-per-part fan-out this table
-    # has (the per-ORDER co-order graph below keeps the collect_set
-    # form: its sets are ~4 elements, below the crossover).  This is
-    # also literally the oracle's formulation.
+    # form with tools/ab_pagerank.py (FULL-query interleaved A/B,
+    # min of 4 alternating runs in one process): 3.76 s vs 4.05 s at
+    # sf0.1, 11.5 s vs 18.7 s at ×10 (0.61×) — the join kernel beats
+    # per-row array allocation at the ~30-supplier-per-part fan-out
+    # this table has, and the gap WIDENS with scale (the per-ORDER
+    # co-order graph below keeps the collect_set form: its sets are ~4
+    # elements, below the crossover).  This is also literally the
+    # oracle's formulation.  (Round 4's docstring claimed 2.3 s vs
+    # 3.9 s from an edge-gen-only A/B on warm data; the full-query
+    # numbers above supersede it.)
     ps = li.select("l_partkey", "l_suppkey").distinct()
     # checkpoint the HALF edge list (src < dst): both directions and the
     # outdeg annotation derive from it with a union + broadcast join —

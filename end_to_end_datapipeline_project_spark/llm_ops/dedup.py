@@ -225,34 +225,61 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SEEDS = 8
 
 
-def minhash_candidates(arrs: DataFrame) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) from per-doc shingle arrays.
+def minhash_signatures(arrs: DataFrame) -> DataFrame:
+    """Long-form (doc_id, seed, minhash) LSH signatures from per-doc
+    shingle arrays — all N_SEEDS min-hashes as in-row array_min, no
+    aggregate, no shuffle.
 
-    All N_SEEDS min-hashes as in-row array_min over the shingle set —
-    no aggregate, no shuffle; the compact per-doc signature unpivots to
-    (doc_id, seed, minhash) for the OR-amplified (r=1) bucket join.
-    NB: the per-seed closure must be built OUTSIDE the lambda —
+    md5 economy: the 8 seed-hash functions are the 4 disjoint 8-hex-char
+    chunks of md5("0:"‖x) and md5("1:"‖x) — TWO md5 evaluations per
+    shingle instead of eight (md5 dominates the signature stage; the
+    slicing is free).  Chunks of one md5 are independent uniform 32-bit
+    values, exactly what banding needs; 32 bits keeps chance minhash
+    collisions negligible (min of ~10² shingle hashes sits ~2³²/10²
+    deep).  The base-hash arrays are computed in their OWN projection so
+    each is evaluated once per row — CollapseProject will not inline a
+    non-cheap expression referenced 4 times (asserted by the md5-count
+    plan test in tests/test_round2_ops.py).
+    NB: per-seed closures must be built OUTSIDE any lambda —
     ``lambda x, s=s`` would make a two-argument lambda, which
     F.transform binds as (element, index), silently replacing the seed
     with the array index column.
     """
 
+    def _base_hash(b: int):
+        return F.transform(
+            "shs", lambda x: F.md5(F.concat(F.lit(f"{b}:"), x))
+        ).alias(f"h{b}")
+
+    hashed = arrs.select(
+        "doc_id", *[_base_hash(b) for b in range(N_SEEDS // 4)]
+    )
+
     def _seed_min(s: int):
+        base, chunk = divmod(s, 4)
         return F.array_min(
-            F.transform("shs", lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+            F.transform(f"h{base}", lambda h: F.substring(h, 1 + 8 * chunk, 8))
         ).alias(f"m{s}")
 
-    mh_wide = arrs.select("doc_id", *[_seed_min(s) for s in range(N_SEEDS)])
+    mh_wide = hashed.select(
+        "doc_id", *[_seed_min(s) for s in range(N_SEEDS)]
+    )
     stack_expr = ", ".join(f"{s}L, m{s}" for s in range(N_SEEDS))
-    # checkpoint the O(docs × seeds) signature table: both sides of the
-    # bucket self-join reference it, and without the checkpoint each
-    # side re-runs the 8×md5-per-shingle signature pass (measured 2×
-    # 1.35 s of the 4.8 s sf0.1 wall) — the signatures are tiny
-    # (doc_id + seed + 32-char hash), the shingle stream is not
-    mh = mh_wide.select(
+    return mh_wide.select(
         "doc_id",
         F.expr(f"stack({N_SEEDS}, {stack_expr}) AS (seed, minhash)"),
-    ).localCheckpoint()
+    )
+
+
+def minhash_candidates(arrs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b): OR-amplified (r=1) bucket
+    self-join over :func:`minhash_signatures`."""
+    # checkpoint the O(docs × seeds) signature table: both sides of the
+    # bucket self-join reference it, and without the checkpoint each
+    # side re-runs the md5-per-shingle signature pass (measured 2×
+    # 1.35 s of the 4.8 s sf0.1 wall) — the signatures are tiny
+    # (doc_id + seed + 8-char chunk), the shingle stream is not
+    mh = minhash_signatures(arrs).localCheckpoint()
     a = mh.alias("a")
     b = mh.alias("b")
     return (
@@ -274,7 +301,8 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
   __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
   __mh AS (
     SELECT doc_id, seed,
-           min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+           min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                      CAST(1 + 8 * (seed % 4) AS INTEGER), 8)) AS minhash
     FROM __sh CROSS JOIN __seeds
     GROUP BY doc_id, seed
   ),
@@ -290,9 +318,10 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
   FROM __cand c
   LEFT JOIN __jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 """,
-    doc=f"MinHash-LSH near-dup: {N_SEEDS} md5-seeded min-hashes per doc, "
-    "OR-amplified banding (r=1) for candidates, exact-Jaccard verify. "
-    "md5 parity makes the full LSH pipeline oracle-checkable.",
+    doc=f"MinHash-LSH near-dup: {N_SEEDS} min-hashes per doc (the 32-bit "
+    "hex chunks of 2 seeded md5s — 4× less hashing than one md5 per "
+    "seed), OR-amplified banding (r=1) for candidates, exact-Jaccard "
+    "verify. md5 parity makes the full LSH pipeline oracle-checkable.",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -1361,7 +1390,8 @@ _MH_EVAL_THRESHOLDS = (0.02, 0.05, 0.1)
   __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
   __mh AS (
     SELECT doc_id, seed,
-           min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+           min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                      CAST(1 + 8 * (seed % 4) AS INTEGER), 8)) AS minhash
     FROM __sh CROSS JOIN __seeds
     GROUP BY doc_id, seed
   ),

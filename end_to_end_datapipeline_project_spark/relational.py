@@ -2108,25 +2108,45 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pareto frontier (skyline: minimize p_retailprice, maximize "
     "p_size). The oracle is the quadratic NOT-EXISTS dominance test; "
     "Spark computes the identical set in O(n log n): collapse to "
-    "per-price levels (one hash agg), running max of size over "
-    "price-ascending levels, then a row survives iff it has its "
-    "level's max size and strictly-cheaper levels never reached it. "
-    "The level window is a single partition but over |distinct prices| "
-    "rows only; at 100 TB, pre-filter with per-partition local "
-    "skylines (skyline(U partitions) = skyline(U local skylines)) "
-    "before the global pass.",
+    "per-price levels (one hash agg), then a TWO-LEVEL prefix max "
+    "(same bucket-of-buckets pattern as clean.py pack_sequences): "
+    "levels bucket by price range, the strictly-earlier running max "
+    "decomposes into a PARTITIONED within-bucket window plus a "
+    "cross-bucket carry computed on the ≤|price range|/width bucket "
+    "table — the only unpartitioned window touches bucket rows, never "
+    "|distinct prices|. A row survives iff it has its level's max size "
+    "and strictly-cheaper levels never reached it.",
 )
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    lvl = part.groupBy("p_retailprice").agg(F.max("p_size").alias("lvl_max"))
-    w = Window.orderBy("p_retailprice")
+    lvl = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("lvl_max"))
+        # price-range buckets: TPC-H p_retailprice spans ~[900, 2100],
+        # so width 16 gives ~75 buckets at ANY scale factor (the range
+        # is data-independent); each bucket's window is partitioned
+        .withColumn("bkt", F.floor(F.col("p_retailprice") / F.lit(16.0)))
+    )
+    w_in = Window.partitionBy("bkt").orderBy("p_retailprice")
     lvl = lvl.withColumn(
-        "cm", F.max("lvl_max").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("strict_cm", F.lag("cm").over(w))
+        "run_excl",
+        F.max("lvl_max").over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    # cross-bucket carry over the tiny bucket table only (AQE broadcasts
+    # the join back); strictly-earlier := earlier level in-bucket OR any
+    # level in an earlier bucket
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        lvl.groupBy("bkt")
+        .agg(F.max("lvl_max").alias("bmax"))
+        .select("bkt", F.max("bmax").over(w_b).alias("carry"))
+    )
+    # greatest() skips NULLs: NULL only for the globally first level
+    strict_cm = F.greatest("run_excl", "carry")
     return (
-        part.join(lvl, "p_retailprice")
+        part.join(lvl.join(carry, "bkt"), "p_retailprice")
         .filter(
-            (F.col("strict_cm").isNull() | (F.col("strict_cm") < F.col("p_size")))
+            (strict_cm.isNull() | (strict_cm < F.col("p_size")))
             & (F.col("p_size") == F.col("lvl_max"))
         )
         .select("p_partkey", "p_retailprice", "p_size")

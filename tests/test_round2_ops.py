@@ -147,6 +147,30 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_signature_md5_count(spark):
+    """The chunked-minhash scheme must evaluate exactly N_SEEDS/4 md5
+    transforms (one per base hash), not one per seed: CollapseProject
+    inlining the base-hash arrays 4× each would silently restore the
+    8-md5-per-shingle cost the chunking exists to remove."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        N_SEEDS,
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five"), (1, "two three four five six")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(shingle_arrays(docs))
+    optimized = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5(") == N_SEEDS // 4, optimized
+    # and the signatures themselves are the 8-hex-char md5 chunks
+    rows = sig.collect()
+    assert len(rows) == 2 * N_SEEDS
+    assert all(len(r.minhash) == 8 for r in rows)
+
+
 def test_real_media_decode_kernel(spark):
     """PPM + WAV payloads decode with REAL parsed values through the full
     Arrow mapInPandas path; unknown formats fall back to fake_decode."""
