@@ -271,15 +271,35 @@ def minhash_signatures(arrs: DataFrame) -> DataFrame:
     )
 
 
+#: per-(seed,minhash) bucket occupancy cap, mirrored in the DuckDB
+#: oracles.  32-bit minhash chunks make CHANCE signature collisions scale
+#: with corpus size (mins concentrate near 2³²/n_shingles, so at the
+#: billion-doc target accidental same-bucket pairs in an uncapped bucket
+#: self-join grow quadratically and inflate the verify stage).  The cap
+#: bounds any one bucket's pair fan-out at C(cap,2) — the same discipline
+#: as the RHP occupancy cap in q_ann_hyperplane_lsh — while staying far
+#: above the genuine near-dup cluster sizes LSH is tuned for (a bucket
+#: beyond ~10³ members is a degenerate shingle, not a dup cluster).
+MINHASH_BUCKET_CAP = 1024
+
+
 def minhash_candidates(arrs: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): OR-amplified (r=1) bucket
-    self-join over :func:`minhash_signatures`."""
+    self-join over :func:`minhash_signatures`, degenerate buckets capped
+    at :data:`MINHASH_BUCKET_CAP` members (deterministic lowest-doc_id
+    survivors so the DuckDB oracle mirrors exactly)."""
     # checkpoint the O(docs × seeds) signature table: both sides of the
     # bucket self-join reference it, and without the checkpoint each
     # side re-runs the md5-per-shingle signature pass (measured 2×
     # 1.35 s of the 4.8 s sf0.1 wall) — the signatures are tiny
     # (doc_id + seed + 8-char chunk), the shingle stream is not
     mh = minhash_signatures(arrs).localCheckpoint()
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    mh = (
+        mh.withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= MINHASH_BUCKET_CAP)
+        .drop("__bn")
+    )
     a = mh.alias("a")
     b = mh.alias("b")
     return (
@@ -306,9 +326,16 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
     FROM __sh CROSS JOIN __seeds
     GROUP BY doc_id, seed
   ),
+  __mhc AS (
+    SELECT doc_id, seed, minhash FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY seed, minhash ORDER BY doc_id) AS bn
+      FROM __mh)
+    WHERE bn <= {MINHASH_BUCKET_CAP}
+  ),
   __cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM __mh a JOIN __mh b
+    FROM __mhc a JOIN __mhc b
       ON a.seed = b.seed AND a.minhash = b.minhash
          AND a.doc_id < b.doc_id
   ),
@@ -1395,9 +1422,16 @@ _MH_EVAL_THRESHOLDS = (0.02, 0.05, 0.1)
     FROM __sh CROSS JOIN __seeds
     GROUP BY doc_id, seed
   ),
+  __mhc AS (
+    SELECT doc_id, seed, minhash FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY seed, minhash ORDER BY doc_id) AS bn
+      FROM __mh)
+    WHERE bn <= {MINHASH_BUCKET_CAP}
+  ),
   __cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM __mh a JOIN __mh b
+    FROM __mhc a JOIN __mhc b
       ON a.seed = b.seed AND a.minhash = b.minhash
          AND a.doc_id < b.doc_id
   ),

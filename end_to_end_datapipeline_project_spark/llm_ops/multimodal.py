@@ -376,6 +376,19 @@ def _receive_extend(br: _JpegBitReader, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_unpack(fmt: str, buf: bytes, off: int = 0):
+    """``struct.unpack_from`` under the decoder's error contract: a
+    truncated segment is *malformed JPEG* (ValueError, which routes
+    direct callers to the documented fallback), never a bare
+    ``struct.error`` leaking through the ValueError contract."""
+    import struct
+
+    try:
+        return struct.unpack_from(fmt, buf, off)
+    except struct.error as e:
+        raise ValueError(f"malformed JPEG segment: {e}") from e
+
+
 def _decode_jpeg(payload: bytes) -> dict:
     """Real baseline-JPEG decode in pure stdlib+numpy: marker walk,
     DQT/DHT/SOF0/SOS parsing, canonical Huffman entropy decode (DC
@@ -405,6 +418,14 @@ def _decode_jpeg(payload: bytes) -> dict:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so marker is the first non-FF byte (a run
+        # of fills would otherwise parse 0xFF as a marker code and
+        # misread a bogus segment length)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -432,14 +453,12 @@ def _decode_jpeg(payload: bytes) -> dict:
                     i += 128
                 qt[tq] = tbl
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
-            precision, height, width, ncomp = struct.unpack_from(
-                ">BHHB", seg, 0
-            )
+            precision, height, width, ncomp = _jpeg_unpack(">BHHB", seg)
             if precision != 8:
                 raise ValueError("JPEG precision != 8 unsupported")
             comps = []
             for c in range(ncomp):
-                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                cid, hv, tq = _jpeg_unpack(">BBB", seg, 6 + 3 * c)
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
@@ -461,12 +480,14 @@ def _decode_jpeg(payload: bytes) -> dict:
                 )
                 i += 17 + n
         elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+            restart_interval = _jpeg_unpack(">H", seg)[0]
         elif marker == 0xDA:  # SOS — entropy data follows the header
+            if not seg:
+                raise ValueError("malformed JPEG: empty SOS header")
             ns = seg[0]
             scan = []
             for c in range(ns):
-                cs, tt = struct.unpack_from(">BB", seg, 1 + 2 * c)
+                cs, tt = _jpeg_unpack(">BB", seg, 1 + 2 * c)
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
             pos += length
             break
@@ -488,9 +509,13 @@ def _decode_jpeg(payload: bytes) -> dict:
         c = by_id.get(s["cs"])
         if c is None:
             raise ValueError("JPEG scan references unknown component")
-        c["dc"] = huff_dc[s["td"]]
-        c["ac"] = huff_ac[s["ta"]]
-        c["q"] = qt[c["tq"]]
+        # .get + explicit raise, not [..]: a missing DHT/DQT table id is
+        # *malformed JPEG* (ValueError contract), not a KeyError that
+        # would leak past direct callers expecting the documented fallback
+        dc, ac, q = huff_dc.get(s["td"]), huff_ac.get(s["ta"]), qt.get(c["tq"])
+        if dc is None or ac is None or q is None:
+            raise ValueError("malformed JPEG: scan references missing table")
+        c["dc"], c["ac"], c["q"] = dc, ac, q
         c["plane"] = np.zeros(
             (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
         )

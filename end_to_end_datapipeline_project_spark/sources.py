@@ -132,10 +132,34 @@ def claim_staged(final_dir: str, build) -> None:
     import time
 
     _STALE_AGE_S = 600
+
+    def _tree_mtime(root: str, cap: int = 256) -> float:
+        # the top-level dir's mtime only moves when DIRECT entries
+        # change — a live builder writing inside nested subdirs (e.g.
+        # Spark's _temporary/...) would look untouched.  Take the max
+        # mtime over the tree, capped so a huge half-built stage never
+        # turns the sweep into a full walk (newest activity is almost
+        # always within the first few hundred entries; if not, the cap
+        # errs on the KEEP side only when recent files sort late, and
+        # the pid gate still protects same-host builders)
+        newest = os.path.getmtime(root)
+        seen = 0
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for name in filenames + [""]:
+                try:
+                    p = os.path.join(dirpath, name) if name else dirpath
+                    newest = max(newest, os.path.getmtime(p))
+                except OSError:
+                    pass  # file vanished mid-walk (live builder)
+                seen += 1
+                if seen >= cap:
+                    return newest
+        return newest
+
     for stale in glob.glob(f"{final_dir}.build.*"):
         pid = stale.rsplit(".build.", 1)[1].split("_", 1)[0]
         try:
-            if time.time() - os.path.getmtime(stale) < _STALE_AGE_S:
+            if time.time() - _tree_mtime(stale) < _STALE_AGE_S:
                 continue
         except OSError:
             continue  # vanished under us — someone else swept it

@@ -279,3 +279,38 @@ def test_jpeg_through_decode_media_kernel(spark):
     assert (out[1].width, out[1].height, out[1].channels) == (8, 8, 1)
     assert abs(out[1].mean_level - float(px.mean())) < 0.6
     assert out[2].format is None  # fell back to fake_decode
+
+
+def test_jpeg_fill_bytes_before_marker():
+    # spec B.1.1.2: runs of 0xFF fill bytes may precede any marker; the
+    # walk must skip them instead of parsing 0xFF as a marker code and
+    # misreading a bogus segment length
+    px = _gradient(16, 16)
+    raw = encode_jpeg_gray(px)
+    i = raw.find(b"\xff\xc0")  # pad before SOF0
+    padded = raw[:i] + b"\xff" * 5 + raw[i:]
+    meta = decode_image(padded)
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert abs(meta["mean_level"] - float(px.mean())) < 1.0
+
+
+def test_jpeg_malformed_tables_raise_valueerror():
+    # missing DHT/DQT table ids and truncated SOF/SOS segments are
+    # *malformed JPEG*: the documented contract is ValueError (so direct
+    # callers catching it reach the fallback), never KeyError/struct.error
+    raw = encode_jpeg_gray(_gradient(8, 8))
+
+    # point the scan at a Huffman table id that was never defined
+    i = raw.find(b"\xff\xda")
+    sos = bytearray(raw)
+    sos[i + 6] = 0x33  # td=3, ta=3 (only table 0 exists)
+    with pytest.raises(ValueError):
+        decode_image(bytes(sos))
+
+    # truncate the SOF segment mid-component (struct would under-read)
+    i = raw.find(b"\xff\xc0")
+    trunc = raw[: i + 4] + raw[i + 9 :]  # shrink payload, keep stream
+    sof = bytearray(trunc)
+    struct.pack_into(">H", sof, i + 2, 4)  # length covers 2 payload bytes
+    with pytest.raises(ValueError):
+        decode_image(bytes(sof))

@@ -111,6 +111,7 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
     ],
     "q_pareto_frontier": [
         ("Window", "skyline via running-max window over price levels"),
+        ("hashpartitioning(bkt", "within-bucket prefix max runs PARTITIONED by price bucket — only the ~75-row bucket carry ever crosses one partition"),
         ("!BroadcastNestedLoopJoin", "never the quadratic dominance join"),
         ("!CartesianProduct", "never the quadratic dominance join"),
     ],
