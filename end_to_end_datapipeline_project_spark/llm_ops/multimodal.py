@@ -11,9 +11,11 @@ filter reconstruction incl. Paeth, CRC-checked) and baseline JPEG
 upsampling, YCbCr→RGB — see ``_decode_jpeg``) images and PCM WAV audio
 (RIFF parsing, sample-rate/duration/RMS) decode for REAL in pure
 stdlib/numpy, via ``decode_image``/``decode_audio`` and the
-``decode_media`` kernel.  Codecs that genuinely need an external
-library (WebP/MP3/...) raise ``NotImplementedError`` (none ships
-in this container) and fall back to the deterministic ``fake_decode``,
+``decode_media`` kernel.  WebP (VP8/VP8L/VP8X) and MP3 parse REAL
+dims / duration / rate / channels from their headers (pixel/PCM
+entropy decode genuinely needs a codec library — none ships in this
+container).  Everything else (TIFF/AAC/...) raises
+``NotImplementedError`` and falls back to the deterministic ``fake_decode``,
 which computes real features (byte length, sha256, md5-derived
 dimensions) so every payload stays end-to-end verifiable, including
 against the DuckDB oracle.
@@ -75,9 +77,10 @@ def decode_image(payload: bytes) -> dict:
     """Real image decode in pure stdlib/numpy — no image library.
 
     Binary PPM (``P6``) and BMP (``BM``) parse from their headers and
-    pixel data; PNG decodes fully (stdlib zlib inflate + scanline
-    filter reconstruction, see :func:`_decode_png`).  Codecs that
-    genuinely need an external library (JPEG/WebP) still raise, and
+    pixel data; PNG and baseline JPEG decode fully (see
+    :func:`_decode_png` / :func:`_decode_jpeg`); WebP parses
+    dims/format from its VP8/VP8L/VP8X headers.  Codecs that genuinely
+    need an external library (TIFF/AVIF pixel data) still raise, and
     the deterministic ``fake_decode`` stand-in keeps those payloads
     pipeline-testable.
     """
@@ -155,11 +158,71 @@ def decode_image(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _parse_webp(payload)
     raise NotImplementedError(
-        "WebP/TIFF/... require an image library not present in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG decode natively, "
-        "everything else uses fake_decode"
+        "TIFF/AVIF/... require an image library not present in this "
+        "environment; PPM/BMP/PNG/baseline-JPEG decode natively, WebP "
+        "parses dims/format from its headers, everything else uses "
+        "fake_decode"
     )
+
+
+def _parse_webp(payload: bytes) -> dict:
+    """WebP container/bitstream HEADER parse in pure stdlib: RIFF chunk
+    walk + VP8 (lossy), VP8L (lossless) and VP8X (extended) dimension
+    extraction.  Pixel decode genuinely needs a VP8 codec (none ships in
+    this container), so ``mean_level`` stays None — real dims/format
+    metadata, same contract as the BMP header path.  Malformed streams
+    raise ValueError → the kernel's fake_decode fallback."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"VP8 " and len(body) >= 10:
+            # lossy: 3-byte frame tag, 0x9D012A start code, 14-bit dims
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 chunk missing frame start code")
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return {
+                "format": "webp",
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "maxval": 255,
+                "mean_level": None,  # pixel decode needs a VP8 codec
+            }
+        if cid == b"VP8L" and len(body) >= 5:
+            # lossless: 0x2F signature, then 14+14-bit (dim - 1) fields
+            if body[0] != 0x2F:
+                raise ValueError("VP8L chunk missing signature byte")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            return {
+                "format": "webp",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "channels": 4 if (bits >> 28) & 1 else 3,
+                "maxval": 255,
+                "mean_level": None,
+            }
+        if cid == b"VP8X" and len(body) >= 10:
+            # extended: 24-bit little-endian (canvas dim - 1) fields
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return {
+                "format": "webp",
+                "width": w,
+                "height": h,
+                "channels": 4 if body[0] & 0x10 else 3,  # alpha flag
+                "maxval": 255,
+                "mean_level": None,
+            }
+        pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+    raise ValueError("WEBP RIFF but no VP8/VP8L/VP8X chunk found")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -644,11 +707,100 @@ def decode_audio(payload: bytes) -> dict:
             "duration_ms": int(n_samples * 1000 / sample_rate),
             "rms": rms,
         }
+    if payload[:3] == b"ID3" or (
+        len(payload) > 1
+        and payload[0] == 0xFF
+        and payload[1] & 0xE0 == 0xE0
+    ):
+        return _parse_mp3(payload)
     raise NotImplementedError(
-        "compressed audio formats require an audio library not present "
-        "in this environment; PCM WAV decodes natively, everything else "
-        "uses fake_decode"
+        "AAC/Opus/... require an audio library not present in this "
+        "environment; PCM WAV decodes natively, MP3 parses duration/"
+        "rate/channels from its frame headers, everything else uses "
+        "fake_decode"
     )
+
+
+#: MPEG audio bitrate tables, kbit/s, index 1-14 (0 = free, 15 = bad).
+#: Keyed by (version_group, layer): version_group 1 = MPEG1, 2 = MPEG2/2.5
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample rates by header version bits (3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _parse_mp3(payload: bytes) -> dict:
+    """MPEG audio (MP3) frame-HEADER walk in pure stdlib: skips an ID3v2
+    tag, then steps frame to frame parsing version/layer/bitrate/
+    sample-rate/channel-mode and summing per-frame durations — an exact
+    duration estimate with no PCM decode (entropy decode genuinely needs
+    a codec library, so ``rms`` stays None; same contract as the WebP
+    header path).  No recognizable frame ⇒ ValueError → fake_decode."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # ID3v2 size: 4 sync-safe (7-bit) bytes at offset 6
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    frames = 0
+    duration_s = 0.0
+    sample_rate = channels = None
+    while pos + 4 <= len(payload):
+        if not (payload[pos] == 0xFF and payload[pos + 1] & 0xE0 == 0xE0):
+            if frames:
+                break  # trailing garbage / ID3v1 tag after the stream
+            raise ValueError("no MPEG audio frame sync")
+        b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+        version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = 4 - ((b1 >> 1) & 3)  # coded 3/2/1 → Layer I/II/III
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        if version == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
+            if frames:
+                break
+            raise ValueError("invalid MPEG audio frame header")
+        vgroup = 1 if version == 3 else 2
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (b2 >> 1) & 1
+        # samples per frame: L-I 384; L-II 1152; L-III 1152 (MPEG1) / 576
+        spf = 384 if layer == 1 else (
+            1152 if layer == 2 or vgroup == 1 else 576
+        )
+        if layer == 1:
+            flen = (12 * bitrate // rate + padding) * 4
+        else:
+            flen = spf // 8 * bitrate // rate + padding
+        if flen <= 4:
+            raise ValueError("degenerate MPEG audio frame length")
+        mode = (b3 >> 6) & 3
+        sample_rate = rate
+        channels = 1 if mode == 3 else 2
+        frames += 1
+        duration_s += spf / rate
+        pos += flen
+    if not frames:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "format": "mp3",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": None,
+        "n_samples": None,
+        "duration_ms": int(duration_s * 1000),
+        "rms": None,  # PCM decode needs a codec library
+    }
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -730,6 +882,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                     if (
                         p[:2] in (b"P6", b"BM", b"\xff\xd8")
                         or p[:8] == _PNG_SIG
+                        or (p[:4] == b"RIFF" and p[8:12] == b"WEBP")
                     ):
                         d = decode_image(p)
                         rows.append(
@@ -737,7 +890,13 @@ def decode_media(media: DataFrame) -> DataFrame:
                              d["channels"], None, None, d["mean_level"])
                         )
                         continue
-                    if p[:4] == b"RIFF":
+                    # JPEG (0xFF 0xD8) already matched above, so an
+                    # 0xFF sync byte here can only be an MPEG audio frame
+                    if p[:4] == b"RIFF" or p[:3] == b"ID3" or (
+                        len(p) > 1
+                        and p[0] == 0xFF
+                        and p[1] & 0xE0 == 0xE0
+                    ):
                         d = decode_audio(p)
                         rows.append(
                             (int(aid), d["format"], None, None,

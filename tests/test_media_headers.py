@@ -1,0 +1,162 @@
+"""WebP (VP8/VP8L/VP8X) header parse and MP3 frame-header walk — the
+pure-stdlib metadata decoders (dims / duration / rate / channels; pixel
+and PCM entropy decode stay gated on a codec library).  Streams are
+forged from the specs, same style as test_jpeg_decode's forged encoder.
+"""
+
+import struct
+
+import pytest
+
+from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+    decode_audio,
+    decode_image,
+)
+
+
+# ---- forgers --------------------------------------------------------------
+
+
+def _webp(chunk_id: bytes, body: bytes) -> bytes:
+    chunk = chunk_id + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8_body(w: int, h: int) -> bytes:
+    return b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+
+
+def _vp8l_body(w: int, h: int, alpha: int = 0) -> bytes:
+    bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+    return bytes([0x2F]) + struct.pack("<I", bits)
+
+
+def _vp8x_body(w: int, h: int, alpha: int = 0) -> bytes:
+    return (
+        bytes([0x10 if alpha else 0x00])
+        + b"\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+
+
+def _mp3_frames(n: int, b1: int, b2: int, b3: int, flen: int) -> bytes:
+    frame = bytes([0xFF, b1, b2, b3]) + b"\x00" * (flen - 4)
+    return frame * n
+
+
+def _id3v2(tag_size: int) -> bytes:
+    ss = bytes(
+        [(tag_size >> 21) & 0x7F, (tag_size >> 14) & 0x7F,
+         (tag_size >> 7) & 0x7F, tag_size & 0x7F]
+    )
+    return b"ID3\x04\x00\x00" + ss + b"\x00" * tag_size
+
+
+# ---- WebP -----------------------------------------------------------------
+
+
+def test_webp_vp8_lossy_dims():
+    meta = decode_image(_webp(b"VP8 ", _vp8_body(320, 240)))
+    assert meta["format"] == "webp"
+    assert (meta["width"], meta["height"], meta["channels"]) == (320, 240, 3)
+    assert meta["mean_level"] is None  # pixel decode needs a VP8 codec
+
+
+def test_webp_vp8l_lossless_dims_and_alpha():
+    meta = decode_image(_webp(b"VP8L", _vp8l_body(100, 75, alpha=1)))
+    assert (meta["width"], meta["height"], meta["channels"]) == (100, 75, 4)
+    meta = decode_image(_webp(b"VP8L", _vp8l_body(16383, 1)))
+    assert (meta["width"], meta["height"], meta["channels"]) == (16383, 1, 3)
+
+
+def test_webp_vp8x_extended_canvas():
+    meta = decode_image(_webp(b"VP8X", _vp8x_body(4000, 3000, alpha=1)))
+    assert (meta["width"], meta["height"], meta["channels"]) == (
+        4000, 3000, 4,
+    )
+
+
+def test_webp_malformed_raises_valueerror():
+    with pytest.raises(ValueError):
+        decode_image(_webp(b"VP8 ", b"\x00\x00\x00WRONG" + b"\x00" * 8))
+    with pytest.raises(ValueError):  # no bitstream chunk at all
+        decode_image(_webp(b"EXIF", b"\x00" * 16))
+
+
+# ---- MP3 ------------------------------------------------------------------
+
+# MPEG1 Layer III, 128 kbit/s (idx 9), 44100 Hz (idx 0), stereo:
+# frame length = 144 * 128000 // 44100 = 417, 1152 samples/frame
+_M1L3 = dict(b1=0xFB, b2=0x90, b3=0x00, flen=417, spf=1152, rate=44100)
+
+
+def test_mp3_frame_walk_duration():
+    raw = _mp3_frames(10, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"])
+    meta = decode_audio(raw)
+    assert meta["format"] == "mp3"
+    assert meta["sample_rate"] == 44100
+    assert meta["channels"] == 2
+    assert meta["duration_ms"] == int(10 * 1152 / 44100 * 1000)
+    assert meta["rms"] is None  # PCM decode needs a codec library
+
+
+def test_mp3_id3v2_skip_and_trailing_tag():
+    raw = (
+        _id3v2(100)
+        + _mp3_frames(4, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"])
+        + b"TAG" + b"\x00" * 125  # ID3v1 trailer must not desync the walk
+    )
+    meta = decode_audio(raw)
+    assert meta["duration_ms"] == int(4 * 1152 / 44100 * 1000)
+
+
+def test_mp3_mono_mpeg2():
+    # MPEG2 Layer III, 64 kbit/s (idx 8), 22050 Hz (idx 0), mono:
+    # 576 samples/frame, frame length = 72 * 64000 // 22050 = 208
+    raw = _mp3_frames(6, 0xF3, 0x80, 0xC0, 208)
+    meta = decode_audio(raw)
+    assert meta["sample_rate"] == 22050
+    assert meta["channels"] == 1
+    assert meta["duration_ms"] == int(6 * 576 / 22050 * 1000)
+
+
+def test_mp3_padding_bit_changes_frame_length():
+    # padding bit set: frame is one byte longer; a walk ignoring it
+    # desyncs at frame 2 and the test catches it
+    raw = _mp3_frames(3, _M1L3["b1"], _M1L3["b2"] | 0x02, _M1L3["b3"], 418)
+    meta = decode_audio(raw)
+    assert meta["duration_ms"] == int(3 * 1152 / 44100 * 1000)
+
+
+def test_mp3_garbage_raises_valueerror():
+    with pytest.raises(ValueError):
+        decode_audio(b"ID3\x04\x00\x00\x00\x00\x00\x02\x00\x00garbage")
+    with pytest.raises(ValueError):  # free-format bitrate idx 0 refused
+        decode_audio(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 400)
+
+
+# ---- kernel routing -------------------------------------------------------
+
+
+def test_decode_media_routes_webp_and_mp3(spark):
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_media,
+    )
+
+    webp = _webp(b"VP8 ", _vp8_body(64, 48))
+    mp3 = _mp3_frames(
+        8, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"]
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(webp)), (2, "audio", bytearray(mp3))],
+        "asset_id long, kind string, payload binary",
+    )
+    out = {r.asset_id: r for r in decode_media(df).collect()}
+    assert out[1].format == "webp"
+    assert (out[1].width, out[1].height) == (64, 48)
+    assert out[2].format == "mp3"
+    assert out[2].sample_rate == 44100
+    assert out[2].duration_ms == int(8 * 1152 / 44100 * 1000)

@@ -1,0 +1,137 @@
+"""Interleaved bench adjudicator: trustworthy per-query timings on a
+noisy shared host.
+
+The batch bench (bench.py) times each query in sequence, so a burst of
+host CPU-steal lands entirely on whichever query is running — per-round
+BENCH deltas of ±30% appear on queries whose code did not change.  This
+harness generalizes tools/ab_pagerank.py: it runs the chosen queries
+ROUND-ROBIN (q1,q2,...,qn, q1,q2,...) for R rounds in ONE process, so
+contention bursts are spread across all queries instead of concentrated
+on one, and reports the per-query MIN — the closest observable to the
+steady-state plan execution cost (the quantity that scales with cluster
+size).  Σ(min) over the full headline suite is the quiet-host estimate
+of the suite total, the number BENCH_r{N}.json approximates from above.
+
+Results are written to the "## Interleaved A/B adjudication" appendix of
+SCALING.md (tools/scale_probe.py preserves that section when it rewrites
+the ratio table).
+
+    python tools/ab_bench.py [--reps R] [--sf DIR] [--no-write] [query ...]
+
+No queries → the full bench.py HEADLINE suite (settles the suite-total
+question); a subset → targeted adjudication of specific bench deltas.
+"""
+
+from __future__ import annotations
+
+import gc
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, "/root/repo")
+
+from bench import HEADLINE  # noqa: E402
+from end_to_end_datapipeline_project_spark.registry import all_queries  # noqa: E402
+from end_to_end_datapipeline_project_spark.session import get_spark  # noqa: E402
+
+AB_MARKER = "## Interleaved A/B adjudication"
+
+
+def interleaved_times(
+    spark, names: list[str], sf_dir: str, reps: int
+) -> dict[str, list[float]]:
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        # untimed cleanup between runs: checkpoint/broadcast blocks are
+        # only freed after a JVM GC; letting them pile up pushes a
+        # multi-second stall into a LATER query's timed window
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+        return dt
+
+    # warm scan footers + codegen once per query, untimed
+    for name in names:
+        run(name)
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            times[name].append(run(name))
+    return times
+
+
+def write_appendix(rows: list[str]) -> None:
+    path = "/root/repo/SCALING.md"
+    try:
+        doc = open(path).read()
+    except OSError:
+        doc = ""
+    if AB_MARKER in doc:
+        doc = doc[: doc.index(AB_MARKER)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(doc + "\n" + "\n".join(rows) + "\n")
+    print(f"appendix written to {path}")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    reps, sf_dir, write = 3, "/root/testdata/sf0.1", True
+    names: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "--reps":
+            reps = int(next(it))
+        elif a == "--sf":
+            sf_dir = next(it)
+        elif a == "--no-write":
+            write = False
+        else:
+            names.append(a)
+    names = names or list(HEADLINE)
+    spark = get_spark("ab-bench")
+    t_wall0 = time.time()
+    times = interleaved_times(spark, names, sf_dir, reps)
+    wall = time.time() - t_wall0
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    rows = [
+        AB_MARKER,
+        "",
+        f"`python tools/ab_bench.py --reps {reps}` @ {sf_dir}, {stamp} — "
+        f"{len(names)} queries round-robin ×{reps} in one process "
+        f"(wall {wall:.0f}s incl. warm-up).  min = quiet-host estimate; "
+        "spread = max/min across interleaved reps (host-noise gauge: "
+        "the plan did not change between reps).",
+        "",
+        "| query | min (s) | median (s) | spread | reps (s) |",
+        "|---|---|---|---|---|",
+    ]
+    total_min = 0.0
+    for name in names:
+        ts = sorted(times[name])
+        total_min += ts[0]
+        med = ts[len(ts) // 2]
+        spread = ts[-1] / ts[0] if ts[0] > 0 else float("inf")
+        rows.append(
+            f"| {name} | {ts[0]:.2f} | {med:.2f} | {spread:.1f}× | "
+            f"{'/'.join(f'{t:.2f}' for t in times[name])} |"
+        )
+        print(rows[-1], flush=True)
+    rows.append(
+        f"| **Σ(min) over {len(names)} queries** | **{total_min:.2f}** "
+        "| | | |"
+    )
+    print(f"TOTAL(min): {total_min:.2f}s over {len(names)} queries")
+    if write:
+        write_appendix(rows)
+
+
+if __name__ == "__main__":
+    main()
