@@ -160,12 +160,65 @@ def decode_image(payload: bytes) -> dict:
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _parse_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff(payload)
     raise NotImplementedError(
-        "TIFF/AVIF/... require an image library not present in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG decode natively, WebP "
-        "parses dims/format from its headers, everything else uses "
-        "fake_decode"
+        "AVIF/HEIC/... require an image library not present in this "
+        "environment; PPM/BMP/PNG/baseline-JPEG decode natively, "
+        "WebP/TIFF parse dims/format from their headers, everything "
+        "else uses fake_decode"
     )
+
+
+#: TIFF IFD entry field types → byte widths (spec §2, types 1-12)
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                    9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _parse_tiff(payload: bytes) -> dict:
+    """TIFF HEADER parse in pure stdlib: byte-order detection, first-IFD
+    walk, ImageWidth/ImageLength/BitsPerSample/SamplesPerPixel tags.
+    Strip/tile pixel data may use any of a dozen compressions (LZW,
+    JPEG, deflate, ...) so pixel decode stays gated — real dims/format
+    metadata only, same contract as WebP.  Malformed ⇒ ValueError."""
+    import struct
+
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF first-IFD offset out of range")
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
+    tags: dict[int, int] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, ftype, count = struct.unpack_from(f"{bo}HHI", payload, off)
+        if tag not in (256, 257, 258, 277):
+            continue
+        size = _TIFF_TYPE_SIZES.get(ftype)
+        if size is None or ftype not in (1, 3, 4):  # BYTE/SHORT/LONG
+            continue
+        # value fits in the 4-byte field iff size*count <= 4, else it is
+        # an offset to the data area
+        voff = off + 8
+        if size * count > 4:
+            (voff,) = struct.unpack_from(f"{bo}I", payload, off + 8)
+            if voff + size > len(payload):
+                raise ValueError("TIFF tag value offset out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+        tags[tag] = struct.unpack_from(f"{bo}{fmt}", payload, voff)[0]
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
+    bits = tags.get(258, 8)
+    return {
+        "format": "tiff",
+        "width": tags[256],
+        "height": tags[257],
+        "channels": tags.get(277, 1),
+        "maxval": (1 << bits) - 1 if bits <= 16 else 255,
+        "mean_level": None,  # strip/tile decompression needs a codec
+    }
 
 
 def _parse_webp(payload: bytes) -> dict:
@@ -713,12 +766,45 @@ def decode_audio(payload: bytes) -> dict:
         and payload[1] & 0xE0 == 0xE0
     ):
         return _parse_mp3(payload)
+    if payload[:4] == b"fLaC":
+        return _parse_flac(payload)
     raise NotImplementedError(
         "AAC/Opus/... require an audio library not present in this "
-        "environment; PCM WAV decodes natively, MP3 parses duration/"
-        "rate/channels from its frame headers, everything else uses "
-        "fake_decode"
+        "environment; PCM WAV decodes natively, MP3/FLAC parse "
+        "duration/rate/channels from their headers, everything else "
+        "uses fake_decode"
     )
+
+
+def _parse_flac(payload: bytes) -> dict:
+    """FLAC STREAMINFO parse in pure stdlib: the mandatory first
+    metadata block carries sample rate (20 bits), channels (3 bits),
+    bits per sample (5 bits) and total samples (36 bits) — an exact
+    duration with no audio decode (subframe entropy decode needs a
+    codec, so ``rms`` stays None; same contract as MP3)."""
+    if len(payload) < 8 + 34:
+        raise ValueError("FLAC shorter than a STREAMINFO block")
+    btype = payload[4] & 0x7F
+    bsize = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or bsize < 34:
+        raise ValueError("FLAC first block is not a valid STREAMINFO")
+    si = payload[8 : 8 + 34]
+    bits = int.from_bytes(si[10:18], "big")  # fields packed at bit level
+    sample_rate = (bits >> 44) & 0xFFFFF
+    channels = ((bits >> 41) & 0x7) + 1
+    bps = ((bits >> 36) & 0x1F) + 1
+    n_samples = bits & 0xFFFFFFFFF
+    if sample_rate == 0:
+        raise ValueError("FLAC STREAMINFO has zero sample rate")
+    return {
+        "format": "flac",
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": bps,
+        "n_samples": n_samples,
+        "duration_ms": int(n_samples * 1000 / sample_rate),
+        "rms": None,  # subframe decode needs a codec library
+    }
 
 
 #: MPEG audio bitrate tables, kbit/s, index 1-14 (0 = free, 15 = bad).
@@ -883,6 +969,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                         p[:2] in (b"P6", b"BM", b"\xff\xd8")
                         or p[:8] == _PNG_SIG
                         or (p[:4] == b"RIFF" and p[8:12] == b"WEBP")
+                        or p[:4] in (b"II*\x00", b"MM\x00*")
                     ):
                         d = decode_image(p)
                         rows.append(
@@ -892,7 +979,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                         continue
                     # JPEG (0xFF 0xD8) already matched above, so an
                     # 0xFF sync byte here can only be an MPEG audio frame
-                    if p[:4] == b"RIFF" or p[:3] == b"ID3" or (
+                    if p[:4] in (b"RIFF", b"fLaC") or p[:3] == b"ID3" or (
                         len(p) > 1
                         and p[0] == 0xFF
                         and p[1] & 0xE0 == 0xE0

@@ -74,6 +74,9 @@ def test_scaling_md_has_ab_adjudication_appendix():
     """The interleaved-A/B appendix (tools/ab_bench.py) is the only
     trustworthy per-query timing record on this host; scale_probe
     preserves it across rewrites, so it must never silently vanish."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
     from scale_probe import AB_MARKER
 
     text = (REPO / "SCALING.md").read_text()

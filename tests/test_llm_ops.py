@@ -65,13 +65,16 @@ def test_fake_decode_deterministic():
 
 
 def test_decode_stub_raises():
-    # TIFF genuinely needs a codec lib -> NotImplementedError
+    # AVIF genuinely needs a codec lib -> NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00\x08\x00\x00\x00")
-    # WebP headers parse for real since round 6, so a truncated VP8
-    # chunk is *malformed* (ValueError -> fake_decode), not unimplemented
+        decode_image(b"\x00\x00\x00 ftypavif\x00\x00\x00\x00")
+    # WebP/TIFF headers parse for real since round 6, so truncated
+    # streams are *malformed* (ValueError -> fake_decode), not
+    # unimplemented
     with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        decode_image(b"II*\x00\x08\x00\x00\x00")
     # a bare PNG signature prefix shorter than 8 bytes is not PNG either
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")

@@ -160,3 +160,83 @@ def test_decode_media_routes_webp_and_mp3(spark):
     assert out[2].format == "mp3"
     assert out[2].sample_rate == 44100
     assert out[2].duration_ms == int(8 * 1152 / 44100 * 1000)
+
+
+# ---- TIFF -----------------------------------------------------------------
+
+
+def _tiff(w: int, h: int, bo: str = "<", channels: int = 3) -> bytes:
+    import struct as s
+
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    entries = [
+        (256, 3, 1, w),        # ImageWidth SHORT
+        (257, 4, 1, h),        # ImageLength LONG
+        (277, 3, 1, channels), # SamplesPerPixel SHORT
+    ]
+    ifd = s.pack(f"{bo}H", len(entries))
+    for tag, ftype, count, val in entries:
+        ifd += s.pack(f"{bo}HHI", tag, ftype, count)
+        ifd += s.pack(f"{bo}I" if ftype == 4 else f"{bo}HH", *(
+            (val,) if ftype == 4 else (val, 0)
+        ))
+    ifd += s.pack(f"{bo}I", 0)  # no next IFD
+    return magic + s.pack(f"{bo}I", 8) + ifd
+
+
+def test_tiff_dims_both_byte_orders():
+    for bo in ("<", ">"):
+        meta = decode_image(_tiff(640, 480, bo=bo, channels=3))
+        assert meta["format"] == "tiff"
+        assert (meta["width"], meta["height"], meta["channels"]) == (
+            640, 480, 3,
+        )
+        assert meta["mean_level"] is None  # strip decode needs a codec
+
+
+def test_tiff_malformed_raises_valueerror():
+    with pytest.raises(ValueError):
+        decode_image(b"II*\x00\xff\xff\xff\xff")  # IFD offset OOB
+    # IFD present but no dimension tags
+    raw = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0) + b"\x00" * 4
+    with pytest.raises(ValueError):
+        decode_image(raw)
+
+
+# ---- FLAC -----------------------------------------------------------------
+
+
+def _flac(sample_rate: int, channels: int, bps: int, n_samples: int) -> bytes:
+    bits = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | n_samples
+    )
+    si = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si
+
+
+def test_flac_streaminfo():
+    meta = decode_audio(_flac(44100, 2, 16, 441000))
+    assert meta["format"] == "flac"
+    assert meta["sample_rate"] == 44100
+    assert meta["channels"] == 2
+    assert meta["bits"] == 16
+    assert meta["duration_ms"] == 10000
+    assert meta["rms"] is None
+
+
+def test_flac_mono_hires():
+    meta = decode_audio(_flac(96000, 1, 24, 96000 * 3 + 48000))
+    assert (meta["channels"], meta["bits"]) == (1, 24)
+    assert meta["duration_ms"] == 3500
+
+
+def test_flac_malformed_raises_valueerror():
+    with pytest.raises(ValueError):
+        decode_audio(b"fLaC\x00\x00\x00\x05short")
+    # first block is not STREAMINFO
+    bad = b"fLaC" + b"\x84" + (34).to_bytes(3, "big") + b"\x00" * 34
+    with pytest.raises(ValueError):
+        decode_audio(bad)

@@ -258,3 +258,40 @@ def test_compaction_budget_is_per_partition(spark, tmp_path):
     assert all(n <= 8 for n in per_part.values()), per_part
     back = spark.read.parquet(path)
     assert back.count() == 90000
+
+
+def test_claim_staged_stale_sweep_respects_nested_mtime(tmp_path):
+    """A pid-dead .build dir whose only RECENT activity is deep inside
+    nested subdirs (Spark's _temporary/...) must NOT be swept: the
+    staleness age comes from the max tree mtime, not the top-level dir
+    (whose mtime only moves when direct entries change)."""
+    import os
+    import time
+
+    from end_to_end_datapipeline_project_spark.sources import claim_staged
+
+    final = str(tmp_path / "stage")
+    # forge an orphan from a dead pid with OLD top-level but FRESH
+    # nested-file mtimes
+    orphan = final + ".build.999999999_0"
+    nested = os.path.join(orphan, "_temporary", "task_0")
+    os.makedirs(nested)
+    now = time.time()
+    os.utime(os.path.join(nested), (now, now))  # live builder writing
+    os.utime(orphan, (now - 3600, now - 3600))  # stale-looking top level
+
+    built = []
+    claim_staged(final, lambda tmp: (os.makedirs(tmp, exist_ok=True),
+                                     built.append(tmp)))
+    assert os.path.isdir(orphan), "live nested build swept by mtime gate"
+    assert os.path.isdir(final)
+
+    # same orphan with the WHOLE tree old -> swept (pid 999999999 is dead)
+    import shutil
+
+    shutil.rmtree(final)
+    old = now - 3600
+    for p in (orphan, os.path.join(orphan, "_temporary"), nested):
+        os.utime(p, (old, old))
+    claim_staged(final, lambda tmp: os.makedirs(tmp, exist_ok=True))
+    assert not os.path.isdir(orphan), "dead+old orphan should be swept"
