@@ -1436,3 +1436,121 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# --- synthetic media + real-decode oracle loop ----------------------------
+
+
+def synthesize_media(doc_id: int) -> bytes:
+    """Deterministic REAL media payload for a doc id — format cycles
+    ppm/webp/tiff/mp3/flac/wav, every parameter a closed-form function
+    of ``doc_id``.  The fixture generator a media pipeline needs for
+    end-to-end smoke tests: payloads are spec-valid streams the real
+    header parsers/decoders accept, yet every expected metadata value is
+    computable analytically (which is what lets q_media_decode carry a
+    DuckDB oracle for the decode surface itself)."""
+    import struct
+
+    kind = doc_id % 6
+    w, h = 16 + doc_id % 48, 8 + doc_id % 24
+    if kind == 0:  # binary PPM, constant pixel level
+        v = doc_id % 256
+        return (
+            f"P6 {w} {h} 255\n".encode() + bytes([v]) * (w * h * 3)
+        )
+    if kind == 1:  # WebP lossy VP8
+        body = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    if kind == 2:  # little-endian TIFF, SamplesPerPixel 1-4
+        ch = 1 + doc_id % 4
+        entries = [(256, 3, w), (257, 3, h), (277, 3, ch)]
+        ifd = struct.pack("<H", len(entries))
+        for tag, ftype, val in entries:
+            ifd += struct.pack("<HHIHH", tag, ftype, 1, val, 0)
+        ifd += struct.pack("<I", 0)
+        return b"II*\x00" + struct.pack("<I", 8) + ifd
+    if kind == 3:  # MP3: MPEG1 Layer III 128k/44100 stereo, 8-23 frames
+        n = 8 + doc_id % 16
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+        return frame * n
+    if kind == 4:  # FLAC STREAMINFO, 44100 Hz, 1-2 ch, 16 bps
+        ch = 1 + doc_id % 2
+        n_samples = 1000 * (1 + doc_id % 90)
+        bits = (44100 << 44) | ((ch - 1) << 41) | (15 << 36) | n_samples
+        si = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+        return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si
+    # kind 5: PCM WAV, 8 kHz mono 16-bit, silence
+    n_samples = 160 * (1 + doc_id % 10)
+    data = b"\x00" * (n_samples * 2)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@register(
+    "q_media_decode",
+    """
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'webp'
+              WHEN 2 THEN 'tiff' WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac'
+              ELSE 'wav' END AS media_format,
+         CAST(CASE WHEN doc_id % 6 IN (0, 1, 2)
+                   THEN 16 + doc_id % 48 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 6 IN (0, 1, 2)
+                   THEN 8 + doc_id % 24 END AS INTEGER) AS height,
+         CAST(CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 3
+              WHEN 2 THEN 1 + doc_id % 4 WHEN 3 THEN 2
+              WHEN 4 THEN 1 + doc_id % 2 ELSE 1 END AS INTEGER)
+           AS channels,
+         CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN 44100
+                   WHEN doc_id % 6 = 5 THEN 8000 END AS INTEGER)
+           AS sample_rate,
+         CAST(CASE doc_id % 6
+              WHEN 3 THEN floor((8 + doc_id % 16) * 1152 * 1000.0 / 44100)
+              WHEN 4 THEN floor(1000 * (1 + doc_id % 90) * 1000.0 / 44100)
+              WHEN 5 THEN floor(160 * (1 + doc_id % 10) * 1000.0 / 8000)
+              END AS BIGINT) AS duration_ms
+  FROM documents
+""",
+    doc="Real-decoder oracle loop: forge a spec-valid PPM/WebP/TIFF/MP3/"
+    "FLAC/WAV payload per doc (every parameter closed-form in doc_id), "
+    "push it through the SAME decode_media Arrow kernel production "
+    "payloads take, and oracle-check the decoded metadata against the "
+    "closed forms — the decode surface itself (marker walks, IFD "
+    "offsets, frame-length stepping, STREAMINFO bit fields) becomes "
+    "driver-verifiable instead of pytest-only.  Scale shape: two "
+    "chained mapInPandas kernels, zero shuffles, kind-pruning and "
+    "batch-size bounds identical to the production decode path.",
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+    docs = pin_parallelism(docs, "doc_id")
+
+    def forge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "kind": "synthetic",
+                    "payload": [
+                        synthesize_media(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(
+        forge, "asset_id long, kind string, payload binary"
+    )
+    return decode_media(media).select(
+        "asset_id",
+        F.col("format").alias("media_format"),
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "duration_ms",
+    )
