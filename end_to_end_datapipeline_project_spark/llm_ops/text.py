@@ -1336,30 +1336,46 @@ _NB_WITH = f"""
 """,
     doc="Multinomial Naive Bayes trained AND applied in one plan: "
     "per-class priors and Laplace-smoothed token likelihoods are "
-    "aggregates ≪ corpus (broadcast), each doc token fans out over the "
-    "k classes, per-(doc, class) log-scores decimal-sum rounded terms, "
-    "deterministic argmax (score desc, class asc), and the output is "
-    "the k×k confusion matrix. The token stream shuffles once (the "
-    "per-doc-class agg) — model tables never shuffle; at 100 TB the "
-    "class fan-out is the only volume multiplier and k is small.",
+    "aggregates ≪ corpus; the model is PIVOTED to a token → k-term-"
+    "columns table and broadcast, so each token occurrence does ONE "
+    "hash probe and the per-doc score is k decimal sums in a single "
+    "shuffle of the un-expanded token stream (the earlier ×k "
+    "crossJoin row inflation measured 7.9 s at sf0.1 vs 2.9 s for "
+    "this form — the class fan-out now lives in narrow agg buffers, "
+    "not shuffle rows). Deterministic argmax (score desc, class asc) "
+    "via array_sort over (−score, class) structs — no per-doc window "
+    "— and the output is the k×k confusion matrix. The one O(k) "
+    "driver collect is the class catalog (bounded by the data model, "
+    "k=20 here), needed to name the pivot columns.",
 )
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = read_parquet_table(spark, sf_dir, "documents").filter(
         F.trim("text") != ""
     )
     tok = docs.select(
         "doc_id", "source", F.explode(tokens_col()).alias("token")
     )
-    classes = tok.groupBy(F.col("source").alias("c")).agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # O(k) collect: the class catalog (+ per-class doc counts for the
+    # priors) — k is a fixed catalog dimension, not data-sized.  Counted
+    # on the docs scan, not the token explode: every trim-non-empty doc
+    # yields >=1 token, so count(*) per source over docs equals
+    # count_distinct(doc_id) per source over the exploded stream (the
+    # oracle's __classes) without a second token pass
+    cls_rows = (
+        docs.groupBy(F.col("source").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
     )
-    total_docs = classes.agg(F.sum("n_docs").alias("nd"))
-    prior = classes.crossJoin(F.broadcast(total_docs)).select(
-        "c", F.round(F.log(F.col("n_docs") / F.col("nd")), 6).alias("lp")
-    )
-    # lazy checkpoint: tc feeds THREE consumers (the scoring join, ct,
+    cls = sorted(r["c"] for r in cls_rows)
+    n_docs = {r["c"]: r["n_docs"] for r in cls_rows}
+    nd_total = float(sum(n_docs.values()))
+    # priors as literal expressions; rounding stays Spark-side so the
+    # HALF_UP semantics match the oracle exactly
+    lp = {
+        c: F.round(F.log(F.lit(float(n_docs[c])) / F.lit(nd_total)), 6)
+        for c in cls
+    }
+    # lazy checkpoint: tc feeds THREE consumers (the pivoted model, ct,
     # vocab) and each would re-run the token explode + (c, token)
     # shuffle from scratch — tc itself is the compact model table
     # (O(classes x vocab) rows), cheap to materialize once
@@ -1368,36 +1384,65 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    ct = tc.groupBy("c").agg(F.sum("cnt").alias("total"))
+    # one-row broadcast frames: per-class token totals and vocab size
+    ct_row = (
+        tc.groupBy()
+        .pivot("c", cls)
+        .agg(F.sum("cnt"))
+        .select(*[F.col(f"`{c}`").alias(f"total_{i}") for i, c in enumerate(cls)])
+    )
     vocab = tc.agg(F.count_distinct("token").alias("vocab"))
-    scored = (
-        tok.crossJoin(F.broadcast(classes.select("c")))
-        .join(F.broadcast(tc), ["c", "token"], "left")
-        .join(F.broadcast(ct), "c")
-        .join(F.broadcast(prior), "c")
+    # token → k Laplace-smoothed round-6 log-likelihood terms, one row
+    # per vocab token (every tok token is in the model — same corpus)
+    model = (
+        tc.groupBy("token")
+        .pivot("c", cls)
+        .agg(F.first("cnt"))
+        .select(
+            "token",
+            *[F.col(f"`{c}`").alias(f"cnt_{i}") for i, c in enumerate(cls)],
+        )
+        .crossJoin(F.broadcast(ct_row))
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "term",
-            F.round(
-                F.log(
-                    (F.coalesce("cnt", F.lit(0)) + 1.0)
-                    / (F.col("total") + F.col("vocab"))
-                ),
-                6,
-            ),
-        )
-        .groupBy(
-            "doc_id", F.col("source").alias("true_source"), "c"
-        )
-        .agg(
-            (F.max("lp") + spark_dsum(F.col("term"))).alias("score")
+        .select(
+            "token",
+            *[
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col(f"cnt_{i}"), F.lit(0)) + 1.0)
+                        / (F.col(f"total_{i}") + F.col("vocab"))
+                    ),
+                    6,
+                ).alias(f"t{i}")
+                for i in range(len(cls))
+            ],
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    sums = (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id", F.col("source").alias("true_source"))
+        .agg(
+            *[
+                spark_dsum(F.col(f"t{i}")).alias(f"s{i}")
+                for i in range(len(cls))
+            ]
+        )
+    )
+    # argmax: ascending sort on (−score, class) = (score desc, class asc)
+    pred = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-(lp[c] + F.col(f"s{i}"))).alias("ns"),
+                    F.lit(c).alias("pc"),
+                )
+                for i, c in enumerate(cls)
+            ]
+        )
+    )[0]["pc"]
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("true_source", F.col("c").alias("pred_source"))
+        sums.select("true_source", pred.alias("pred_source"))
+        .groupBy("true_source", "pred_source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
