@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import dsum, register, spark_dsum
+from ..registry import dsum, register, spark_dsum, spark_dsum_fast
 from ..sources import read_parquet_table
 
 #: marker stopwords per language for the n-gram/stopword language heuristic
@@ -1423,7 +1423,9 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("source").alias("true_source"))
         .agg(
             *[
-                spark_dsum(F.col(f"t{i}")).alias(f"s{i}")
+                # terms are round(·, 6) doubles (6-decimal exacts, |·|
+                # ≤ ~30) — spark_dsum_fast contract holds at frac 6
+                spark_dsum_fast(F.col(f"t{i}"), 6).alias(f"s{i}")
                 for i in range(len(cls))
             ]
         )

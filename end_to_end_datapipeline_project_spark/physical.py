@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline_queries import _cleansed_sql, events_cleansed
-from .registry import dsum, register, spark_dsum
+from .registry import dsum, register, spark_dsum, spark_dsum_fast
 from .sources import claim_staged, read_parquet_table, stage_dir, stage_fingerprint
 
 #: bump when a transformation feeding a staged dataset changes semantics
@@ -84,7 +84,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            spark_dsum(F.col("l_quantity")).alias("total_qty"),
+            # qty is a 2-decimal exact — spark_dsum_fast contract
+            spark_dsum_fast(F.col("l_quantity"), 2).alias("total_qty"),
         )
     )
 
@@ -121,7 +122,8 @@ def q_medallion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy("date").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        spark_dsum(F.col("value")).alias("total_value"),
+        # events.value is a 2-decimal exact — spark_dsum_fast contract
+        spark_dsum_fast(F.col("value"), 2).alias("total_value"),
     )
 
 
@@ -366,7 +368,8 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            spark_dsum(F.col("value")).alias("sum_value"),
+            # events.value is a 2-decimal exact — spark_dsum_fast contract
+            spark_dsum_fast(F.col("value"), 2).alias("sum_value"),
         )
     )
 

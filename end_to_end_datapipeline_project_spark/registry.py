@@ -96,3 +96,63 @@ def spark_dsum(col):
     from pyspark.sql import functions as F
 
     return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+def spark_dsum_fast(col, frac_digits: int, hi_split: int = 28):
+    """Decimal-exact sum of a double expression, bit-identical to
+    :func:`spark_dsum` but ~10× faster on the hot path.
+
+    Spark's ``sum(decimal(30,6))`` needs a >18-digit precision buffer,
+    which falls off the primitive-long fast path onto per-row BigDecimal
+    arithmetic outside whole-stage codegen (measured: 10 such sums cost
+    1.6 s over 600k rows where 10 double sums cost 0.13 s).  When the
+    caller can guarantee the CONTRACT below, the same exact sum can be
+    accumulated as two primitive LONG sums that stay inside codegen:
+
+        v  = x · 10^frac_digits          (an exact integer, see contract)
+        hi = v >> hi_split,  lo = v & (2^hi_split − 1)
+        Σx = (Σhi · 2^hi_split + Σlo) / 10^frac_digits   (exact decimal)
+
+    Contract (caller must verify analytically for the expression):
+      * every non-null value of ``col`` is an exact multiple of
+        10^−frac_digits, and
+      * |x| · 10^frac_digits < 2^53, so the scaling multiply is exact in
+        double and the long cast is lossless.
+      TPC-H money/rate columns are 2-decimal exacts, so products of two
+      are 4-digit exacts (< 2^47 scaled) and of three 6-digit exacts
+      (< 2^51 scaled) — all within contract.  The oracle gate verifies
+      the guarantee end-to-end: a value off-grid would shift the sum and
+      hash-mismatch the DuckDB ``DECIMAL(30,6)`` oracle.
+
+    Overflow headroom (longs): |Σhi| ≤ n·max|v|/2^hi_split and
+    |Σlo| < n·2^hi_split — at hi_split=28 the lo-sum holds to n ≈ 3·10^10
+    rows PER AGGREGATION GROUP and the hi-sum to n ≈ 2^{81−hi_split−lg
+    max|v|}; per-group row counts beyond that need a wider accumulator
+    anyway.  The reassembly runs decimal-exact on the one aggregated row:
+    division by 10^frac_digits (≤ 6) is exact at scale 6, and the final
+    double cast rounds the same exact decimal value spark_dsum rounds.
+    Arithmetic shift + mask keep floor/remainder semantics for negative
+    values, so signed expressions are fine.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= frac_digits <= 6:
+        raise ValueError("frac_digits must be within the oracle scale 0..6")
+    # nearest-integer via floor(x·scale + ½), NOT F.round: Spark's Round
+    # on DoubleType converts through BigDecimal per row — the very cost
+    # this helper exists to avoid.  The contract puts the true product
+    # within 0.25 of the integer N (x = fl(N/10^f) carries ≤2 ulp of
+    # relative error through the scale-up, |N| < 2^53), so floor(+½)
+    # recovers N exactly for either sign.
+    v = F.floor(col * F.lit(float(10**frac_digits)) + F.lit(0.5))
+    hi = F.shiftright(v, hi_split)
+    lo = v.bitwiseAND(F.lit((1 << hi_split) - 1))
+    total = F.sum(hi).cast("decimal(38,0)") * F.lit(
+        1 << hi_split
+    ) + F.sum(lo).cast("decimal(38,0)")
+    # pin the pre-double type to decimal(38,6) — the type spark_dsum's
+    # sum produces — so the final decimal→double conversion is the same
+    # code path on the same exact value (≤6 frac digits: cast is exact)
+    return (
+        (total / F.lit(10**frac_digits)).cast("decimal(38,6)").cast("double")
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import dsum, register, spark_dsum
+from .registry import dsum, register, spark_dsum, spark_dsum_fast
 from .sources import read_parquet_table
 
 
@@ -49,19 +49,27 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # spark_dsum_fast contract: qty/price/discount/tax are 2-decimal
+    # exacts, so disc_price is a 4-decimal and charge a 6-decimal exact;
+    # scaled magnitudes ≤ 1.3e11 < 2^53 (bit-identical to spark_dsum,
+    # primitive-long codegen instead of BigDecimal buffers)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            spark_dsum(F.col("l_quantity")).alias("sum_qty"),
-            spark_dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            spark_dsum(disc_price).alias("sum_disc_price"),
-            spark_dsum(charge).alias("sum_charge"),
-            (spark_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
-            (spark_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias(
-                "avg_price"
+            spark_dsum_fast(F.col("l_quantity"), 2).alias("sum_qty"),
+            spark_dsum_fast(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            spark_dsum_fast(disc_price, 4).alias("sum_disc_price"),
+            spark_dsum_fast(charge, 6).alias("sum_charge"),
+            (spark_dsum_fast(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias(
+                "avg_qty"
             ),
-            (spark_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            (
+                spark_dsum_fast(F.col("l_extendedprice"), 2) / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (spark_dsum_fast(F.col("l_discount"), 2) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -102,9 +110,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
+    # revenue is a 4-decimal exact (2dp × 2dp) — spark_dsum_fast contract
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        spark_dsum(revenue).alias("revenue"),
+        spark_dsum_fast(revenue, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -137,7 +146,8 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_custkey", "c_name")
         .agg(
-            spark_dsum(revenue).alias("revenue"),
+            # 4-decimal exact product — spark_dsum_fast contract
+            spark_dsum_fast(revenue, 4).alias("revenue"),
             F.count_distinct("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -1368,7 +1378,8 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(spark_dsum(F.col("l_quantity")).alias("total_qty"))
+        # qty is a 2-decimal exact ≤ 50 — spark_dsum_fast contract
+        .agg(spark_dsum_fast(F.col("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 250.0)
     )
     return (
@@ -1745,7 +1756,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.round(
-            spark_dsum(nation_volume) / spark_dsum(volume), 9
+            # volume is a 4-decimal exact (2dp × 2dp); the when-guarded
+            # numerator stays on the same grid (0.0 is on every grid)
+            spark_dsum_fast(nation_volume, 4) / spark_dsum_fast(volume, 4), 9
         ).alias("mkt_share")
     )
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import dsum, register, spark_dsum
+from .registry import dsum, register, spark_dsum, spark_dsum_fast
 from .sources import read_parquet_table
 
 
@@ -955,12 +955,17 @@ def _corr_matrix_sql() -> str:
 )
 def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
+    # spark_dsum_fast contract: the three columns are 2-decimal exacts
+    # (qty ≤ 50, price ≤ 1.1e5, discount ≤ 0.1), so pair products are
+    # 4-decimal exacts with scaled magnitude ≤ 1.1e14 < 2^53 — the 10
+    # decimal sums cost 1.6 s as BigDecimal buffers vs 0.27 s as
+    # primitive long pairs (bit-identical; measured this round)
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _CORR_COLS:
-        aggs.append(spark_dsum(F.col(c)).alias(f"s_{c}"))
-        aggs.append(spark_dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+        aggs.append(spark_dsum_fast(F.col(c), 2).alias(f"s_{c}"))
+        aggs.append(spark_dsum_fast(F.col(c) * F.col(c), 4).alias(f"ss_{c}"))
     for x, y in _corr_pairs():
-        aggs.append(spark_dsum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+        aggs.append(spark_dsum_fast(F.col(x) * F.col(y), 4).alias(f"sp_{x}_{y}"))
     m = li.agg(*aggs)
     # one aggregate row fans out to the 6 pair rows via a struct-array
     # explode — a union of per-pair selects would rescan lineitem per

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import dsum, register, spark_dsum
+from .registry import dsum, register, spark_dsum, spark_dsum_fast
 from .sources import read_parquet_table
 
 
@@ -491,7 +491,8 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.weekday("ts").alias("dow"), F.col("event_type")
         ).agg(
             F.count(F.col("value")).alias("n"),
-            (spark_dsum(F.col("value")) / F.count(F.col("value"))).alias(
+            # events.value is a 2-decimal exact ≤ ~560 — fast contract
+            (spark_dsum_fast(F.col("value"), 2) / F.count(F.col("value"))).alias(
                 "avg_value"
             ),
         )
@@ -794,7 +795,9 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.to_date("o_orderdate").alias("d")
-    ).agg(spark_dsum(F.col("o_totalprice")).alias("rev"))
+        # totalprice is a 2-decimal exact ≤ 5e5 — fast contract; the
+        # off-grid (rev−μ) products below stay decimal (|days| rows only)
+    ).agg(spark_dsum_fast(F.col("o_totalprice"), 2).alias("rev"))
     mu = daily.agg(
         (spark_dsum(F.col("rev")) / F.count(F.lit(1))).alias("mu")
     )

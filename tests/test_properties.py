@@ -272,3 +272,50 @@ def test_flag_islands_matches_runlength_model(spark_prop, rows):
                 expect[(u, pos)] = island
             prev = f
     assert got == expect
+
+
+#: random multiples of 10^-4 spanning sign, zero, null, and magnitudes up
+#: to the 2^53-scaled contract edge region (|N| ≤ 10^12 → |x| ≤ 10^8)
+_grid_vals = st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(-(10**12), 10**12).map(lambda n: n / 10**4),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_grid_vals, st.integers(0, 1))
+def test_dsum_fast_bit_identical_to_decimal_sum(spark_prop, vals, grouped):
+    """spark_dsum_fast(x, 4) must equal spark_dsum(x) bit-for-bit on any
+    on-contract input — including negatives, nulls, empty groups — both
+    globally and per group (partial-agg merge paths)."""
+    from end_to_end_datapipeline_project_spark.registry import (
+        spark_dsum,
+        spark_dsum_fast,
+    )
+
+    spark = spark_prop
+    data = [(i % 3, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "g long, x double").repartition(4)
+    if grouped:
+        a = sorted(
+            map(
+                tuple,
+                df.groupBy("g").agg(spark_dsum(F.col("x")).alias("s")).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                df.groupBy("g")
+                .agg(spark_dsum_fast(F.col("x"), 4).alias("s"))
+                .collect(),
+            )
+        )
+    else:
+        a = df.agg(spark_dsum(F.col("x")).alias("s")).collect()
+        b = df.agg(spark_dsum_fast(F.col("x"), 4).alias("s")).collect()
+    assert a == b
