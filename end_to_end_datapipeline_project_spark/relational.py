@@ -272,7 +272,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("region", "nation")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            spark_dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            spark_dsum_fast(F.col("c_acctbal"), 2).alias("total_acctbal"),
             F.grouping("region").cast("int").alias("g_region"),
             F.grouping("nation").cast("int").alias("g_nation"),
         )
@@ -299,8 +299,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
 
     def cond_sum(status: str):
-        return spark_dsum(
-            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
+        # totalprice is a 2-decimal exact — spark_dsum_fast contract
+        return spark_dsum_fast(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")),
+            2,
         )
 
     return joined.groupBy("c_mktsegment").agg(
@@ -396,7 +398,7 @@ def q_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_brand", "s_name").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        spark_dsum(F.col("l_quantity")).alias("total_qty"),
+        spark_dsum_fast(F.col("l_quantity"), 2).alias("total_qty"),
         F.round(F.max("l_extendedprice"), 6).alias("max_price"),
         F.min("p_size").alias("min_size"),
     )
@@ -450,7 +452,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("segment", "status")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            spark_dsum(F.col("o_totalprice")).alias("total_price"),
+            spark_dsum_fast(F.col("o_totalprice"), 2).alias("total_price"),
             F.grouping("segment").cast("int").alias("g_segment"),
             F.grouping("status").cast("int").alias("g_status"),
         )
@@ -644,7 +646,7 @@ def q_calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            spark_dsum(F.col("o_totalprice")).alias("total_price"),
+            spark_dsum_fast(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -1169,7 +1171,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_parquet_table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
-        spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        spark_dsum_fast(F.col("o_totalprice"), 2).alias("sum_price"),
         F.round(F.max("o_totalprice"), 6).alias("max_price"),
     )
     return wide.unpivot(
@@ -1228,8 +1230,9 @@ def q_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            spark_dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            # 4-decimal exact product — spark_dsum_fast contract
+            spark_dsum_fast(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
         )
     )
@@ -1300,7 +1303,10 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (F.lit(100.0) * spark_dsum(promo) / spark_dsum(disc_price)).alias(
+            # both 4-decimal exact products — spark_dsum_fast contract
+            (
+                F.lit(100.0) * spark_dsum_fast(promo, 4) / spark_dsum_fast(disc_price, 4)
+            ).alias(
                 "promo_pct"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -1334,7 +1340,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     part_avg = li.groupBy("l_partkey").agg(
-        (spark_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+        (spark_dsum_fast(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1342,7 +1348,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("pa_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            (spark_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
+            (spark_dsum_fast(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias(
                 "avg_yearly"
             ),
             F.count(F.lit(1)).alias("n_rows"),
@@ -1424,7 +1430,7 @@ def q_prospects_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            (spark_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias(
+            (spark_dsum_fast(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias(
                 "avg_bal"
             )
         )
@@ -1436,7 +1442,7 @@ def q_prospects_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            spark_dsum(F.col("c_acctbal")).alias("totacctbal"),
+            spark_dsum_fast(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -1514,7 +1520,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(spark_dsum(revenue).alias("revenue"))
+        .agg(spark_dsum_fast(revenue, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -1547,9 +1553,10 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24.0)
         )
         .agg(
-            spark_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
-                "revenue"
-            ),
+            # 4-decimal exact product — spark_dsum_fast contract
+            spark_dsum_fast(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -1609,8 +1616,9 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        spark_dsum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # 4-decimal exact product — spark_dsum_fast contract
+        spark_dsum_fast(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("volume")
     )
 
@@ -1684,8 +1692,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        spark_dsum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # 4-decimal exact product — spark_dsum_fast contract
+        spark_dsum_fast(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -1795,13 +1804,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(
-            spark_dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            # 4-decimal exact product — spark_dsum_fast contract
+            spark_dsum_fast(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("part_value")
         )
     )
     threshold = pv.agg(
-        (spark_dsum(F.col("part_value")) * 0.002).alias("threshold")
+        # part_value is a 4-decimal exact (exact sum of 4dp products,
+        # magnitude ≪ 2^53/1e4) — fast contract holds at the second level
+        (spark_dsum_fast(F.col("part_value"), 4) * 0.002).alias("threshold")
     )
     return (
         pv.crossJoin(F.broadcast(threshold))
@@ -1954,8 +1966,9 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
-            spark_dsum(qty_1997).alias("qty_1997"),
-            spark_dsum(F.col("l_quantity")).alias("total_qty"),
+            # qty is a 2-decimal exact; the when-guard keeps the grid
+            spark_dsum_fast(qty_1997, 2).alias("qty_1997"),
+            spark_dsum_fast(F.col("l_quantity"), 2).alias("total_qty"),
         )
     )
     qualifying = agg.filter(

