@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register, spark_dsum
+from .registry import register, spark_dsum, spark_dsum_rounded
 from .sources import read_parquet_table
 
 PR_ITERS = 3
@@ -181,7 +181,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         msgs = sender.groupBy("dst").agg(
-            spark_dsum(F.col("pr") / F.col("outdeg")).alias("m")
+            # pr/outdeg is off-grid → rounded variant: same per-term
+            # decimal(30,6) HALF_UP as the oracle, primitive-long
+            # accumulation instead of BigDecimal buffers (this agg runs
+            # over the full directed edge list every iteration — the
+            # data-sized stage of the loop)
+            spark_dsum_rounded(F.col("pr") / F.col("outdeg")).alias("m")
         )
         pr = msgs.select(
             F.col("dst").alias("id"),

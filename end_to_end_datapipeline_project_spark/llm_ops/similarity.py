@@ -616,7 +616,7 @@ def _pca_iter_sql(prev: str, out: str) -> str:
     "anywhere.",
 )
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..registry import spark_dsum
+    from ..registry import spark_dsum, spark_dsum_rounded
 
     emb = read_parquet_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
@@ -652,7 +652,9 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = (
             emb.select(s_col.alias("s"), F.posexplode("x").alias("dim0", "xd"))
             .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(spark_dsum(F.col("s") * F.col("xd")).alias("u"))
+            # s·xd is off-grid (raw embedding components) → rounded
+            # variant over the rows×dims exploded stream
+            .agg(spark_dsum_rounded(F.col("s") * F.col("xd")).alias("u"))
         )
         nrm = u.agg(F.sqrt(spark_dsum(F.col("u") * F.col("u"))).alias("nrm"))
         v_df = u.crossJoin(F.broadcast(nrm)).select(

@@ -906,7 +906,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp = F.round(F.log(F.col("n") / F.col("total")), 6)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        (spark_dsum(logp) / F.count(F.lit(1))).alias("avg_logprob"),
+        # round(·,6) terms are 6-decimal exacts — fast contract
+        (spark_dsum_fast(logp, 6) / F.count(F.lit(1))).alias("avg_logprob"),
     )
 
 
@@ -992,9 +993,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager=False so plan-only callers never pay the explode.
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (spark_dsum(F.col("doclen").cast("double")) / F.count(F.lit(1))).alias(
-            "avgdl"
-        ),
+        # doclen is an integer — fast contract at frac 0
+        (
+            spark_dsum_fast(F.col("doclen").cast("double"), 0)
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
     )
     stack_args = ", ".join(
         f"'{q}', tf_{i}" for i, q in enumerate(BM25_QUERY)
@@ -1781,5 +1784,6 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        (spark_dsum(logp) / F.count(F.lit(1))).alias("avg_logprob"),
+        # round(·,6) terms are 6-decimal exacts — fast contract
+        (spark_dsum_fast(logp, 6) / F.count(F.lit(1))).alias("avg_logprob"),
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .cleanse import dedup_deterministic
 from .geo import haversine_km, haversine_sql, in_bounding_box
-from .registry import dsum, register, spark_dsum
+from .registry import dsum, register, spark_dsum, spark_dsum_rounded
 from .sources import read_parquet_table
 from .trajectory import TrajectoryConfig, enrich
 
@@ -157,16 +157,20 @@ def events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-exact version of reports.daily_report for oracle parity."""
     enr = events_enriched(spark, sf_dir)
     agg = enr.groupBy("event_type").agg(
-        spark_dsum(F.col("dist_km")).alias("total_distance_km"),
-        spark_dsum(F.col("cost_pln")).alias("total_cost_pln"),
+        # haversine-derived doubles are off-grid → rounded variant
+        # (oracle-identical per-row decimal cast, primitive-long buffers)
+        spark_dsum_rounded(F.col("dist_km")).alias("total_distance_km"),
+        spark_dsum_rounded(F.col("cost_pln")).alias("total_cost_pln"),
         F.round(F.max("dist_km"), 6).alias("max_segment_km"),
         F.count("user_id").alias("data_points_count"),
-        (spark_dsum(F.col("speed_kmh")) / F.count("user_id")).alias("avg_speed"),
+        (spark_dsum_rounded(F.col("speed_kmh")) / F.count("user_id")).alias(
+            "avg_speed"
+        ),
         F.round(F.max("speed_kmh"), 6).alias("max_recorded_speed"),
         F.count_distinct("user_id").alias("unique_vehicles_count"),
-        (spark_dsum(F.col("dist_km")) / F.count_distinct("user_id")).alias(
-            "avg_dist_per_vehicle"
-        ),
+        (
+            spark_dsum_rounded(F.col("dist_km")) / F.count_distinct("user_id")
+        ).alias("avg_dist_per_vehicle"),
     )
     return agg.withColumn(
         "cost_of_1km",

@@ -156,3 +156,34 @@ def spark_dsum_fast(col, frac_digits: int, hi_split: int = 28):
     return (
         (total / F.lit(10**frac_digits)).cast("decimal(38,6)").cast("double")
     )
+
+
+def spark_dsum_rounded(col):
+    """Decimal-exact sum for OFF-grid double expressions, bit-identical
+    to :func:`spark_dsum` with a primitive-long accumulator.
+
+    When the summed expression is not an exact 10^-f multiple (ratios,
+    unrounded log terms), :func:`spark_dsum_fast` cannot be used — its
+    float scale-up may land on the wrong side of a .5 rounding boundary
+    that the decimal cast resolves from the double's exact binary
+    expansion.  This variant keeps the per-row ``cast(x AS
+    decimal(30,6))`` — the exact same HALF_UP rounding the oracle's CAST
+    performs — but then extracts the unscaled integer exactly (decimal ×
+    10^6 → long) and sums THAT as a primitive long, avoiding the
+    BigDecimal aggregation buffer.  Measured ~1.4× faster than
+    spark_dsum on a 600k-row grouped sum (the per-row cast remains; the
+    win is the accumulator), vs ~6× for the on-grid fast path.
+
+    Caller contract: |Σ x| < 2^63/10^6 ≈ 9.2·10^12 per aggregation group
+    (the long unscaled-sum bound), comfortably above any rank mass /
+    probability-term total this repo sums.
+    """
+    from pyspark.sql import functions as F
+
+    v = col.cast("decimal(30,6)")  # the oracle's per-term rounding
+    scaled = (v * F.lit(10**6)).cast("long")  # exact unscaled extraction
+    return (
+        (F.sum(scaled).cast("decimal(38,0)") / F.lit(10**6))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import dsum, register, spark_dsum, spark_dsum_fast
+from .registry import dsum, register, spark_dsum, spark_dsum_fast, spark_dsum_rounded
 from .sources import read_parquet_table
 
 
@@ -1112,10 +1112,14 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(x).alias("s1"),
-        spark_dsum(x * x).alias("s2"),
-        spark_dsum(x * x * x).alias("s3"),
-        spark_dsum(x * x * x * x).alias("s4"),
+        # value is a 2-decimal exact ≤ ~560: x/x²/x³ stay on the 2/4/6-
+        # decimal grids within 2^53 scaled (fast contract); x⁴ is 8dp —
+        # past the oracle's 6-digit scale — so it takes the rounded
+        # variant (same per-row decimal(30,6) cast, long accumulator)
+        spark_dsum_fast(x, 2).alias("s1"),
+        spark_dsum_fast(x * x, 4).alias("s2"),
+        spark_dsum_fast(x * x * x, 6).alias("s3"),
+        spark_dsum_rounded(x * x * x * x).alias("s4"),
     )
     n = F.col("n")
     m1 = F.col("s1") / n
@@ -1829,8 +1833,10 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = clamped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        spark_dsum(F.col("v")).alias("sx"),
-        spark_dsum(F.col("v") * F.col("v")).alias("sxx"),
+        # percentile clamps are interpolated doubles (off-grid) → the
+        # rounded variant: oracle-identical per-row cast, long buffers
+        spark_dsum_rounded(F.col("v")).alias("sx"),
+        spark_dsum_rounded(F.col("v") * F.col("v")).alias("sxx"),
     )
     return s.select(
         "event_type",
