@@ -845,3 +845,107 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
         F.md5(kept_in_order).alias("clean_md5"),
     )
+
+
+# --- DSIR: data selection via importance resampling -----------------------
+
+#: hashed n-gram feature space (md5 buckets — engine-portable, no vocab
+#: state, same scheme as q_feature_hashing)
+_DSIR_B = 1024
+#: the target distribution: docs from this source model the domain the
+#: selection steers toward (deterministic pick: lexicographic min)
+_DSIR_TARGET = "src0"
+#: how many top-weight documents the selection emits
+_DSIR_N = 50
+
+
+@register(
+    "q_dsir_select",
+    f"""
+  WITH __tok AS (
+    SELECT doc_id, source,
+           CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                % {_DSIR_B} AS INT) AS bucket
+    FROM (SELECT doc_id, source, unnest({TOKENS_SQL}) AS tok
+          FROM documents WHERE trim(text) <> '')
+  ),
+  __ct AS (
+    SELECT bucket,
+           count(*) AS cs,
+           count(*) FILTER (WHERE source = '{_DSIR_TARGET}') AS ct
+    FROM __tok GROUP BY bucket
+  ),
+  __n AS (
+    SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(ct) AS DOUBLE) AS nt
+    FROM __ct
+  ),
+  __lw AS (
+    SELECT bucket,
+           round(ln(((ct + 1.0) / (nt + {_DSIR_B}))
+                    / ((cs + 1.0) / (ns + {_DSIR_B}))), 6) AS lw
+    FROM __ct CROSS JOIN __n
+  )
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         round(CAST(SUM(CAST(l.lw AS DECIMAL(30,6))) AS DOUBLE), 6)
+           AS log_weight
+  FROM __tok t JOIN __lw l USING (bucket)
+  GROUP BY t.doc_id
+  ORDER BY log_weight DESC, t.doc_id
+  LIMIT {_DSIR_N}
+""",
+    doc="DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via "
+    "importance resampling — hashed-unigram bag-of-words importance "
+    "weights log(p_target/p_raw) per bucket (Laplace-smoothed, md5 "
+    f"buckets B={_DSIR_B}), summed decimal-exactly per document, "
+    f"top-{_DSIR_N} selected deterministically (weight desc, doc_id). "
+    "Scale shape: the bucket LM tables are O(B) aggregates broadcast "
+    "back into the token scan — featurization has NO vocabulary state, "
+    "so selection over 100 TB is one token pass + one per-doc "
+    "partial-aggregated shuffle + a TakeOrdered top-N; the target "
+    "corpus enters only through the O(B) count table.",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import spark_dsum_fast
+
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        F.trim("text") != ""
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens_col()).alias("tok")
+    ).withColumn(
+        "bucket",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _DSIR_B
+        ).cast("int"),
+    )
+    ct = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
+    )
+    n = ct.agg(
+        F.sum("cs").cast("double").alias("ns"),
+        F.sum("ct").cast("double").alias("nt"),
+    )
+    lw = ct.crossJoin(F.broadcast(n)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
+                / ((F.col("cs") + 1.0) / (F.col("ns") + _DSIR_B))
+            ),
+            6,
+        ).alias("lw"),
+    )
+    return (
+        tok.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # lw terms are round(·,6) 6-decimal exacts — fast contract
+            F.round(spark_dsum_fast(F.col("lw"), 6), 6).alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(_DSIR_N)
+    )

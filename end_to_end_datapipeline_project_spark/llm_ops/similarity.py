@@ -1085,3 +1085,135 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- SemDeDup: embedding-cluster near-duplicate pruning -------------------
+
+#: number of seed centroids (first k vec_ids — deterministic init, fixed
+#: k so assignment stays k·n at any corpus size, same rule as kmeans)
+_SEM_K = 32
+#: cosine threshold above which two same-cluster vectors are duplicates
+_SEM_TAU = 0.30
+#: per-cluster candidate cap for the pairwise stage: bounds the
+#: quadratic at C(cap,2) per cluster; overflow rows are auto-kept (at
+#: production scale the fix is a larger k, not a bigger cap)
+_SEM_CAP = 256
+
+
+@register(
+    "q_semdedup",
+    f"""
+  WITH {VECS_SQL},
+  __centroids AS (
+    SELECT vec_id AS centroid_id, v, norm FROM __normed
+    ORDER BY vec_id LIMIT {_SEM_K}
+  ),
+  __assign AS (
+    SELECT vec_id, v, norm, centroid_id FROM (
+      SELECT a.vec_id, a.v, a.norm, b.centroid_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                        b.centroid_id) AS rn
+      FROM __normed a CROSS JOIN __centroids b)
+    WHERE rn = 1
+  ),
+  __ranked AS (
+    SELECT vec_id, v, norm, centroid_id,
+           row_number() OVER (PARTITION BY centroid_id
+                              ORDER BY vec_id) AS r
+    FROM __assign
+  ),
+  __cand AS (SELECT * FROM __ranked WHERE r <= {_SEM_CAP}),
+  __dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM __cand a JOIN __cand b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) > {_SEM_TAU}
+  )
+  SELECT r.centroid_id AS cluster_id,
+         count(*) AS n_vectors,
+         CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+         round(1.0 - count(d.vec_id) * 1.0 / count(*), 6) AS keep_rate
+  FROM __ranked r LEFT JOIN __dropped d ON d.vec_id = r.vec_id
+  GROUP BY r.centroid_id
+""",
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "near-duplicate pruning — cluster embeddings, then inside each "
+    "cluster drop any vector with a higher-priority (lower-id) "
+    f"neighbor above cosine {_SEM_TAU}. The clustering makes the "
+    "pairwise stage tractable: candidate pairs exist only within a "
+    "cluster, and a per-cluster occupancy cap ({} rows) bounds any "
+    "one cluster's fan-out at C(cap,2) — the same discipline as the "
+    "LSH bucket caps. Scale shape: centroid assignment is a broadcast "
+    "max_by probe in the scan stage (k fixed), the self-join shuffles "
+    "on cluster_id only, and the output is the k-row keep-rate "
+    "profile a curation run reports.".format(_SEM_CAP),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vecs = vectors(spark, sf_dir)
+    centroids = vecs.orderBy("vec_id").limit(_SEM_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos_c = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("norm") * F.col("cnorm"), F.lit(0.0)
+    )
+    # argmax via max_by (see q_kmeans_step: the window form shuffles 64n
+    # embedding copies; the partial aggregate collapses in the scan)
+    assign = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("cos_c", cos_c)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(
+                    F.col("cos_c").alias("c"),
+                    (-F.col("centroid_id")).alias("t"),
+                ),
+            ).alias("centroid_id"),
+            F.first("v").alias("v"),
+            F.first("norm").alias("norm"),
+        )
+    )
+    wc = Window.partitionBy("centroid_id").orderBy("vec_id")
+    ranked = assign.withColumn("r", F.row_number().over(wc))
+    cand = ranked.filter(F.col("r") <= _SEM_CAP)
+    a = cand.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("an"),
+    )
+    b = cand.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bn"),
+    )
+    cos_ab = dot(F.col("av"), F.col("bv")) / F.nullif(
+        F.col("an") * F.col("bn"), F.lit(0.0)
+    )
+    dropped = (
+        a.join(b, (F.col("a_id") < F.col("b_id")) & (a.cid == b.cid))
+        .filter(cos_ab > _SEM_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+        )
+        .groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            F.round(
+                1.0 - F.count("is_dropped") / F.count(F.lit(1)), 6
+            ).alias("keep_rate"),
+        )
+    )
