@@ -1349,7 +1349,11 @@ _NB_WITH = f"""
     "via array_sort over (−score, class) structs — no per-doc window "
     "— and the output is the k×k confusion matrix. The one O(k) "
     "driver collect is the class catalog (bounded by the data model, "
-    "k=20 here), needed to name the pivot columns.",
+    "k=20 here), needed to name the pivot columns. Caveat: the model "
+    "broadcast is O(vocab·k) — fine for any bounded feature space; an "
+    "open-vocabulary corpus at 100 TB flips the model join to a "
+    "shuffle join on token (the broadcast-row gate pins the current "
+    "shape).",
 )
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").filter(

@@ -94,6 +94,17 @@ BOUNDED_BROADCASTS = {
     # E(sf0.01) = 3445); the ceiling still catches a regression to
     # broadcasting wedge PAIRS (O(E^1.5), ~200k here)
     "q_triangle_count": 16_384,
+    # 32 seed centroids (fixed k)
+    "q_semdedup": 256,
+    # hashed-unigram LM table: ≤ B = 1024 buckets by construction + the
+    # 1-row totals frame (measured 30 + 1 on the small-vocab fixture)
+    "q_dsir_select": 4_096,
+    # pivoted token→k-terms model: O(vocab) BY DESIGN (vocab = 31 on the
+    # fixture; at open-vocab corpus scale the model join must flip to a
+    # shuffle join — documented in the query).  The ceiling catches the
+    # regression class of broadcasting the token STREAM (~50k rows at
+    # sf0.01) instead of the model
+    "q_naive_bayes": 16_384,
 }
 
 
