@@ -170,6 +170,20 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("hashpartitioning(bucket", "histogram-rank window partitions by value-bucket"),
         ("!windowspecdefinition(value", "never the single-partition global-sort rank"),
     ],
+    "q_semdedup": [
+        ("partial_max_by", "centroid assignment collapses the 32 candidates inside the scan stage (q_kmeans_step form)"),
+        ("hashpartitioning(centroid_id", "within-cluster rank + pairwise verify shuffle on centroid_id only"),
+        ("!CartesianProduct", "pairwise cosine only inside capped clusters, never all-pairs"),
+    ],
+    "q_dsir_select": [
+        ("TakeOrderedAndProject", "top-N by importance weight never global-sorts"),
+        ("BroadcastHashJoin", "O(B) bucket log-weight table broadcasts back into the token scan"),
+        ("partial_", "per-doc weight sums combine map-side before the doc_id shuffle"),
+    ],
+    "q_naive_bayes": [
+        ("BroadcastHashJoin", "O(vocab x k) pivoted model broadcasts to the token stream — one shuffle total"),
+        ("!Window", "argmax via array_sort over (−score, class) structs — no per-doc rank window"),
+    ],
 }
 
 
