@@ -191,6 +191,60 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "q_xml_roundtrip",
+    """
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         count(DISTINCT md5(text)) AS n_distinct_sigs
+  FROM documents
+  GROUP BY lang
+""",
+    doc="XML round-trip on Spark 4's NATIVE xml datasource (no external "
+    "spark-xml package): documents → one <doc> element per row → "
+    "schema-declared FAILFAST re-read with the same rowTag → per-lang "
+    "aggregate with a count(DISTINCT md5(text)) content checksum, so "
+    "any entity-escaping corruption of free text (&, <, >) flips the "
+    "hash and fails the oracle (which aggregates the original parquet). "
+    "Scale note: XML files are NOT byte-range splittable (rowTag "
+    "boundaries are discovered by parse), so read parallelism is per "
+    "FILE — the writer's task-per-partition layout supplies the files, "
+    "the same contract as the multiLine CSV path. Keep XML at the "
+    "ingest edge; convert to parquet in the first hop.",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(sf_dir, "docs_xml")
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        *[f.name for f in DOCS_XML_SCHEMA.fields]
+    )
+    docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(
+        stage
+    )
+    back = (
+        spark.read.schema(DOCS_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(stage)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_sigs"),
+    )
+
+
 @register(
     "q_schema_evolution",
     """

@@ -186,6 +186,30 @@ def test_jsonl_roundtrip_preserves_text_exactly(spark, tmp_path):
     assert back == {i: t for i, t in enumerate(texts)}
 
 
+def test_xml_roundtrip_escapes_markup_exactly(spark, tmp_path):
+    """Native XML datasource round-trips entity-hostile text (&, <, >,
+    quotes, unicode) losslessly through escape/unescape."""
+    from end_to_end_datapipeline_project_spark.formats import DOCS_XML_SCHEMA
+
+    texts = ["a & b < c > d", 'attr "quoted" & <tag>nested</tag>', "café ☕ 中文"]
+    df = spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in enumerate(texts)],
+        DOCS_XML_SCHEMA,
+    )
+    path = str(tmp_path / "docs_xml")
+    df.write.mode("overwrite").option("rowTag", "doc").format("xml").save(path)
+    back = {
+        r.doc_id: r.text
+        for r in spark.read.schema(DOCS_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(path)
+        .collect()
+    }
+    assert back == {i: t for i, t in enumerate(texts)}
+
+
 def test_schema_evolution_null_fills_old_generation(spark, sf_dir):
     import pyspark.sql.functions as F
 
