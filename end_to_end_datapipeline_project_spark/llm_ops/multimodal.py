@@ -6,9 +6,11 @@ in the reference data model, SURVEY.md §1.2).
 
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
 shape — is real and tested.  Decode: PPM, BMP, PNG (stdlib zlib + full
-filter reconstruction incl. Paeth, CRC-checked) and baseline JPEG
+filter reconstruction incl. Paeth, CRC-checked), baseline JPEG
 (canonical Huffman entropy decode, dequantize, 8x8 IDCT, chroma
-upsampling, YCbCr→RGB — see ``_decode_jpeg``) images and PCM WAV audio
+upsampling, YCbCr→RGB — see ``_decode_jpeg``) and GIF (full LZW
+decompression, interlace reorder, palette mapping — see
+``_decode_gif``) images and PCM WAV audio
 (RIFF parsing, sample-rate/duration/RMS) decode for REAL in pure
 stdlib/numpy, via ``decode_image``/``decode_audio`` and the
 ``decode_media`` kernel.  WebP (VP8/VP8L/VP8X) and MP3 parse REAL
@@ -77,12 +79,12 @@ def decode_image(payload: bytes) -> dict:
     """Real image decode in pure stdlib/numpy — no image library.
 
     Binary PPM (``P6``) and BMP (``BM``) parse from their headers and
-    pixel data; PNG and baseline JPEG decode fully (see
-    :func:`_decode_png` / :func:`_decode_jpeg`); WebP parses
-    dims/format from its VP8/VP8L/VP8X headers.  Codecs that genuinely
-    need an external library (TIFF/AVIF pixel data) still raise, and
-    the deterministic ``fake_decode`` stand-in keeps those payloads
-    pipeline-testable.
+    pixel data; PNG, baseline JPEG and GIF decode fully (see
+    :func:`_decode_png` / :func:`_decode_jpeg` / :func:`_decode_gif`);
+    WebP parses dims/format from its VP8/VP8L/VP8X headers.  Codecs
+    that genuinely need an external library (TIFF/AVIF pixel data)
+    still raise, and the deterministic ``fake_decode`` stand-in keeps
+    those payloads pipeline-testable.
     """
     import numpy as np
 
@@ -162,9 +164,11 @@ def decode_image(payload: bytes) -> dict:
         return _parse_webp(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _parse_tiff(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
         "AVIF/HEIC/... require an image library not present in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG decode natively, "
+        "environment; PPM/BMP/PNG/baseline-JPEG/GIF decode natively, "
         "WebP/TIFF parse dims/format from their headers, everything "
         "else uses fake_decode"
     )
@@ -710,6 +714,192 @@ def _decode_jpeg(payload: bytes) -> dict:
     }
 
 
+def _gif_skip_subblocks(payload: bytes, pos: int) -> int:
+    """Skip a GIF sub-block chain; return the offset past its terminator."""
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: unterminated sub-block chain")
+        n = payload[pos]
+        pos += 1 + n
+        if n == 0:
+            return pos
+
+
+def _gif_collect_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain; return (data, offset past it)."""
+    out = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: unterminated image data")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF sub-block")
+        out += payload[pos : pos + n]
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-variant LZW decode (LSB-first codes, growing 3..12-bit width,
+    clear/EOI codes, deferred-clear tolerated).  Returns exactly
+    ``expected`` pixel indices or raises ValueError."""
+    if not (2 <= min_code_size <= 8):
+        raise ValueError("GIF LZW minimum code size out of range")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended before image filled")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            raise ValueError("GIF LZW EOI before image filled")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code beyond table")
+        out += entry
+        prev = entry
+        # the decoder's table trails the encoder's by ONE entry (the
+        # encoder registers a string when it emits the code before it;
+        # the decoder only learns that string from the NEXT code), so
+        # width must grow one slot early — at (1<<width)-1, not 1<<width.
+        # At 4096 the table freezes (deferred clear) and width stays 12.
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    del out[expected:]
+    return out
+
+
+#: interlace passes: (row offset, row step) in pass order (GIF89a App. E)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace(rows):
+    """Reorder rows that arrived in GIF's 4-pass interlace sequence back
+    to top-to-bottom display order."""
+    import numpy as np
+
+    ih = len(rows)
+    ordered = np.empty_like(rows)
+    src = 0
+    for off, step in _GIF_INTERLACE:
+        n_rows = len(range(off, ih, step))
+        ordered[off:ih:step] = rows[src : src + n_rows]
+        src += n_rows
+    return ordered
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """Real GIF decode in pure stdlib+numpy: logical-screen/descriptor
+    parse, global & local color tables, extension-block walk, full LZW
+    decompression of the first image frame, Adam-less 4-pass interlace
+    reorder, palette mapping to RGB.
+
+    Animated GIFs report the FIRST frame's pixel statistics (the frame a
+    thumbnailer would take); later frames are not decoded.  Structural
+    damage — truncated streams, out-of-range LZW codes, indices beyond
+    the palette, a trailer before any image — raises ValueError, which
+    routes the payload to the kernel's fake_decode fallback (same
+    discipline as the PNG CRC and BMP structural checks: a malformed
+    payload must never surface as a "real" decode with garbage pixels).
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF (or truncated header)")
+    width, height, packed, _bg, _aspect = struct.unpack_from(
+        "<HHBBB", payload, 6
+    )
+    if width == 0 or height == 0:
+        raise ValueError("GIF with zero logical-screen dimension")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: no image before EOF")
+        block = payload[pos]
+        if block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        if block == 0x21:  # extension: label byte + sub-block chain
+            pos = _gif_skip_subblocks(payload, pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, iw, ih, ipacked = struct.unpack_from(
+            "<HHHHB", payload, pos + 1
+        )
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table in scope")
+        if iw == 0 or ih == 0 or pos >= len(payload):
+            raise ValueError("GIF image descriptor malformed")
+        min_code_size = payload[pos]
+        data, pos = _gif_collect_subblocks(payload, pos + 1)
+        idx = np.frombuffer(
+            _gif_lzw_decode(data, min_code_size, iw * ih), np.uint8
+        )
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("GIF pixel index beyond color table")
+        rows = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = _gif_deinterlace(rows)
+        rgb = ct[rows]
+        return {
+            "format": "gif",
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "maxval": 255,
+            "mean_level": float(rgb.mean()),
+        }
+
+
 def decode_audio(payload: bytes) -> dict:
     """Real audio decode for PCM WAV (pure stdlib/numpy RIFF parsing).
 
@@ -944,10 +1134,12 @@ REAL_DECODE_SCHEMA = T.StructType(
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL media decode: PPM/BMP/PNG images and PCM WAV
-    audio parse natively (header + numpy pixel/sample math; PNG via
-    stdlib zlib + filter reconstruction); payloads in any other format
-    fall back to the deterministic ``fake_decode`` (format=NULL marks
+    """Arrow-batched REAL media decode: PPM/BMP/PNG/baseline-JPEG/GIF
+    images and PCM-WAV audio decode natively (header + numpy
+    pixel/sample math; PNG via stdlib zlib + filter reconstruction,
+    JPEG via its own Huffman+IDCT, GIF via its own LZW); WebP/TIFF/
+    MP3/FLAC parse real metadata from their headers; anything else
+    falls back to the deterministic ``fake_decode`` (format=NULL marks
     the fallback).  Same 100 TB shape as the feature kernel:
     mapInPandas, no shuffle, Arrow batch memory bounded by
     maxRecordsPerBatch.
@@ -970,6 +1162,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                         or p[:8] == _PNG_SIG
                         or (p[:4] == b"RIFF" and p[8:12] == b"WEBP")
                         or p[:4] in (b"II*\x00", b"MM\x00*")
+                        or p[:6] in (b"GIF87a", b"GIF89a")
                     ):
                         d = decode_image(p)
                         rows.append(
@@ -1441,17 +1634,61 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- synthetic media + real-decode oracle loop ----------------------------
 
 
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Forward GIF-LZW encoder for the media forge (the decoder in
+    :func:`_gif_lzw_decode` is tested against an INDEPENDENT encoder in
+    tests/test_gif_decode.py as well): greedy longest-match, LSB-first
+    packing, growing 3..12-bit code width, leading clear code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = b""
+    for b in bytes(indices):
+        nxt = seq + bytes([b])
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def synthesize_media(doc_id: int) -> bytes:
     """Deterministic REAL media payload for a doc id — format cycles
-    ppm/webp/tiff/mp3/flac/wav, every parameter a closed-form function
-    of ``doc_id``.  The fixture generator a media pipeline needs for
-    end-to-end smoke tests: payloads are spec-valid streams the real
-    header parsers/decoders accept, yet every expected metadata value is
-    computable analytically (which is what lets q_media_decode carry a
-    DuckDB oracle for the decode surface itself)."""
+    ppm/webp/tiff/mp3/flac/wav/gif, every parameter a closed-form
+    function of ``doc_id``.  The fixture generator a media pipeline
+    needs for end-to-end smoke tests: payloads are spec-valid streams
+    the real header parsers/decoders accept, yet every expected metadata
+    value is computable analytically (which is what lets q_media_decode
+    carry a DuckDB oracle for the decode surface itself)."""
     import struct
 
-    kind = doc_id % 6
+    kind = doc_id % 7
     w, h = 16 + doc_id % 48, 8 + doc_id % 24
     if kind == 0:  # binary PPM, constant pixel level
         v = doc_id % 256
@@ -1482,6 +1719,22 @@ def synthesize_media(doc_id: int) -> bytes:
         bits = (44100 << 44) | ((ch - 1) << 41) | (15 << 36) | n_samples
         si = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
         return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si
+    if kind == 6:  # GIF89a: 4-color global table, LZW-coded diagonal wash
+        idx = bytes((x + y + doc_id) % 4 for y in range(h) for x in range(w))
+        gct = bytes(((doc_id + 40 * j + c * 11) % 256) for j in range(4) for c in range(3))
+        lzw = _gif_lzw_encode(idx, 2)
+        blocks = b"".join(
+            bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x81, 0, 0)  # GCT, 4 entries
+            + gct
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([2])  # LZW minimum code size
+            + blocks + b"\x00" + b"\x3b"
+        )
     # kind 5: PCM WAV, 8 kHz mono 16-bit, silence
     n_samples = 160 * (1 + doc_id % 10)
     data = b"\x00" * (n_samples * 2)
@@ -1495,21 +1748,22 @@ def synthesize_media(doc_id: int) -> bytes:
     "q_media_decode",
     """
   SELECT doc_id AS asset_id,
-         CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'webp'
+         CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'webp'
               WHEN 2 THEN 'tiff' WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac'
-              ELSE 'wav' END AS media_format,
-         CAST(CASE WHEN doc_id % 6 IN (0, 1, 2)
+              WHEN 5 THEN 'wav' ELSE 'gif' END AS media_format,
+         CAST(CASE WHEN doc_id % 7 IN (0, 1, 2, 6)
                    THEN 16 + doc_id % 48 END AS INTEGER) AS width,
-         CAST(CASE WHEN doc_id % 6 IN (0, 1, 2)
+         CAST(CASE WHEN doc_id % 7 IN (0, 1, 2, 6)
                    THEN 8 + doc_id % 24 END AS INTEGER) AS height,
-         CAST(CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 3
+         CAST(CASE doc_id % 7 WHEN 0 THEN 3 WHEN 1 THEN 3
               WHEN 2 THEN 1 + doc_id % 4 WHEN 3 THEN 2
-              WHEN 4 THEN 1 + doc_id % 2 ELSE 1 END AS INTEGER)
+              WHEN 4 THEN 1 + doc_id % 2 WHEN 6 THEN 3
+              ELSE 1 END AS INTEGER)
            AS channels,
-         CAST(CASE WHEN doc_id % 6 IN (3, 4) THEN 44100
-                   WHEN doc_id % 6 = 5 THEN 8000 END AS INTEGER)
+         CAST(CASE WHEN doc_id % 7 IN (3, 4) THEN 44100
+                   WHEN doc_id % 7 = 5 THEN 8000 END AS INTEGER)
            AS sample_rate,
-         CAST(CASE doc_id % 6
+         CAST(CASE doc_id % 7
               WHEN 3 THEN floor((8 + doc_id % 16) * 1152 * 1000.0 / 44100)
               WHEN 4 THEN floor(1000 * (1 + doc_id % 90) * 1000.0 / 44100)
               WHEN 5 THEN floor(160 * (1 + doc_id % 10) * 1000.0 / 8000)
@@ -1517,11 +1771,12 @@ def synthesize_media(doc_id: int) -> bytes:
   FROM documents
 """,
     doc="Real-decoder oracle loop: forge a spec-valid PPM/WebP/TIFF/MP3/"
-    "FLAC/WAV payload per doc (every parameter closed-form in doc_id), "
+    "FLAC/WAV/GIF payload per doc (every parameter closed-form in doc_id), "
     "push it through the SAME decode_media Arrow kernel production "
     "payloads take, and oracle-check the decoded metadata against the "
     "closed forms — the decode surface itself (marker walks, IFD "
-    "offsets, frame-length stepping, STREAMINFO bit fields) becomes "
+    "offsets, frame-length stepping, STREAMINFO bit fields, LZW "
+    "sub-block chains) becomes "
     "driver-verifiable instead of pytest-only.  Scale shape: two "
     "chained mapInPandas kernels, zero shuffles, kind-pruning and "
     "batch-size bounds identical to the production decode path.",
