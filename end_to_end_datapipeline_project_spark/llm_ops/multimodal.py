@@ -10,13 +10,15 @@ filter reconstruction incl. Paeth, CRC-checked), baseline JPEG
 (canonical Huffman entropy decode, dequantize, 8x8 IDCT, chroma
 upsampling, YCbCr→RGB — see ``_decode_jpeg``) and GIF (full LZW
 decompression, interlace reorder, palette mapping — see
-``_decode_gif``) images and PCM WAV audio
+``_decode_gif``), baseline TIFF (strip assembly, TIFF-variant LZW /
+PackBits, horizontal predictor — see ``_parse_tiff``) images and PCM
+WAV audio
 (RIFF parsing, sample-rate/duration/RMS) decode for REAL in pure
 stdlib/numpy, via ``decode_image``/``decode_audio`` and the
 ``decode_media`` kernel.  WebP (VP8/VP8L/VP8X) and MP3 parse REAL
 dims / duration / rate / channels from their headers (pixel/PCM
 entropy decode genuinely needs a codec library — none ships in this
-container).  Everything else (TIFF/AAC/...) raises
+container).  Everything else (AVIF/AAC/...) raises
 ``NotImplementedError`` and falls back to the deterministic ``fake_decode``,
 which computes real features (byte length, sha256, md5-derived
 dimensions) so every payload stays end-to-end verifiable, including
@@ -79,12 +81,13 @@ def decode_image(payload: bytes) -> dict:
     """Real image decode in pure stdlib/numpy — no image library.
 
     Binary PPM (``P6``) and BMP (``BM``) parse from their headers and
-    pixel data; PNG, baseline JPEG and GIF decode fully (see
-    :func:`_decode_png` / :func:`_decode_jpeg` / :func:`_decode_gif`);
-    WebP parses dims/format from its VP8/VP8L/VP8X headers.  Codecs
-    that genuinely need an external library (TIFF/AVIF pixel data)
-    still raise, and the deterministic ``fake_decode`` stand-in keeps
-    those payloads pipeline-testable.
+    pixel data; PNG, baseline JPEG, GIF and baseline TIFF (8-bit
+    gray/RGB strips, none/LZW/PackBits compression) decode fully (see
+    :func:`_decode_png` / :func:`_decode_jpeg` / :func:`_decode_gif` /
+    :func:`_parse_tiff`); WebP parses dims/format from its
+    VP8/VP8L/VP8X headers.  Codecs that genuinely need an external
+    library (WebP/AVIF pixel data) still raise, and the deterministic
+    ``fake_decode`` stand-in keeps those payloads pipeline-testable.
     """
     import numpy as np
 
@@ -168,9 +171,9 @@ def decode_image(payload: bytes) -> dict:
         return _decode_gif(payload)
     raise NotImplementedError(
         "AVIF/HEIC/... require an image library not present in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG/GIF decode natively, "
-        "WebP/TIFF parse dims/format from their headers, everything "
-        "else uses fake_decode"
+        "environment; PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF "
+        "decode natively, WebP parses dims/format from its headers, "
+        "everything else uses fake_decode"
     )
 
 
@@ -179,50 +182,179 @@ _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
                     9: 4, 10: 8, 11: 4, 12: 8}
 
 
+#: IFD tags the parser reads (all others are skipped)
+_TIFF_TAGS = frozenset(
+    {256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317}
+)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytearray:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 8-bit
+    symbols, clear=256/EOI=257, and EARLY code-width change — the width
+    grows one code sooner than GIF's (at table length (1<<w)-2 given the
+    decoder's one-entry lag, vs GIF's (1<<w)-1)."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    code_size = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream ended without EOI")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = 9
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) - 2 and code_size < 12:
+            code_size += 1
+
+
+def _packbits_decode(data: bytes) -> bytearray:
+    """PackBits RLE (TIFF compression 32773): n>=0 ⇒ n+1 literals,
+    -127..-1 ⇒ repeat next byte 1-n times, -128 ⇒ no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if n >= 0:
+            if pos + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n != -128:
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += data[pos : pos + 1] * (1 - n)
+            pos += 1
+    return out
+
+
 def _parse_tiff(payload: bytes) -> dict:
-    """TIFF HEADER parse in pure stdlib: byte-order detection, first-IFD
-    walk, ImageWidth/ImageLength/BitsPerSample/SamplesPerPixel tags.
-    Strip/tile pixel data may use any of a dozen compressions (LZW,
-    JPEG, deflate, ...) so pixel decode stays gated — real dims/format
-    metadata only, same contract as WebP.  Malformed ⇒ ValueError."""
+    """TIFF decode in pure stdlib+numpy: byte-order detection, first-IFD
+    walk, and REAL pixel decode of the baseline variants — 8-bit
+    grayscale/RGB(A), chunky planar config, strip layout, compression
+    none (1) / LZW (5, MSB-first early-change variant, optional
+    horizontal-differencing predictor) / PackBits (32773).
+
+    Exotic variants (16-bit, palette/CMYK/YCbCr photometrics, planar=2,
+    tiles, JPEG/deflate compression) return real dims/format metadata
+    with ``mean_level`` None — graceful degradation to the old
+    header-only contract, not an error.  Structurally malformed files
+    (truncated IFD, offsets out of range, short strips) raise
+    ValueError → the kernel's fake_decode fallback."""
     import struct
+
+    import numpy as np
 
     bo = "<" if payload[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("TIFF first-IFD offset out of range")
     (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
-    tags: dict[int, int] = {}
+    tags: dict[int, tuple[int, ...]] = {}
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         if off + 12 > len(payload):
             raise ValueError("TIFF IFD truncated")
         tag, ftype, count = struct.unpack_from(f"{bo}HHI", payload, off)
-        if tag not in (256, 257, 258, 277):
+        if tag not in _TIFF_TAGS:
             continue
         size = _TIFF_TYPE_SIZES.get(ftype)
         if size is None or ftype not in (1, 3, 4):  # BYTE/SHORT/LONG
             continue
-        # value fits in the 4-byte field iff size*count <= 4, else it is
-        # an offset to the data area
+        # values fit in the 4-byte field iff size*count <= 4, else it
+        # holds an offset to the data area
         voff = off + 8
         if size * count > 4:
             (voff,) = struct.unpack_from(f"{bo}I", payload, off + 8)
-            if voff + size > len(payload):
+            if voff + size * count > len(payload):
                 raise ValueError("TIFF tag value offset out of range")
         fmt = {1: "B", 3: "H", 4: "I"}[ftype]
-        tags[tag] = struct.unpack_from(f"{bo}{fmt}", payload, voff)[0]
+        tags[tag] = struct.unpack_from(f"{bo}{count}{fmt}", payload, voff)
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
-    bits = tags.get(258, 8)
-    return {
+    width, height = tags[256][0], tags[257][0]
+    bits_per_sample = tags.get(258, (8,))
+    channels = tags.get(277, (1,))[0]
+    bits = bits_per_sample[0]
+    meta = {
         "format": "tiff",
-        "width": tags[256],
-        "height": tags[257],
-        "channels": tags.get(277, 1),
+        "width": width,
+        "height": height,
+        "channels": channels,
         "maxval": (1 << bits) - 1 if bits <= 16 else 255,
-        "mean_level": None,  # strip/tile decompression needs a codec
+        "mean_level": None,
     }
+    compression = tags.get(259, (1,))[0]
+    photometric = tags.get(262, (1,))[0]
+    planar = tags.get(284, (1,))[0]
+    predictor = tags.get(317, (1,))[0]
+    decodable = (
+        compression in (1, 5, 32773)
+        and photometric in (1, 2)  # BlackIsZero grayscale / RGB
+        and planar == 1
+        and predictor in (1, 2)
+        and all(b == 8 for b in bits_per_sample)
+        and 1 <= channels <= 4
+        and 273 in tags
+        and 279 in tags
+        and 0 < width
+        and 0 < height
+    )
+    if not decodable:
+        return meta  # real metadata, header-only contract
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts mismatch")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip extends past end of file")
+        strip = payload[off : off + cnt]
+        if compression == 5:
+            raw += _tiff_lzw_decode(strip)
+        elif compression == 32773:
+            raw += _packbits_decode(strip)
+        else:
+            raw += strip
+    need = width * height * channels
+    if len(raw) < need:
+        raise ValueError("TIFF pixel data shorter than dimensions imply")
+    px = np.frombuffer(bytes(raw), np.uint8, need).reshape(
+        height, width, channels
+    )
+    if predictor == 2:  # horizontal differencing: undo per row/channel
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    meta["mean_level"] = float(px.mean())
+    return meta
 
 
 def _parse_webp(payload: bytes) -> dict:
@@ -1137,10 +1269,10 @@ def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL media decode: PPM/BMP/PNG/baseline-JPEG/GIF
     images and PCM-WAV audio decode natively (header + numpy
     pixel/sample math; PNG via stdlib zlib + filter reconstruction,
-    JPEG via its own Huffman+IDCT, GIF via its own LZW); WebP/TIFF/
-    MP3/FLAC parse real metadata from their headers; anything else
-    falls back to the deterministic ``fake_decode`` (format=NULL marks
-    the fallback).  Same 100 TB shape as the feature kernel:
+    JPEG via its own Huffman+IDCT, GIF/baseline-TIFF via their own LZW
+    variants); WebP/MP3/FLAC parse real metadata from their headers;
+    anything else falls back to the deterministic ``fake_decode``
+    (format=NULL marks the fallback).  Same 100 TB shape as the feature kernel:
     mapInPandas, no shuffle, Arrow batch memory bounded by
     maxRecordsPerBatch.
     """
@@ -1701,14 +1833,44 @@ def synthesize_media(doc_id: int) -> bytes:
         )
         chunk = b"VP8 " + struct.pack("<I", len(body)) + body
         return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-    if kind == 2:  # little-endian TIFF, SamplesPerPixel 1-4
+    if kind == 2:  # little-endian TIFF, SamplesPerPixel 1-4, one real
+        # uncompressed strip of constant level doc_id % 256
         ch = 1 + doc_id % 4
-        entries = [(256, 3, w), (257, 3, h), (277, 3, ch)]
-        ifd = struct.pack("<H", len(entries))
-        for tag, ftype, val in entries:
-            ifd += struct.pack("<HHIHH", tag, ftype, 1, val, 0)
-        ifd += struct.pack("<I", 0)
-        return b"II*\x00" + struct.pack("<I", 8) + ifd
+        v = doc_id % 256
+        n = 9
+        ifd_end = 8 + 2 + n * 12 + 4
+        extra = ch * 2 if ch >= 3 else 0  # BitsPerSample spills at ch>=3
+        px_off = ifd_end + extra
+
+        def short(x: int) -> bytes:
+            return struct.pack("<HH", x, 0)
+
+        def long_(x: int) -> bytes:
+            return struct.pack("<I", x)
+
+        bits_val = (
+            short(8) if ch == 1
+            else struct.pack("<HH", 8, 8) if ch == 2
+            else long_(ifd_end)
+        )
+        entries = [
+            (256, 3, 1, short(w)),
+            (257, 3, 1, short(h)),
+            (258, 3, ch, bits_val),
+            (259, 3, 1, short(1)),  # uncompressed
+            (262, 3, 1, short(1 if ch < 3 else 2)),  # gray / RGB
+            (273, 4, 1, long_(px_off)),
+            (277, 3, 1, short(ch)),
+            (278, 3, 1, short(h)),
+            (279, 4, 1, long_(w * h * ch)),
+        ]
+        out = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+        for tag, ftype, count, valb in entries:
+            out += struct.pack("<HHI", tag, ftype, count) + valb
+        out += struct.pack("<I", 0)
+        if ch >= 3:
+            out += struct.pack(f"<{ch}H", *([8] * ch))
+        return out + bytes([v]) * (w * h * ch)
     if kind == 3:  # MP3: MPEG1 Layer III 128k/44100 stereo, 8-23 frames
         n = 8 + doc_id % 16
         frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413

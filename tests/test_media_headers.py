@@ -191,7 +191,9 @@ def test_tiff_dims_both_byte_orders():
         assert (meta["width"], meta["height"], meta["channels"]) == (
             640, 480, 3,
         )
-        assert meta["mean_level"] is None  # strip decode needs a codec
+        # no StripOffsets/ByteCounts tags → header-only metadata
+        # (full pixel decode is covered in tests/test_tiff_decode.py)
+        assert meta["mean_level"] is None
 
 
 def test_tiff_malformed_raises_valueerror():
