@@ -11,10 +11,12 @@ filter reconstruction incl. Paeth, CRC-checked), baseline JPEG
 upsampling, YCbCr→RGB — see ``_decode_jpeg``) and GIF (full LZW
 decompression, interlace reorder, palette mapping — see
 ``_decode_gif``), baseline TIFF (strip assembly, TIFF-variant LZW /
-PackBits, horizontal predictor — see ``_parse_tiff``) images and PCM
+PackBits, horizontal predictor — see ``_parse_tiff``) images, PCM
 WAV audio
-(RIFF parsing, sample-rate/duration/RMS) decode for REAL in pure
-stdlib/numpy, via ``decode_image``/``decode_audio`` and the
+(RIFF parsing, sample-rate/duration/RMS) and FLAC audio (full frame
+decode: CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals, stereo
+decorrelation, CRC-verified — see ``_parse_flac``) decode for REAL in
+pure stdlib/numpy, via ``decode_image``/``decode_audio`` and the
 ``decode_media`` kernel.  WebP (VP8/VP8L/VP8X) and MP3 parse REAL
 dims / duration / rate / channels from their headers (pixel/PCM
 entropy decode genuinely needs a codec library — none ships in this
@@ -1033,9 +1035,12 @@ def _decode_gif(payload: bytes) -> dict:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Real audio decode for PCM WAV (pure stdlib/numpy RIFF parsing).
+    """Real audio decode for PCM WAV (stdlib/numpy RIFF parsing) and
+    FLAC (full frame decode — see :func:`_parse_flac`); MP3 parses real
+    duration/rate/channels from its frame headers.
 
-    Compressed codecs (MP3/AAC/Opus) still raise — see decode_image.
+    Entropy-coded codecs with no stdlib path (MP3 PCM, AAC, Opus)
+    still raise — see decode_image.
     """
     import struct
 
@@ -1098,35 +1103,307 @@ def decode_audio(payload: bytes) -> dict:
     )
 
 
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial 0x07, init 0 (FLAC frame-header checksum)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0 (FLAC whole-frame checksum)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader over a bytes buffer (no byte stuffing)."""
+
+    def __init__(self, buf: bytes, byte_pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = byte_pos * 8  # absolute bit position
+
+    def u(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.buf) * 8:
+            raise ValueError("FLAC bitstream overrun")
+        v = 0
+        pos = self.pos
+        while n:
+            byte = self.buf[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(n, avail)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def s(self, n: int) -> int:
+        v = self.u(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.u(1) == 0:
+            q += 1
+            if q > 1 << 20:  # a quotient this long is corruption
+                raise ValueError("FLAC rice quotient runaway")
+        return q
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) >> 3
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+#: FIXED-predictor restore coefficients by order (FLAC format §9.2.1)
+_FLAC_FIXED = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+#: frame-header block-size codes → size (None = coded in the header end)
+_FLAC_BLOCK = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+#: frame-header sample-size codes → bits (0 = from STREAMINFO)
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_residuals(br: _FlacBits, order: int, blocksize: int) -> list:
+    """Rice-coded residual section of a FIXED/LPC subframe: 2-bit
+    method (rice/rice2), 4-bit partition order, per-partition parameter
+    with 5-bit-raw escape, zigzag-mapped values."""
+    method = br.u(2)
+    if method > 1:
+        raise ValueError("FLAC reserved residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.u(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize // nparts < max(order, 1):
+        raise ValueError("FLAC partition order inconsistent with block size")
+    res: list[int] = []
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        param = br.u(pbits)
+        if param == escape:
+            raw = br.u(5)
+            res.extend(br.s(raw) if raw else 0 for _ in range(n))
+            continue
+        for _ in range(n):
+            q = br.unary()
+            v = (q << param) | (br.u(param) if param else 0)
+            res.append((v >> 1) ^ -(v & 1))
+    return res
+
+
+def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list:
+    """One subframe: header (pad bit, 6-bit type, wasted-bits unary),
+    then CONSTANT / VERBATIM / FIXED / LPC payload, predictor restored."""
+    if br.u(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = br.u(6)
+    wasted = 0
+    if br.u(1):
+        wasted = 1 + br.unary()
+        bps -= wasted
+    if bps <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if ftype == 0:  # CONSTANT
+        out = [br.s(bps)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [br.s(bps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        out = [br.s(bps) for _ in range(order)]
+        res = _flac_residuals(br, order, blocksize)
+        coefs = _FLAC_FIXED[order]
+        for r in res:
+            out.append(
+                r + sum(c * out[-i - 1] for i, c in enumerate(coefs))
+            )
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        out = [br.s(bps) for _ in range(order)]
+        precision = br.u(4) + 1
+        if precision == 16:
+            raise ValueError("FLAC invalid LPC precision code")
+        shift = br.s(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [br.s(precision) for _ in range(order)]
+        res = _flac_residuals(br, order, blocksize)
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise ValueError(f"FLAC reserved subframe type {ftype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _flac_utf8_number(br: _FlacBits) -> int:
+    """UTF-8-style coded frame/sample number (FLAC format §9.1.5)."""
+    first = br.u(8)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("FLAC malformed coded number")
+    v = first & (mask - 1)
+    for _ in range(n_follow):
+        b = br.u(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("FLAC malformed coded-number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _flac_decode_frame(payload: bytes, pos: int, si: dict) -> tuple:
+    """Decode one FLAC frame at byte offset ``pos``; returns
+    (list-of-channel-sample-lists, next byte offset).  Verifies the
+    header CRC-8 and the whole-frame CRC-16."""
+    br = _FlacBits(payload, pos)
+    if br.u(14) != 0x3FFE:
+        raise ValueError("FLAC frame sync code not found")
+    br.u(1)  # reserved
+    br.u(1)  # blocking strategy
+    bs_code = br.u(4)
+    sr_code = br.u(4)
+    ch_code = br.u(4)
+    bps_code = br.u(3)
+    if br.u(1):
+        raise ValueError("FLAC frame header reserved bit set")
+    _flac_utf8_number(br)
+    if bs_code == 0:
+        raise ValueError("FLAC reserved block-size code")
+    elif bs_code == 6:
+        blocksize = br.u(8) + 1
+    elif bs_code == 7:
+        blocksize = br.u(16) + 1
+    else:
+        blocksize = _FLAC_BLOCK[bs_code]
+    if sr_code == 12:
+        br.u(8)
+    elif sr_code in (13, 14):
+        br.u(16)
+    elif sr_code == 15:
+        raise ValueError("FLAC invalid sample-rate code")
+    bps = si["bits"] if bps_code == 0 else _FLAC_BPS.get(bps_code)
+    if bps is None:
+        raise ValueError("FLAC reserved sample-size code")
+    header_end = br.byte_pos()
+    if _crc8(payload[pos:header_end]) != br.u(8):
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+    if ch_code < 8:
+        n_ch = ch_code + 1
+        chans = [
+            _flac_subframe(br, blocksize, bps) for _ in range(n_ch)
+        ]
+    elif ch_code in (8, 9, 10):  # left/side, right/side, mid/side
+        # the SIDE channel carries one extra bit: it is the second
+        # subframe for left/side and mid/side, the first for right/side
+        a = _flac_subframe(br, blocksize, bps + (ch_code == 9))
+        b = _flac_subframe(br, blocksize, bps + (ch_code in (8, 10)))
+        if ch_code == 8:  # a=left, b=side
+            chans = [a, [x - s for x, s in zip(a, b)]]
+        elif ch_code == 9:  # a=side, b=right
+            chans = [[x + s for x, s in zip(b, a)], b]
+        else:  # a=mid, b=side
+            left, right = [], []
+            for m, s in zip(a, b):
+                m = (m << 1) | (s & 1)
+                left.append((m + s) >> 1)
+                right.append((m - s) >> 1)
+            chans = [left, right]
+    else:
+        raise ValueError("FLAC reserved channel assignment")
+    br.align()
+    frame_end = br.byte_pos()
+    if _crc16(payload[pos:frame_end]) != br.u(16):
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return chans, frame_end + 2
+
+
 def _parse_flac(payload: bytes) -> dict:
-    """FLAC STREAMINFO parse in pure stdlib: the mandatory first
-    metadata block carries sample rate (20 bits), channels (3 bits),
-    bits per sample (5 bits) and total samples (36 bits) — an exact
-    duration with no audio decode (subframe entropy decode needs a
-    codec, so ``rms`` stays None; same contract as MP3)."""
+    """FLAC decode in pure stdlib: STREAMINFO metadata parse, then —
+    when audio frames follow the metadata blocks — a REAL frame decode
+    (CONSTANT / VERBATIM / FIXED / LPC subframes, rice + rice2 residual
+    partitions with the 5-bit-raw escape, wasted bits, left/right/mid-
+    side stereo decorrelation, CRC-8 header and CRC-16 frame checksums
+    verified).  ``rms`` and ``n_samples`` then come from the decoded
+    PCM; a metadata-only stream (no frames) keeps the header contract
+    (exact duration from STREAMINFO, rms None).  Malformed streams —
+    bad CRCs, reserved codes, bitstream overrun — raise ValueError →
+    the kernel's fake_decode fallback."""
     if len(payload) < 8 + 34:
         raise ValueError("FLAC shorter than a STREAMINFO block")
     btype = payload[4] & 0x7F
     bsize = int.from_bytes(payload[5:8], "big")
     if btype != 0 or bsize < 34:
         raise ValueError("FLAC first block is not a valid STREAMINFO")
-    si = payload[8 : 8 + 34]
-    bits = int.from_bytes(si[10:18], "big")  # fields packed at bit level
+    si_raw = payload[8 : 8 + 34]
+    bits = int.from_bytes(si_raw[10:18], "big")  # bit-packed fields
     sample_rate = (bits >> 44) & 0xFFFFF
     channels = ((bits >> 41) & 0x7) + 1
     bps = ((bits >> 36) & 0x1F) + 1
     n_samples = bits & 0xFFFFFFFFF
     if sample_rate == 0:
         raise ValueError("FLAC STREAMINFO has zero sample rate")
-    return {
+    meta = {
         "format": "flac",
         "channels": channels,
         "sample_rate": sample_rate,
         "bits": bps,
         "n_samples": n_samples,
         "duration_ms": int(n_samples * 1000 / sample_rate),
-        "rms": None,  # subframe decode needs a codec library
+        "rms": None,
     }
+    # walk the metadata chain to the first audio frame
+    pos, last = 4, False
+    while not last:
+        if pos + 4 > len(payload):
+            return meta  # metadata-only stream, header contract
+        last = bool(payload[pos] & 0x80)
+        pos += 4 + int.from_bytes(payload[pos + 1 : pos + 4], "big")
+    if pos >= len(payload):
+        return meta
+    import numpy as np
+
+    decoded: list[list[int]] = [[] for _ in range(channels)]
+    while pos < len(payload):
+        chans, pos = _flac_decode_frame(payload, pos, meta)
+        if len(chans) != channels:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        for c, samples in zip(decoded, chans):
+            c.extend(samples)
+    got = len(decoded[0])
+    x = np.asarray(decoded, np.float64) / float(1 << (bps - 1))
+    meta["n_samples"] = got
+    meta["duration_ms"] = int(got * 1000 / sample_rate)
+    meta["rms"] = float(np.sqrt((x * x).mean())) if got else None
+    return meta
 
 
 #: MPEG audio bitrate tables, kbit/s, index 1-14 (0 = free, 15 = bad).
@@ -1270,9 +1547,9 @@ def decode_media(media: DataFrame) -> DataFrame:
     images and PCM-WAV audio decode natively (header + numpy
     pixel/sample math; PNG via stdlib zlib + filter reconstruction,
     JPEG via its own Huffman+IDCT, GIF/baseline-TIFF via their own LZW
-    variants); WebP/MP3/FLAC parse real metadata from their headers;
-    anything else falls back to the deterministic ``fake_decode``
-    (format=NULL marks the fallback).  Same 100 TB shape as the feature kernel:
+    variants, FLAC via rice-coded subframe reconstruction); WebP/MP3
+    parse real metadata from their headers; anything else falls back to
+    the deterministic ``fake_decode`` (format=NULL marks the fallback).  Same 100 TB shape as the feature kernel:
     mapInPandas, no shuffle, Arrow batch memory bounded by
     maxRecordsPerBatch.
     """
@@ -1875,12 +2152,32 @@ def synthesize_media(doc_id: int) -> bytes:
         n = 8 + doc_id % 16
         frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
         return frame * n
-    if kind == 4:  # FLAC STREAMINFO, 44100 Hz, 1-2 ch, 16 bps
+    if kind == 4:  # FLAC, 44100 Hz, 1-2 ch, 16 bps, REAL constant frames
         ch = 1 + doc_id % 2
         n_samples = 1000 * (1 + doc_id % 90)
         bits = (44100 << 44) | ((ch - 1) << 41) | (15 << 36) | n_samples
         si = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
-        return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si
+        out = bytearray(b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si)
+        v = doc_id % 16384  # constant sample level (fits signed 16-bit)
+        frame_no = 0
+        remaining = n_samples
+        while remaining:
+            bs = min(remaining, 4096)
+            remaining -= bs
+            # sync+reserved+strategy / bs_code 7 (16-bit) + sr from
+            # STREAMINFO / channels + bps code 4 (16-bit)
+            hdr = bytearray(
+                [0xFF, 0xF8, 0x70, ((ch - 1) << 4) | (4 << 1), frame_no]
+            )
+            hdr += struct.pack(">H", bs - 1)
+            hdr.append(_crc8(bytes(hdr)))
+            frame = hdr + bytes([0x00]) + struct.pack(">h", v)
+            if ch == 2:
+                frame += bytes([0x00]) + struct.pack(">h", v)
+            frame += struct.pack(">H", _crc16(bytes(frame)))
+            out += frame
+            frame_no += 1
+        return bytes(out)
     if kind == 6:  # GIF89a: 4-color global table, LZW-coded diagonal wash
         idx = bytes((x + y + doc_id) % 4 for y in range(h) for x in range(w))
         gct = bytes(((doc_id + 40 * j + c * 11) % 256) for j in range(4) for c in range(3))
