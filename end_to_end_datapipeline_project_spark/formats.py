@@ -207,26 +207,36 @@ DOCS_XML_SCHEMA = T.StructType(
   SELECT lang,
          count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         count(DISTINCT md5(text)) AS n_distinct_sigs
+         CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+              AS BIGINT) AS sum_sig
   FROM documents
+  WHERE text <> ''
   GROUP BY lang
 """,
     doc="XML round-trip on Spark 4's NATIVE xml datasource (no external "
     "spark-xml package): documents → one <doc> element per row → "
     "schema-declared FAILFAST re-read with the same rowTag → per-lang "
-    "aggregate with a count(DISTINCT md5(text)) content checksum, so "
-    "any entity-escaping corruption of free text (&, <, >) flips the "
-    "hash and fails the oracle (which aggregates the original parquet). "
-    "Scale note: XML files are NOT byte-range splittable (rowTag "
-    "boundaries are discovered by parse), so read parallelism is per "
-    "FILE — the writer's task-per-partition layout supplies the files, "
-    "the same contract as the multiLine CSV path. Keep XML at the "
-    "ingest edge; convert to parquet in the first hop.",
+    "aggregate with an order-insensitive SUM of per-doc md5 prefixes, "
+    "so corruption of ANY text (entity escaping, whitespace) shifts "
+    "the sum and fails the oracle (which aggregates the original "
+    "parquet) — a count(DISTINCT md5) would miss uniform corruption "
+    "that changes every hash but not the count. The reader pins "
+    "ignoreSurroundingSpaces=false (the Spark default trims "
+    "leading/trailing whitespace — a silent lossy round-trip) and "
+    "empty-string docs are excluded on BOTH sides (XML cannot "
+    "distinguish '' from null in an element). Scale note: XML files "
+    "are NOT byte-range splittable (rowTag boundaries are discovered "
+    "by parse), so read parallelism is per FILE — the writer's "
+    "task-per-partition layout supplies the files, the same contract "
+    "as the multiLine CSV path. Keep XML at the ingest edge; convert "
+    "to parquet in the first hop.",
 )
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage(sf_dir, "docs_xml")
-    docs = read_parquet_table(spark, sf_dir, "documents").select(
-        *[f.name for f in DOCS_XML_SCHEMA.fields]
+    docs = (
+        read_parquet_table(spark, sf_dir, "documents")
+        .select(*[f.name for f in DOCS_XML_SCHEMA.fields])
+        .filter(F.col("text") != "")
     )
     docs.write.mode("overwrite").option("rowTag", "doc").format("xml").save(
         stage
@@ -234,14 +244,16 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.schema(DOCS_XML_SCHEMA)
         .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
         .option("mode", "FAILFAST")
         .format("xml")
         .load(stage)
     )
+    sig = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
-        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_sigs"),
+        F.sum(sig).alias("sum_sig"),
     )
 
 

@@ -212,6 +212,10 @@ def _tiff_lzw_decode(data: bytes) -> bytearray:
             pos += 1
         code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
         nbits -= code_size
+        # truncate the accumulator to the bits still pending — without
+        # this it grows into a bignum and every shift copies the whole
+        # stream, turning decode quadratic on multi-MB strips
+        acc &= (1 << nbits) - 1
         if code == clear:
             table = list(base)
             code_size = 9
@@ -292,6 +296,8 @@ def _parse_tiff(payload: bytes) -> dict:
         size = _TIFF_TYPE_SIZES.get(ftype)
         if size is None or ftype not in (1, 3, 4):  # BYTE/SHORT/LONG
             continue
+        if count == 0:
+            raise ValueError("TIFF IFD entry with zero count")
         # values fit in the 4-byte field iff size*count <= 4, else it
         # holds an offset to the data area
         voff = off + 8
@@ -336,6 +342,11 @@ def _parse_tiff(payload: bytes) -> dict:
     offsets, counts = tags[273], tags[279]
     if len(offsets) != len(counts):
         raise ValueError("TIFF StripOffsets/StripByteCounts mismatch")
+    rows_per_strip = tags.get(278, (height,))[0]
+    if rows_per_strip == 0 or len(offsets) != -(-height // min(
+        rows_per_strip, height
+    )):
+        raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(payload):
@@ -1103,13 +1114,26 @@ def decode_audio(payload: bytes) -> dict:
     )
 
 
+def _crc_table(poly: int, width: int) -> list:
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, polynomial 0x07, init 0 (FLAC frame-header checksum)."""
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
@@ -1117,9 +1141,7 @@ def _crc16(data: bytes) -> int:
     """CRC-16, polynomial 0x8005, init 0 (FLAC whole-frame checksum)."""
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ b]
     return crc
 
 
@@ -1183,6 +1205,10 @@ _FLAC_BLOCK = {
 
 #: frame-header sample-size codes → bits (0 = from STREAMINFO)
 _FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+#: audio-section byte cap for full PCM decode (see _parse_flac): the
+#: per-sample Python cost is fine for fixtures/clips, not for albums
+_FLAC_DECODE_CAP = 4 << 20
 
 
 def _flac_residuals(br: _FlacBits, order: int, blocksize: int) -> list:
@@ -1353,10 +1379,14 @@ def _parse_flac(payload: bytes) -> dict:
     partitions with the 5-bit-raw escape, wasted bits, left/right/mid-
     side stereo decorrelation, CRC-8 header and CRC-16 frame checksums
     verified).  ``rms`` and ``n_samples`` then come from the decoded
-    PCM; a metadata-only stream (no frames) keeps the header contract
-    (exact duration from STREAMINFO, rms None).  Malformed streams —
-    bad CRCs, reserved codes, bitstream overrun — raise ValueError →
-    the kernel's fake_decode fallback."""
+    PCM.  A metadata-only stream, an audio section larger than
+    ``_FLAC_DECODE_CAP`` (per-sample Python decode must not stall the
+    Spark kernel on album-length files), or any CORRUPT frame section —
+    bad CRCs, reserved codes, bitstream overrun — keeps the header
+    contract (exact duration from STREAMINFO, rms None): STREAMINFO
+    parsed fine, so degrading beats demoting real metadata to
+    fake_decode.  Only a malformed STREAMINFO itself raises ValueError
+    → the kernel's fake_decode fallback."""
     if len(payload) < 8 + 34:
         raise ValueError("FLAC shorter than a STREAMINFO block")
     btype = payload[4] & 0x7F
@@ -1387,17 +1417,28 @@ def _parse_flac(payload: bytes) -> dict:
             return meta  # metadata-only stream, header contract
         last = bool(payload[pos] & 0x80)
         pos += 4 + int.from_bytes(payload[pos + 1 : pos + 4], "big")
-    if pos >= len(payload):
+    # size gate: the subframe decode is per-sample Python; a multi-MB
+    # stream would stall the Spark kernel for minutes, and STREAMINFO
+    # already carries the exact duration — so large payloads keep the
+    # header contract and only small ones (fixtures, clips) get PCM
+    if pos >= len(payload) or len(payload) - pos > _FLAC_DECODE_CAP:
         return meta
     import numpy as np
 
     decoded: list[list[int]] = [[] for _ in range(channels)]
-    while pos < len(payload):
-        chans, pos = _flac_decode_frame(payload, pos, meta)
-        if len(chans) != channels:
-            raise ValueError("FLAC frame channel count != STREAMINFO")
-        for c, samples in zip(decoded, chans):
-            c.extend(samples)
+    try:
+        while pos < len(payload):
+            chans, pos = _flac_decode_frame(payload, pos, meta)
+            if len(chans) != channels:
+                raise ValueError("FLAC frame channel count != STREAMINFO")
+            for c, samples in zip(decoded, chans):
+                c.extend(samples)
+    except ValueError:
+        # a truncated/corrupt FRAME section must not demote the whole
+        # payload to fake_decode: STREAMINFO already parsed and its
+        # metadata is exact — degrade to the header-only contract, the
+        # same discipline as _parse_tiff's undecodable-variant path
+        return meta
     got = len(decoded[0])
     x = np.asarray(decoded, np.float64) / float(1 << (bps - 1))
     meta["n_samples"] = got

@@ -294,24 +294,50 @@ def test_metadata_only_keeps_header_contract():
     assert d["duration_ms"] == int(12345 * 1000 / SR)
 
 
-def test_corrupt_crc_refused():
+def test_corrupt_crc_degrades_to_streaminfo():
+    """Corrupt FRAME sections must not demote the payload to
+    fake_decode — STREAMINFO already parsed, so the decoder keeps the
+    exact header metadata and just drops the PCM stats (rms None)."""
     s = [int(v) for v in _rng(20).integers(-100, 100, 16)]
     f = bytearray(flac_file([(s, {"kind": "verbatim"})], 16, 0, 1))
     f[-1] ^= 0xFF  # frame CRC-16
-    with pytest.raises(ValueError):
-        decode_audio(bytes(f))
+    d = decode_audio(bytes(f))
+    assert d["format"] == "flac" and d["rms"] is None
+    assert d["n_samples"] == 16  # STREAMINFO value, not decoded count
     f = bytearray(flac_file([(s, {"kind": "verbatim"})], 16, 0, 1))
     # header CRC-8 sits right after the 16-bit blocksize field
     f[42 + 7] ^= 0xFF
-    with pytest.raises(ValueError):
-        decode_audio(bytes(f))
+    d = decode_audio(bytes(f))
+    assert d["rms"] is None and d["sample_rate"] == SR
 
 
-def test_truncated_frame_refused():
+def test_truncated_frame_degrades_to_streaminfo():
     s = [int(v) for v in _rng(21).integers(-100, 100, 64)]
     f = flac_file([(s, {"kind": "verbatim"})], 64, 0, 1)
+    d = decode_audio(f[: len(f) - 20])
+    assert d["format"] == "flac" and d["rms"] is None
+    assert d["duration_ms"] == int(64 * 1000 / SR)
+
+
+def test_oversize_audio_section_keeps_header_contract():
+    """Past _FLAC_DECODE_CAP the per-sample Python decode is skipped:
+    exact STREAMINFO metadata, rms None."""
+    from end_to_end_datapipeline_project_spark.llm_ops import multimodal as mm
+
+    s = [0] * 16
+    f = flac_file([(s, {"kind": "verbatim"})], 16, 0, 1)
+    pad = f + b"\x00" * (mm._FLAC_DECODE_CAP + 1)  # audio section > cap
+    d = decode_audio(pad)
+    assert d["rms"] is None and d["n_samples"] == 16
+
+
+def test_malformed_streaminfo_refused():
     with pytest.raises(ValueError):
-        decode_audio(f[: len(f) - 20])
+        decode_audio(b"fLaC" + b"\x00" * 10)  # shorter than STREAMINFO
+    bad = bytearray(streaminfo(1, 16, 100))
+    bad[4] = 0x81  # first block type 1, not STREAMINFO
+    with pytest.raises(ValueError):
+        decode_audio(bytes(bad))
 
 
 # ---- the forge and the decoder agree ------------------------------------------

@@ -191,7 +191,12 @@ def test_xml_roundtrip_escapes_markup_exactly(spark, tmp_path):
     quotes, unicode) losslessly through escape/unescape."""
     from end_to_end_datapipeline_project_spark.formats import DOCS_XML_SCHEMA
 
-    texts = ["a & b < c > d", 'attr "quoted" & <tag>nested</tag>', "café ☕ 中文"]
+    texts = [
+        "a & b < c > d",
+        'attr "quoted" & <tag>nested</tag>',
+        "café ☕ 中文",
+        "  padded with spaces  ",  # default reader TRIMS these silently
+    ]
     df = spark.createDataFrame(
         [(i, t, "en", len(t)) for i, t in enumerate(texts)],
         DOCS_XML_SCHEMA,
@@ -202,6 +207,7 @@ def test_xml_roundtrip_escapes_markup_exactly(spark, tmp_path):
         r.doc_id: r.text
         for r in spark.read.schema(DOCS_XML_SCHEMA)
         .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
         .option("mode", "FAILFAST")
         .format("xml")
         .load(path)

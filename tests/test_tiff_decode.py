@@ -37,6 +37,7 @@ def _lzw_encode_tiff(data):
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded
 
     emit(clear)
     seq = b""
@@ -193,6 +194,35 @@ def _rng(seed):
 def test_tiff_lzw_roundtrip_random():
     data = _rng(1).integers(0, 256, 50000).astype(np.uint8).tobytes()
     assert bytes(_tiff_lzw_decode(_lzw_encode_tiff(data))) == data
+
+
+def test_tiff_lzw_large_stream_stays_linear():
+    # 400k incompressible bytes ≈ 570k compressed: the decoder must
+    # truncate its bit accumulator or this turns quadratic (minutes)
+    import time
+
+    data = _rng(11).integers(0, 256, 400_000).astype(np.uint8).tobytes()
+    enc = _lzw_encode_tiff(data)
+    t0 = time.time()
+    assert bytes(_tiff_lzw_decode(enc)) == data
+    assert time.time() - t0 < 30  # measured ~0.2s; was ~35s unbounded
+
+
+def test_zero_count_ifd_entry_refused():
+    f = bytearray(_build_tiff(4, 4, 1, np.zeros((4, 4, 1), np.uint8)))
+    at = f.index(struct.pack("<HHI", 256, 3, 1))
+    struct.pack_into("<HHI", f, at, 256, 3, 0)  # ImageWidth count=0
+    with pytest.raises(ValueError):
+        decode_image(bytes(f))
+
+
+def test_strip_count_rowsperstrip_mismatch_refused():
+    px = np.zeros((12, 8, 1), np.uint8)
+    f = bytearray(_build_tiff(8, 12, 1, px, rows_per_strip=4))  # 3 strips
+    at = f.index(struct.pack("<HHI", 278, 3, 1)) + 8
+    struct.pack_into("<H", f, at, 6)  # claims 2 strips, table has 3
+    with pytest.raises(ValueError):
+        decode_image(bytes(f))
 
 
 def test_tiff_lzw_truncation_refused():
