@@ -17,7 +17,9 @@ WAV audio
 decode: CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals, stereo
 decorrelation, CRC-verified — see ``_parse_flac``) decode for REAL in
 pure stdlib/numpy, via ``decode_image``/``decode_audio`` and the
-``decode_media`` kernel.  WebP (VP8/VP8L/VP8X) and MP3 parse REAL
+``decode_media`` kernel; lossless WebP also decodes for REAL in the
+no-transform VP8L subset (prefix codes, LZ77, color cache — see
+``_decode_vp8l``).  Lossy WebP (VP8/VP8X) and MP3 parse REAL
 dims / duration / rate / channels from their headers (pixel/PCM
 entropy decode genuinely needs a codec library — none ships in this
 container).  Everything else (AVIF/AAC/...) raises
@@ -86,10 +88,12 @@ def decode_image(payload: bytes) -> dict:
     pixel data; PNG, baseline JPEG, GIF and baseline TIFF (8-bit
     gray/RGB strips, none/LZW/PackBits compression) decode fully (see
     :func:`_decode_png` / :func:`_decode_jpeg` / :func:`_decode_gif` /
-    :func:`_parse_tiff`); WebP parses dims/format from its
-    VP8/VP8L/VP8X headers.  Codecs that genuinely need an external
-    library (WebP/AVIF pixel data) still raise, and the deterministic
-    ``fake_decode`` stand-in keeps those payloads pipeline-testable.
+    :func:`_parse_tiff`); lossless WebP decodes fully for the
+    no-transform VP8L subset (see :func:`_decode_vp8l`), lossy WebP
+    parses dims/format from its VP8/VP8X headers.  Codecs that
+    genuinely need an external library (VP8-lossy/AVIF pixel data)
+    still raise, and the deterministic ``fake_decode`` stand-in keeps
+    those payloads pipeline-testable.
     """
     import numpy as np
 
@@ -173,9 +177,9 @@ def decode_image(payload: bytes) -> dict:
         return _decode_gif(payload)
     raise NotImplementedError(
         "AVIF/HEIC/... require an image library not present in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF "
-        "decode natively, WebP parses dims/format from its headers, "
-        "everything else uses fake_decode"
+        "environment; PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF and "
+        "no-transform VP8L WebP decode natively, lossy WebP parses "
+        "dims/format from its headers, everything else uses fake_decode"
     )
 
 
@@ -370,13 +374,253 @@ def _parse_tiff(payload: bytes) -> dict:
     return meta
 
 
+class _Vp8lUnsupported(Exception):
+    """VP8L feature outside the decodable subset (transforms, entropy
+    images) — the caller degrades to header-only dims, not an error."""
+
+
+#: pixel-count cap for full VP8L decode (per-pixel Python loop)
+_VP8L_DECODE_CAP = 1 << 20
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, buf: bytes, byte_pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = byte_pos * 8
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.buf) * 8:
+            raise ValueError("VP8L bitstream overrun")
+        v = 0
+        for i in range(n):
+            byte = self.buf[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+class _Vp8lCode:
+    """Canonical prefix code (deflate-style assignment: codes ordered by
+    (length, symbol)); decode reads one bit at a time, MSB-of-code
+    first — the VP8L packing convention."""
+
+    def __init__(self, lengths: dict) -> None:
+        # lengths: symbol -> code length (>0)
+        if not lengths:
+            raise ValueError("VP8L empty prefix code")
+        if len(lengths) == 1:
+            self.single = next(iter(lengths))
+            self.map = {}
+            return
+        self.single = None
+        self.map = {}
+        code = 0
+        prev_len = 0
+        for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+            ln = lengths[sym]
+            code <<= ln - prev_len
+            self.map[(ln, code)] = sym
+            code += 1
+            prev_len = ln
+
+    def read(self, br: _Vp8lBits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | br.u(1)
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L invalid prefix code in stream")
+
+
+#: code-length-code read order (VP8L spec §6.2.2 / deflate heritage)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+
+def _vp8l_distance_map() -> list:
+    """The 120-entry close-neighborhood (dx, dy) table for distance
+    codes 1..120, constructed by the spec's ordering: increasing squared
+    distance, then larger dy first, then positive dx before negative."""
+    cands = []
+    for dy in range(0, 9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            if dy > 0 or dx > 0:
+                cands.append((dx, dy))
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
+                              0 if p[0] >= 0 else 1, abs(p[0])))
+    return cands[:120]
+
+
+_VP8L_DIST = _vp8l_distance_map()
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet: int) -> _Vp8lCode:
+    """One prefix code: the 'simple' 1/2-symbol form or the full
+    code-length-coded form (16/17/18 repeat codes, optional max_symbol
+    cap)."""
+    if br.u(1):  # simple
+        num = br.u(1) + 1
+        first_bits = 8 if br.u(1) else 1
+        s0 = br.u(first_bits)
+        if num == 1:
+            return _Vp8lCode({s0: 1})
+        s1 = br.u(8)
+        if s0 == s1 or s0 >= alphabet or s1 >= alphabet:
+            raise ValueError("VP8L simple code symbols invalid")
+        return _Vp8lCode({s0: 1, s1: 1})
+    n_cl = 4 + br.u(4)
+    cl_lengths = {}
+    for i in range(n_cl):
+        ln = br.u(3)
+        if ln:
+            cl_lengths[_VP8L_CL_ORDER[i]] = ln
+    cl_code = _Vp8lCode(cl_lengths)
+    if br.u(1):  # length-capped
+        length_nbits = 2 + 2 * br.u(3)
+        max_symbol = 2 + br.u(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = {}
+    prev_len = 8
+    sym = 0
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        c = cl_code.read(br)
+        if c < 16:
+            if c:
+                lengths[sym] = c
+                prev_len = c
+            sym += 1
+        elif c == 16:
+            rep = 3 + br.u(2)
+            for _ in range(rep):
+                if sym < alphabet:
+                    lengths[sym] = prev_len
+                    sym += 1
+        elif c == 17:
+            sym += 3 + br.u(3)
+        else:  # 18
+            sym += 11 + br.u(7)
+    return _Vp8lCode(lengths)
+
+
+def _vp8l_lz77(code: int, br: _Vp8lBits) -> int:
+    """LZ77 length/distance prefix value (spec §5.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    return ((2 + (code & 1)) << extra) + br.u(extra) + 1
+
+
+def _decode_vp8l(body: bytes) -> dict:
+    """REAL pixel decode of the VP8L subset without transforms or
+    entropy (meta-prefix) images: simple and code-length-coded prefix
+    codes, LZ77 backward references (both the 120-entry 2D neighborhood
+    map and plain distances), and the color cache.
+
+    Transform bits or a meta-prefix bit raise ``_Vp8lUnsupported`` —
+    the caller keeps the header-only dims contract (real-world encoder
+    output almost always uses the predictor transform, and decoding it
+    wrong would be worse than declining).  Structural damage (overrun,
+    bad codes, out-of-range cache/backref) raises ValueError."""
+    import numpy as np
+
+    if body[0] != 0x2F:
+        raise ValueError("VP8L chunk missing signature byte")
+    br = _Vp8lBits(body, 1)
+    width = br.u(14) + 1
+    height = br.u(14) + 1
+    alpha_hint = br.u(1)
+    if br.u(3) != 0:
+        raise ValueError("VP8L reserved version bits set")
+    if br.u(1):
+        raise _Vp8lUnsupported("transform present")
+    cache_bits = 0
+    if br.u(1):
+        cache_bits = br.u(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("VP8L color-cache size out of range")
+    if br.u(1):
+        raise _Vp8lUnsupported("meta-prefix entropy image present")
+    if width * height > _VP8L_DECODE_CAP:
+        # the pixel loop is per-sample Python — a wallpaper-sized image
+        # must not stall the Spark kernel; dims stay real via the caller
+        raise _Vp8lUnsupported("image beyond the pixel-decode cap")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _vp8l_read_code(br, 256 + 24 + cache_size)
+    red = _vp8l_read_code(br, 256)
+    blue = _vp8l_read_code(br, 256)
+    alpha = _vp8l_read_code(br, 256)
+    dist_code = _vp8l_read_code(br, 40)
+    n = width * height
+    out = np.empty((n, 4), np.uint8)  # ARGB
+    cache = [0] * cache_size
+    pos = 0
+    while pos < n:
+        s = green.read(br)
+        if s < 256:  # literal
+            g = s
+            r = red.read(br)
+            b = blue.read(br)
+            a = alpha.read(br)
+            out[pos] = (a, r, g, b)
+            if cache_size:
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_lz77(s - 256, br)
+            dcode = _vp8l_lz77(dist_code.read(br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST[dcode - 1]
+                dist = max(1, dy * width + dx)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                out[pos] = out[pos - dist]
+                if cache_size:
+                    a, r, g, b = (int(v) for v in out[pos])
+                    argb = (a << 24) | (r << 16) | (g << 8) | b
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+                pos += 1
+        else:  # color-cache hit
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("VP8L cache index beyond cache size")
+            argb = cache[idx]
+            out[pos] = (argb >> 24 & 0xFF, argb >> 16 & 0xFF,
+                        argb >> 8 & 0xFF, argb & 0xFF)
+            pos += 1
+    rgb = out[:, 1:4].astype(np.float64)
+    return {
+        "format": "webp",
+        "width": width,
+        "height": height,
+        "channels": 4 if alpha_hint else 3,
+        "maxval": 255,
+        "mean_level": float(rgb.mean()),
+    }
+
+
 def _parse_webp(payload: bytes) -> dict:
-    """WebP container/bitstream HEADER parse in pure stdlib: RIFF chunk
-    walk + VP8 (lossy), VP8L (lossless) and VP8X (extended) dimension
-    extraction.  Pixel decode genuinely needs a VP8 codec (none ships in
-    this container), so ``mean_level`` stays None — real dims/format
-    metadata, same contract as the BMP header path.  Malformed streams
-    raise ValueError → the kernel's fake_decode fallback."""
+    """WebP container parse + REAL pixel decode for the VP8L lossless
+    subset (see :func:`_decode_vp8l`): RIFF chunk walk, VP8 (lossy) and
+    VP8X (extended) dimension extraction from their headers, VP8L full
+    decode when the stream uses no transforms/entropy images — else
+    dims-only degradation.  VP8 lossy pixel decode genuinely needs a
+    codec (none ships in this container), so its ``mean_level`` stays
+    None — real dims/format metadata, same contract as the BMP header
+    path.  Malformed container/headers raise ValueError → the kernel's
+    fake_decode fallback."""
     import struct
 
     pos = 12
@@ -403,7 +647,7 @@ def _parse_webp(payload: bytes) -> dict:
             if body[0] != 0x2F:
                 raise ValueError("VP8L chunk missing signature byte")
             bits = struct.unpack_from("<I", body, 1)[0]
-            return {
+            meta = {
                 "format": "webp",
                 "width": (bits & 0x3FFF) + 1,
                 "height": ((bits >> 14) & 0x3FFF) + 1,
@@ -411,6 +655,14 @@ def _parse_webp(payload: bytes) -> dict:
                 "maxval": 255,
                 "mean_level": None,
             }
+            try:
+                return _decode_vp8l(body)
+            except _Vp8lUnsupported:
+                return meta  # transforms/entropy images: dims-only
+            except ValueError:
+                # damage past the verified header — keep the real dims
+                # (same degradation discipline as FLAC frame errors)
+                return meta
         if cid == b"VP8X" and len(body) >= 10:
             # extended: 24-bit little-endian (canvas dim - 1) fields
             w = 1 + int.from_bytes(body[4:7], "little")
@@ -1588,9 +1840,11 @@ def decode_media(media: DataFrame) -> DataFrame:
     images and PCM-WAV audio decode natively (header + numpy
     pixel/sample math; PNG via stdlib zlib + filter reconstruction,
     JPEG via its own Huffman+IDCT, GIF/baseline-TIFF via their own LZW
-    variants, FLAC via rice-coded subframe reconstruction); WebP/MP3
-    parse real metadata from their headers; anything else falls back to
-    the deterministic ``fake_decode`` (format=NULL marks the fallback).  Same 100 TB shape as the feature kernel:
+    variants, no-transform VP8L WebP via its own prefix-code+LZ77
+    decoder, FLAC via rice-coded subframe reconstruction); lossy-WebP/
+    MP3 parse real metadata from their headers; anything else falls
+    back to the deterministic ``fake_decode`` (format=NULL marks the
+    fallback).  Same 100 TB shape as the feature kernel:
     mapInPandas, no shuffle, Arrow batch memory bounded by
     maxRecordsPerBatch.
     """
@@ -2145,7 +2399,47 @@ def synthesize_media(doc_id: int) -> bytes:
         return (
             f"P6 {w} {h} 255\n".encode() + bytes([v]) * (w * h * 3)
         )
-    if kind == 1:  # WebP lossy VP8
+    if kind == 1:  # WebP: lossy VP8 header (even ids) / REAL VP8L (odd)
+        if doc_id % 2:
+            # constant-color lossless stream: no transforms/cache/meta,
+            # five simple 1-symbol prefix codes => zero data bits/pixel
+            acc = nbits = 0
+            out = bytearray(b"\x2f")
+
+            def put(v: int, nb: int) -> None:
+                nonlocal acc, nbits
+                acc |= v << nbits
+                nbits += nb
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            put(w - 1, 14)
+            put(h - 1, 14)
+            put(0, 1)  # alpha hint
+            put(0, 3)  # version
+            put(0, 1)  # no transforms
+            put(0, 1)  # no color cache
+            put(0, 1)  # no meta prefix
+            for sym in (
+                (doc_id * 5) % 256,  # green
+                (doc_id * 3) % 256,  # red
+                (doc_id * 7) % 256,  # blue
+                255,                 # alpha
+                0,                   # distance
+            ):
+                put(1, 1)  # simple code
+                put(0, 1)  # one symbol
+                put(1, 1)  # 8-bit symbol field
+                put(sym, 8)
+            if nbits:
+                out.append(acc & 0xFF)
+            chunk = b"VP8L" + struct.pack("<I", len(out)) + bytes(out)
+            chunk += b"\x00" * (len(out) & 1)
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+            )
         body = (
             b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
         )
