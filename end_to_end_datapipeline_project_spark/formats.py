@@ -141,14 +141,18 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT lang,
          count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         count(DISTINCT md5(text)) AS n_distinct_sigs
+         count(DISTINCT md5(text)) AS n_distinct_sigs,
+         CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+              AS BIGINT) AS sum_sig
   FROM documents
   GROUP BY lang
 """,
     doc="JSONL round-trip: documents → JSON lines → schema-declared "
-    "FAILFAST re-read → per-lang aggregate with a count(DISTINCT "
-    "md5(text)) content checksum, so any JSON escaping corruption of "
-    "free text flips the hash and fails the oracle.",
+    "FAILFAST re-read → per-lang aggregate with BOTH a count(DISTINCT "
+    "md5(text)) and an order-insensitive SUM of per-doc md5 prefixes — "
+    "the distinct count alone cannot see uniform corruption that "
+    "changes every hash without changing the count (the q_xml_roundtrip "
+    "lesson); the sum shifts on ANY text change and fails the oracle.",
 )
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage(sf_dir, "docs_jsonl")
@@ -157,10 +161,12 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_jsonl(docs, stage)
     back = read_jsonl(spark, stage, DOCS_JSONL_SCHEMA)
+    sig = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_sigs"),
+        F.sum(sig).alias("sum_sig"),
     )
 
 

@@ -379,8 +379,10 @@ class _Vp8lUnsupported(Exception):
     images) — the caller degrades to header-only dims, not an error."""
 
 
-#: pixel-count cap for full VP8L decode (per-pixel Python loop)
-_VP8L_DECODE_CAP = 1 << 20
+#: pixel-count cap for full VP8L decode: the per-pixel, bit-at-a-time
+#: Python loop measures ~1.3 s per 64k literal pixels, so the cap is
+#: set where one image stays around a second in the Spark kernel
+_VP8L_DECODE_CAP = 1 << 16
 
 
 class _Vp8lBits:
@@ -444,18 +446,23 @@ _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
 
 def _vp8l_distance_map() -> list:
     """The 120-entry close-neighborhood (dx, dy) table for distance
-    codes 1..120, constructed by the spec's ordering: increasing squared
-    distance, then larger dy first, then positive dx before negative."""
+    codes 1..120, ordered by increasing squared distance, then larger
+    dy first, then positive dx before negative.  The domain is pinned
+    by the plane encoding itself (code = dy*16 + (8-dx), one nibble per
+    axis): dy in [0, 7], dx in [-7, 8], dy==0 ⇒ dx>0 — exactly 120
+    pairs, so no truncation is involved.  A wider domain would be
+    WRONG, not just different: e.g. (0, 8) has a smaller norm than
+    (8, 0) and would shift every later code's meaning."""
     cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
-            if dy > 0 or dx > 0:
-                cands.append((dx, dy))
+            cands.append((dx, dy))
+    assert len(cands) == 120
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
                               0 if p[0] >= 0 else 1, abs(p[0])))
-    return cands[:120]
+    return cands
 
 
 _VP8L_DIST = _vp8l_distance_map()

@@ -60,14 +60,17 @@ def canonical(lengths):
 
 
 def simple_code(w, syms):
-    """The 'simple' prefix-code form; returns emit(symbol)."""
+    """The 'simple' prefix-code form; returns emit(symbol).  Codes are
+    CANONICAL (smaller symbol gets code 0) regardless of listing order,
+    so a descending pair exercises the decoder's assignment."""
     w.put(1, 1)
     w.put(len(syms) - 1, 1)
     w.put(1, 1)  # 8-bit first symbol
     w.put(syms[0], 8)
     if len(syms) == 2:
         w.put(syms[1], 8)
-        table = {syms[0]: (0, 1), syms[1]: (1, 1)}
+        lo, hi = sorted(syms)
+        table = {lo: (0, 1), hi: (1, 1)}
     else:
         table = {syms[0]: (0, 0)}
     return lambda s: w.put_code_msb(*table[s])
@@ -145,12 +148,28 @@ def test_distance_map_matches_spec_prefix():
     assert len(set(m)) == 120
 
 
+def test_distance_map_matches_spec_tail():
+    """The TAIL is where a wrong candidate domain shows up (an (0,8) or
+    (-8,y) pair would shift every later code): pin codes 93..102 and
+    117..120 against the reference plane-code table (libwebp
+    kCodeToPlane inverted: dy = code>>4, dx = 8-(code&0xF))."""
+    m = _vp8l_distance_map()
+    assert m[92:101] == [
+        (5, 6), (-5, 6), (6, 5), (-6, 5), (8, 0), (4, 7), (-4, 7),
+        (7, 4), (-7, 4),
+    ]
+    assert m[101] == (8, 1)
+    assert m[116:120] == [(7, 7), (-7, 7), (8, 6), (8, 7)]
+    # domain bounds enforced by the nibble encoding
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in m)
+
+
 # ---- prefix-code forms -------------------------------------------------------
 
 
 def test_two_symbol_simple_codes_checkerboard():
     W_, H_ = 10, 6
-    ga, gb = 40, 200
+    ga, gb = 200, 40  # DESCENDING pair: canonical order != listing order
     w = WLSB()
     w.put(0x2F, 8)
     vp8l_header(w, W_, H_)
