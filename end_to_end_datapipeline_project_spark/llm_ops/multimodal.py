@@ -2568,11 +2568,24 @@ def synthesize_media(doc_id: int) -> bytes:
               WHEN 3 THEN floor((8 + doc_id % 16) * 1152 * 1000.0 / 44100)
               WHEN 4 THEN floor(1000 * (1 + doc_id % 90) * 1000.0 / 44100)
               WHEN 5 THEN floor(160 * (1 + doc_id % 10) * 1000.0 / 8000)
-              END AS BIGINT) AS duration_ms
+              END AS BIGINT) AS duration_ms,
+         CAST(CASE
+              WHEN doc_id % 7 IN (0, 2)
+                   THEN round(CAST(doc_id % 256 AS DOUBLE), 6)
+              WHEN doc_id % 7 = 1 AND doc_id % 2 = 1
+                   THEN round(((doc_id * 5) % 256 + (doc_id * 3) % 256
+                               + (doc_id * 7) % 256) / 3.0, 6)
+              WHEN doc_id % 7 = 4
+                   THEN round((doc_id % 16384) / 32768.0, 6)
+              WHEN doc_id % 7 = 5 THEN 0.0
+              END AS DOUBLE) AS level6
   FROM documents
 """,
     doc="Real-decoder oracle loop: forge a spec-valid PPM/WebP/TIFF/MP3/"
-    "FLAC/WAV/GIF payload per doc (every parameter closed-form in doc_id), "
+    "FLAC/WAV/GIF payload per doc (every parameter closed-form in "
+    "doc_id, including the decoded pixel mean / PCM RMS for the "
+    "constant-level formats — column level6 verifies decoded VALUES, "
+    "not just metadata), "
     "push it through the SAME decode_media Arrow kernel production "
     "payloads take, and oracle-check the decoded metadata against the "
     "closed forms — the decode surface itself (marker walks, IFD "
@@ -2609,4 +2622,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         "sample_rate",
         "duration_ms",
+        # decoded VALUES, not just metadata: constant-level fixtures
+        # have closed-form pixel means / RMS the oracle recomputes.
+        # GIF's diagonal-wash mean exists but is grid-modular-arithmetic
+        # hostile in SQL, so it stays pytest-verified (test_gif_decode)
+        F.when(
+            F.col("format").isin("ppm", "tiff", "webp", "flac", "wav"),
+            F.round(F.col("mean_level"), 6),
+        ).alias("level6"),
     )
