@@ -157,13 +157,30 @@ def decode_image(payload: bytes) -> dict:
             or pixel_offset > len(payload)
         ):
             raise ValueError("BM magic but not a structurally valid BMP")
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        mean_level = None
+        if compression == 0 and bpp in (24, 32):
+            # uncompressed BI_RGB: rows padded to 4 bytes, bottom-up
+            # unless height < 0; mean over B,G,R (alpha excluded — it
+            # is routinely zero-filled and would skew the level).
+            # Row order does not change the mean, so no flip needed.
+            n_ch = bpp // 8
+            stride = (width * n_ch + 3) & ~3
+            need = stride * abs(height)
+            if pixel_offset + need > len(payload):
+                raise ValueError("BMP pixel array extends past end of file")
+            rows = np.frombuffer(
+                payload, np.uint8, need, pixel_offset
+            ).reshape(abs(height), stride)
+            px = rows[:, : width * n_ch].reshape(abs(height), width, n_ch)
+            mean_level = float(px[:, :, :3].mean()) if px.size else 0.0
         return {
             "format": "bmp",
             "width": width,
             "height": abs(height),
             "channels": bpp // 8,
             "maxval": 255,
-            "mean_level": None,  # pixel layout depends on compression field
+            "mean_level": mean_level,  # None: palette/16-bit/RLE variants
         }
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
@@ -696,13 +713,15 @@ def _decode_png(payload: bytes) -> dict:
     zlib-inflate of the IDAT stream, scanline filter reconstruction
     (types 0-4 incl. Paeth).
 
-    Supported: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA), no interlace.  Palette (type 3), 16-bit samples and Adam7
-    raise ValueError → the kernel's fake_decode fallback — same
-    discipline as the BMP structural checks: malformed or unsupported
-    payloads must never surface as a "real" decode with garbage pixels,
-    and every chunk CRC is verified so corrupt bytes are caught before
-    zlib sees them.
+    Supported: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), both no-interlace and Adam7 (each of the 7
+    sub-images unfilters independently; every pixel lands in exactly
+    one pass, so statistics need no re-placement).  Sub-8-bit and
+    16-bit samples raise ValueError → the kernel's fake_decode
+    fallback — same discipline as the BMP structural checks: malformed
+    or unsupported payloads must never surface as a "real" decode with
+    garbage pixels, and every chunk CRC is verified so corrupt bytes
+    are caught before zlib sees them.
     """
     import struct
     import zlib
@@ -712,6 +731,7 @@ def _decode_png(payload: bytes) -> dict:
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
+    plte = None
     idat = bytearray()
     while True:
         if pos + 12 > len(payload):
@@ -726,6 +746,10 @@ def _decode_png(payload: bytes) -> dict:
         if ctype == b"IHDR":
             (width, height, bit_depth, color_type,
              _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -735,62 +759,98 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("PNG missing IHDR or IDAT")
     if (
         bit_depth != 8
-        or color_type not in _PNG_CHANNELS
-        or interlace != 0
+        or (color_type not in _PNG_CHANNELS and color_type != 3)
+        or interlace not in (0, 1)
         or _comp != 0
         or _filt != 0
     ):
         raise ValueError(
-            "unsupported PNG variant (palette/16-bit/interlaced/"
+            "unsupported PNG variant (sub-8-bit/16-bit samples or "
             "non-zero compression or filter method)"
         )
-    channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+
+    def unfilter(raw: bytes, w_px: int, h_px: int):
+        """Reconstruct one (sub-)image's scanlines (filters 0-4)."""
+        stride = w_px * channels
+        if len(raw) != h_px * (stride + 1):
+            raise ValueError("PNG pixel data does not match dimensions")
+        arr = np.frombuffer(raw, np.uint8).reshape(h_px, stride + 1)
+        filters = arr[:, 0]
+        rows = arr[:, 1:].astype(np.int32)
+        bpp = channels  # bytes per pixel at 8-bit depth
+        prev = np.zeros(stride, dtype=np.int32)
+        recon = np.empty((h_px, stride), dtype=np.uint8)
+        for y in range(h_px):
+            f = int(filters[y])
+            row = rows[y]
+            if f == 0:  # None
+                cur = row
+            elif f == 1:  # Sub — per-lane cumsum, vectorized
+                cur = row.copy()
+                for lane in range(bpp):
+                    cur[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+            elif f == 2:  # Up — fully vectorized
+                cur = (row + prev) % 256
+            elif f == 3:  # Average — left-sequential
+                cur = np.empty(stride, dtype=np.int32)
+                for i in range(stride):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+            elif f == 4:  # Paeth — inherently sequential
+                cur = np.empty(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[i] = (row[i] + pred) % 256
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            recon[y] = cur
+            prev = cur
+        return recon
+
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data does not match IHDR dimensions")
-    arr = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
-    filters = arr[:, 0]
-    rows = arr[:, 1:].astype(np.int32)
-    bpp = channels  # bytes per pixel at 8-bit depth
-    prev = np.zeros(stride, dtype=np.int32)
-    total = 0
-    for y in range(height):
-        f = int(filters[y])
-        row = rows[y]
-        if f == 0:  # None
-            cur = row
-        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] → per-lane
-            cur = row.copy()  # cumsum, vectorized per byte lane
-            for lane in range(bpp):
-                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
-        elif f == 2:  # Up — fully vectorized
-            cur = (row + prev) % 256
-        elif f == 3:  # Average — left-sequential
-            cur = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth — inherently sequential
-            cur = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (row[i] + pred) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        total += int(cur.sum())
-        prev = cur
-    n_px = height * stride
+    if interlace == 0:
+        blocks = [unfilter(raw, width, height)]
+    else:  # Adam7: 7 independently-filtered sub-images, in spec order
+        blocks = []
+        at = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p <= 0 or h_p <= 0:
+                continue
+            size = h_p * (w_p * channels + 1)
+            blocks.append(unfilter(raw[at : at + size], w_p, h_p))
+            at += size
+        if at != len(raw):
+            raise ValueError("PNG Adam7 stream length mismatch")
+    if color_type == 3:
+        idx = np.concatenate([b.ravel() for b in blocks])
+        if idx.size and int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index beyond PLTE size")
+        total = int(plte[idx].astype(np.int64).sum())
+        n_px = idx.size * 3
+        channels_out = 3
+    else:
+        total = sum(int(b.astype(np.int64).sum()) for b in blocks)
+        n_px = sum(b.size for b in blocks)
+        channels_out = channels
     return {
         "format": "png",
         "width": width,
         "height": height,
-        "channels": channels,
+        "channels": channels_out,
         "maxval": 255,
         "mean_level": (total / n_px) if n_px else 0.0,
     }

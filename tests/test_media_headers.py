@@ -242,3 +242,61 @@ def test_flac_malformed_raises_valueerror():
     bad = b"fLaC" + b"\x84" + (34).to_bytes(3, "big") + b"\x00" * 34
     with pytest.raises(ValueError):
         decode_audio(bad)
+
+
+# ---- BMP pixel mean ---------------------------------------------------------
+
+
+def _bmp(px, bpp, compression=0, top_down=False):
+    """Independent BMP builder: (h, w, ch) uint8 pixels, BI_RGB rows
+    padded to 4 bytes."""
+    import struct as s
+
+    h, w, ch = px.shape
+    stride = (w * ch + 3) & ~3
+    rows = bytearray()
+    for y in range(h):
+        row = bytes(px[y].reshape(-1)) + b"\x00" * (stride - w * ch)
+        rows += row
+    off = 14 + 40
+    header = b"BM" + s.pack("<IHHI", off + len(rows), 0, 0, off)
+    dib = s.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+        compression, len(rows), 2835, 2835, 0, 0,
+    )
+    return header + dib + bytes(rows)
+
+
+def test_bmp_uncompressed_mean_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    for ch, bpp in ((3, 24), (4, 32)):
+        px = rng.integers(0, 256, (5, 7, ch)).astype(np.uint8)
+        d = decode_image(_bmp(px, bpp))
+        assert (d["format"], d["width"], d["height"]) == ("bmp", 7, 5)
+        # mean over B,G,R only — alpha excluded by design
+        assert d["mean_level"] == pytest.approx(
+            float(px[:, :, :3].mean()), abs=1e-9
+        )
+        # top-down (negative height) has the same mean
+        d2 = decode_image(_bmp(px, bpp, top_down=True))
+        assert d2["mean_level"] == d["mean_level"]
+
+
+def test_bmp_compressed_variant_degrades_to_header():
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    d = decode_image(_bmp(px, 24, compression=1))  # BI_RLE8-style id
+    assert (d["width"], d["height"]) == (4, 4)
+    assert d["mean_level"] is None
+
+
+def test_bmp_truncated_pixels_refused():
+    import numpy as np
+
+    px = np.full((6, 6, 3), 9, np.uint8)
+    f = _bmp(px, 24)
+    with pytest.raises(ValueError):
+        decode_image(f[: len(f) - 30])

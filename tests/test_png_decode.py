@@ -138,8 +138,115 @@ def test_png_nonzero_method_bytes_refused():
             decode_image(png)
 
 
+def _filter_rows(px: np.ndarray, bpp: int, filters) -> bytes:
+    """Apply PNG row filters to an (h, stride) int array — shared by the
+    Adam7 and palette encoders below, same math as encode_png."""
+    h, stride = px.shape
+    out = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = px[y]
+        prev = px[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        filt = np.empty(stride, dtype=np.int64)
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+            filt[i] = (row[i] - pred) % 256
+        out.append(f)
+        out.extend(filt.astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png_adam7(pixels3: np.ndarray, color_type: int) -> bytes:
+    """Adam7-interlaced encoder: each pass's sub-image filtered
+    independently (filters cycle 0-4), streams concatenated in spec
+    order.  ``pixels3`` is (h, w, channels) uint8."""
+    h, w, ch = pixels3.shape
+    px = pixels3.astype(np.int64)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp, wp = sub.shape[:2]
+        out += _filter_rows(sub.reshape(hp, wp * ch), ch,
+                            [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(idx: np.ndarray, plte: np.ndarray,
+                       filters=(0, 1, 2, 3, 4)) -> bytes:
+    """Color-type-3 encoder: ``idx`` (h, w) uint8 indices, ``plte``
+    (n, 3) uint8 palette."""
+    h, w = idx.shape
+    out = _filter_rows(idx.astype(np.int64), 1, list(filters))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(out))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_matches_sequential():
+    rng = np.random.default_rng(7)
+    for h, w, ct, ch in ((13, 17, 2, 3), (9, 5, 0, 1), (16, 8, 6, 4)):
+        px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        plain = decode_image(
+            encode_png(px.reshape(h, w * ch), ct, [y % 5 for y in range(h)])
+        )
+        inter = decode_image(encode_png_adam7(px, ct))
+        assert inter == plain
+        assert inter["mean_level"] == pytest.approx(float(px.mean()),
+                                                    abs=1e-9)
+
+
+def test_png_palette_maps_through_plte():
+    rng = np.random.default_rng(8)
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (11, 7)).astype(np.uint8)
+    d = decode_image(encode_png_palette(idx, plte))
+    assert (d["format"], d["channels"]) == ("png", 3)
+    assert d["mean_level"] == pytest.approx(float(plte[idx].mean()),
+                                            abs=1e-9)
+
+
+def test_png_palette_index_beyond_plte_refused():
+    plte = np.zeros((4, 3), np.uint8)
+    idx = np.full((3, 3), 9, np.uint8)  # index 9 with 4-entry palette
+    with pytest.raises(ValueError):
+        decode_image(encode_png_palette(idx, plte))
+
+
 def test_png_unsupported_variants_refused():
-    # palette color type
+    # palette color type WITHOUT a PLTE chunk
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     pal = (
         b"\x89PNG\r\n\x1a\n"
