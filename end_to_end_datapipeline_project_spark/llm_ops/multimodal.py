@@ -160,6 +160,10 @@ def decode_image(payload: bytes) -> dict:
         compression = struct.unpack_from("<I", payload, 30)[0]
         mean_level = None
         if compression == 0 and bpp in (24, 32):
+            if pixel_offset < 14 + dib_size:
+                # an offset pointing inside the headers would average
+                # header bytes and emit them as a "real" decode
+                raise ValueError("BMP pixel offset inside the header area")
             # uncompressed BI_RGB: rows padded to 4 bytes, bottom-up
             # unless height < 0; mean over B,G,R (alpha excluded — it
             # is routinely zero-filled and would skew the level).
@@ -704,7 +708,8 @@ def _parse_webp(payload: bytes) -> dict:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: color type -> samples per pixel (palette type 3 is refused)
+#: color type -> samples per pixel (palette type 3 is handled
+#: separately: 1 index byte per pixel, mapped through PLTE to RGB)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -836,14 +841,19 @@ def _decode_png(payload: bytes) -> dict:
         if at != len(raw):
             raise ValueError("PNG Adam7 stream length mismatch")
     if color_type == 3:
-        idx = np.concatenate([b.ravel() for b in blocks])
-        if idx.size and int(idx.max()) >= len(plte):
+        # O(palette) reduction: histogram the indices per block, dot
+        # with per-entry RGB sums — no (n_pixels, 3) materialization
+        counts = np.zeros(256, np.int64)
+        for b in blocks:
+            counts += np.bincount(b.ravel(), minlength=256)
+        if int(counts[len(plte) :].sum()):
             raise ValueError("PNG palette index beyond PLTE size")
-        total = int(plte[idx].astype(np.int64).sum())
-        n_px = idx.size * 3
+        entry_sums = plte.sum(axis=1, dtype=np.int64)
+        total = int(counts[: len(plte)] @ entry_sums)
+        n_px = int(counts.sum()) * 3
         channels_out = 3
     else:
-        total = sum(int(b.astype(np.int64).sum()) for b in blocks)
+        total = sum(int(b.sum(dtype=np.int64)) for b in blocks)
         n_px = sum(b.size for b in blocks)
         channels_out = channels
     return {

@@ -300,3 +300,17 @@ def test_bmp_truncated_pixels_refused():
     f = _bmp(px, 24)
     with pytest.raises(ValueError):
         decode_image(f[: len(f) - 30])
+
+
+def test_bmp_pixel_offset_inside_header_refused():
+    """A crafted pixel_offset pointing at the headers must not average
+    header bytes into a 'real' mean (reproduced pre-fix: offset 0 on an
+    all-0xFF image returned 17.75 instead of 255.0)."""
+    import numpy as np
+    import struct as s
+
+    px = np.full((2, 2, 3), 0xFF, np.uint8)
+    f = bytearray(_bmp(px, 24))
+    s.pack_into("<I", f, 10, 0)  # pixel_offset = 0
+    with pytest.raises(ValueError):
+        decode_image(bytes(f))
