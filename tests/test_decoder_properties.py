@@ -1,0 +1,189 @@
+"""Property-based decoder tests (hypothesis): randomized images/streams
+round-tripped through the INDEPENDENT test-side encoders and checked
+against numpy ground truth.  The example-based suites pin specific
+shapes; these sweep the edge geometry — 1-pixel dims, odd sizes where
+Adam7 passes go empty, palettes of every power-of-two size, random
+filter mixes — no Spark involved, so examples are cheap."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+    _decode_gif,
+    _decode_vp8l,
+    _gif_lzw_decode,
+    _packbits_decode,
+    _tiff_lzw_decode,
+    decode_audio,
+    decode_image,
+)
+
+from test_flac_decode import flac_file, rms_of
+from test_gif_decode import _lzw_encode as gif_lzw_encode, _make_gif
+from test_png_decode import encode_png, encode_png_adam7, encode_png_palette
+from test_tiff_decode import (
+    _build_tiff,
+    _lzw_encode_tiff,
+    _packbits_encode,
+)
+from test_vp8l_decode import WLSB, normal_code, simple_code, vp8l_header
+
+
+# ---- raw codec round-trips ---------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=4000), st.integers(2, 8))
+def test_gif_lzw_roundtrip_any_bytes(data, min_code):
+    idx = bytes(b % (1 << min_code) for b in data)
+    if not idx:
+        return  # GIF images always have >=1 pixel; empty is not a case
+    assert bytes(_gif_lzw_decode(gif_lzw_encode(idx, min_code),
+                                 min_code, len(idx))) == idx
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=1, max_size=4000))
+def test_tiff_lzw_roundtrip_any_bytes(data):
+    assert bytes(_tiff_lzw_decode(_lzw_encode_tiff(data))) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_packbits_roundtrip_any_bytes(data):
+    assert bytes(_packbits_decode(_packbits_encode(data))) == data
+
+
+# ---- GIF ----------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 24), st.integers(1, 24),
+    st.sampled_from([1, 2, 3]),  # color-table size field => 4/8/16 entries
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_mean_matches_numpy(w, h, size_field, interlaced, seed):
+    rng = np.random.default_rng(seed)
+    n = 2 << size_field
+    palette = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    idx = rng.integers(0, n, w * h).astype(np.uint8)
+    gif = _make_gif(w, h, palette, idx, size_field + 1,
+                    interlaced=interlaced)
+    d = _decode_gif(gif)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_level"] == pytest.approx(float(palette[idx].mean()),
+                                            abs=1e-9)
+
+
+# ---- PNG ----------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 20), st.integers(1, 20),
+    st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_adam7_any_geometry(w, h, ct_ch, seed):
+    """Adam7 with arbitrary dims: w or h < 8 leaves whole passes empty —
+    the decoder's pass accounting must still consume the exact stream."""
+    ct, ch = ct_ch
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    d = decode_image(encode_png_adam7(px, ct))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_level"] == pytest.approx(float(px.mean()), abs=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16),
+       st.integers(1, 8), st.integers(0, 2**32 - 1))
+def test_png_palette_any_size(w, h, n_entries, seed):
+    rng = np.random.default_rng(seed)
+    plte = rng.integers(0, 256, (n_entries, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_entries, (h, w)).astype(np.uint8)
+    d = decode_image(encode_png_palette(idx, plte))
+    assert d["mean_level"] == pytest.approx(float(plte[idx].mean()),
+                                            abs=1e-9)
+
+
+# ---- TIFF ---------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 16), st.integers(1, 16), st.sampled_from([1, 3, 4]),
+    st.sampled_from([1, 5, 32773]), st.integers(1, 16),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_mean_any_geometry(w, h, ch, compression, rps, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    d = decode_image(
+        _build_tiff(w, h, ch, px, compression=compression,
+                    rows_per_strip=min(rps, h))
+    )
+    assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+    assert d["mean_level"] == pytest.approx(float(px.mean()), abs=1e-9)
+
+
+# ---- FLAC ---------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 96),
+    st.sampled_from(["verbatim", "fixed"]),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+def test_flac_mono_rms_any_block(n, kind, order, seed):
+    if kind == "fixed" and order >= n:
+        order = max(0, n - 1)
+    rng = np.random.default_rng(seed)
+    s = [int(v) for v in rng.integers(-3000, 3000, n)]
+    kw = {"kind": kind}
+    if kind == "fixed":
+        kw["order"] = order
+    d = decode_audio(flac_file([(s, kw)], n, 0, 1))
+    assert d["n_samples"] == n
+    assert d["rms"] == pytest.approx(rms_of([s]), abs=1e-12)
+
+
+# ---- VP8L ---------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16),
+       st.integers(2, 6), st.integers(0, 2**32 - 1))
+def test_vp8l_literals_any_geometry(w, h, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    palette = sorted(
+        int(v) for v in rng.choice(256, size=n_colors, replace=False)
+    )
+    px = rng.integers(0, n_colors, w * h)
+    wr = WLSB()
+    wr.put(0x2F, 8)
+    vp8l_header(wr, w, h)
+    wr.put(0, 1)
+    wr.put(0, 1)
+    wr.put(0, 1)
+    lengths = {p: max(1, (n_colors - 1).bit_length()) for p in palette}
+    eg = normal_code(wr, lengths, 256 + 24)
+    er = normal_code(wr, lengths, 256)
+    eb = normal_code(wr, lengths, 256)
+    ea = simple_code(wr, [255])
+    simple_code(wr, [0])
+    for i in px:
+        v = palette[int(i)]
+        eg(v)
+        er(v)
+        eb(v)
+        ea(255)
+    d = _decode_vp8l(wr.done())
+    exp = float(np.mean([palette[int(i)] for i in px]))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_level"] == pytest.approx(exp, abs=1e-9)
