@@ -618,3 +618,100 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, trans, f"stream_geofence_{next(_MEM_SEQ)}", complete=False
     )
+
+
+def _stage_docs_dir(spark: SparkSession, sf_dir: str) -> tuple:
+    """Landing-dir staging for a documents file-source stream: same
+    symlink discipline as :func:`_stage_events_dir` (content-keyed
+    stage via sources.stage_dir, race-safe symlink), but documents have
+    no nanos-timestamp column so no ts normalization is needed."""
+    import os
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = stage_dir(
+        "spark_graft_stream", _STREAM_STAGE_EPOCH, sf_dir, "documents"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/documents.parquet"
+    target = f"{sf_dir}/documents.parquet"
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.exists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
+    return stage, schema
+
+
+@register(
+    "q_stream_media_decode",
+    """
+  WITH f AS (
+    SELECT doc_id,
+           CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'webp'
+                WHEN 2 THEN 'tiff' WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac'
+                WHEN 5 THEN 'wav' ELSE 'gif' END AS media_format,
+           CASE WHEN doc_id % 7 IN (0, 1, 2, 6)
+                THEN 16 + doc_id % 48 END AS w,
+           CASE doc_id % 7
+                WHEN 3 THEN floor((8 + doc_id % 16) * 1152 * 1000.0 / 44100)
+                WHEN 4 THEN floor(1000 * (1 + doc_id % 90) * 1000.0 / 44100)
+                WHEN 5 THEN floor(160 * (1 + doc_id % 10) * 1000.0 / 8000)
+           END AS dur
+    FROM documents
+  )
+  SELECT media_format,
+         count(*) AS n_assets,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(dur) AS BIGINT) AS sum_duration_ms
+  FROM f GROUP BY media_format
+""",
+    doc="Structured Streaming THROUGH the real media decoders: a "
+    "file-source stream of documents is forged into spec-valid "
+    "payloads (mapInPandas) and pushed through the SAME decode_media "
+    "Arrow kernel the batch path uses — two chained Python kernels "
+    "running inside micro-batches — then aggregated per DECODED format "
+    "in complete mode (availableNow trigger, memory sink).  The oracle "
+    "recomputes counts/width/duration sums from the closed forms, so "
+    "the streaming execution of the decode surface is driver-verified. "
+    "Scale shape: kernels are stateless per-batch (no state store); "
+    "the only stateful operator is the final O(formats) aggregate.",
+)
+def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .llm_ops.multimodal import decode_media, synthesize_media
+
+    stage, schema = _stage_docs_dir(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(stage).select("doc_id")
+
+    def forge(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "kind": "synthetic",
+                    "payload": [
+                        synthesize_media(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = stream.mapInPandas(
+        forge, "asset_id long, kind string, payload binary"
+    )
+    agg = (
+        decode_media(media)
+        .groupBy(F.col("format").alias("media_format"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("width").alias("sum_width"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+        )
+    )
+    return run_stream_to_memory(
+        spark, agg, f"stream_media_decode_{next(_MEM_SEQ)}", complete=True
+    )
