@@ -425,3 +425,56 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q_parquet_bloom_skip",
+    f"""
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         {dsum("o_totalprice")} AS sum_price
+  FROM orders
+  WHERE o_custkey IN (7, 21, 42)
+  GROUP BY o_orderstatus
+""",
+    doc="Write-side parquet BLOOM FILTERS + point-lookup pushdown: orders "
+    "are staged as parquet with a bloom filter on o_custkey "
+    "(parquet.bloom.filter.enabled#o_custkey, expected NDV sized to the "
+    "key domain) and probed with an IN point lookup. Min/max row-group "
+    "stats cannot skip anything for a high-cardinality key scattered "
+    "through every row group — exactly the 100 TB case (customer/user/"
+    "session-id lookups on unsorted landing data); the bloom sidecar "
+    "lets parquet-mr drop row groups BEFORE decoding any pages, turning "
+    "the scan cost from O(data) into O(matching row groups). The "
+    "predicate reaches the scan as PushedFilters: [In(o_custkey, ...)] "
+    "— plan-asserted in tests/test_physical.py — and the oracle "
+    "aggregates the original parquet, proving the bloom-filtered copy "
+    "is lossless.",
+)
+def q_parquet_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(sf_dir, "orders_bloom_v2")
+    # parquet-mr SKIPS bloom filters for columns whose pages are fully
+    # dictionary-encoded (the dictionary already answers membership
+    # exactly) — true for any test-SF key column, so the sidecar would
+    # never materialize here.  At 100 TB the key overflows the
+    # dictionary-page limit and falls back to plain encoding, which is
+    # precisely when blooms earn their keep; the staged copy disables
+    # the dictionary for the key column to land in that regime.
+    claim_staged(
+        stage,
+        lambda tmp: read_parquet_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(tmp),
+    )
+    back = spark.read.parquet(stage)
+    return (
+        back.filter(F.col("o_custkey").isin(7, 21, 42))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            spark_dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
