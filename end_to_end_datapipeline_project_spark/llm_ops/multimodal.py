@@ -2459,6 +2459,27 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+#: output schema of :func:`forge_media_kernel`
+MEDIA_FORGE_SCHEMA = "asset_id long, kind string, payload binary"
+
+
+def forge_media_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel turning doc_id rows into forged spec-valid
+    media payloads — SHARED by the batch (q_media_decode) and streaming
+    (q_stream_media_decode) oracle loops so the two paths exercise an
+    identical forging contract and can never silently diverge."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["doc_id"].astype("int64"),
+                "kind": "synthetic",
+                "payload": [synthesize_media(int(i)) for i in pdf["doc_id"]],
+            }
+        )
+
+
 def synthesize_media(doc_id: int) -> bytes:
     """Deterministic REAL media payload for a doc id — format cycles
     ppm/webp/tiff/mp3/flac/wav/gif, every parameter a closed-form
@@ -2668,22 +2689,7 @@ def synthesize_media(doc_id: int) -> bytes:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
     docs = pin_parallelism(docs, "doc_id")
-
-    def forge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"].astype("int64"),
-                    "kind": "synthetic",
-                    "payload": [
-                        synthesize_media(int(i)) for i in pdf["doc_id"]
-                    ],
-                }
-            )
-
-    media = docs.mapInPandas(
-        forge, "asset_id long, kind string, payload binary"
-    )
+    media = docs.mapInPandas(forge_media_kernel, MEDIA_FORGE_SCHEMA)
     return decode_media(media).select(
         "asset_id",
         F.col("format").alias("media_format"),

@@ -37,28 +37,22 @@ _MEM_SEQ = __import__("itertools").count(1)
 _STREAM_STAGE_EPOCH = "v1"
 
 
-def _stage_events_dir(spark: SparkSession, sf_dir: str, leaf: str):
-    """Shared landing-dir staging for the file-source streams: pin the
-    session confs, content-key the stage (uid-suffixed root + parquet
-    mtime/size fingerprint via sources.stage_dir — a schema-only key
-    missed in-place data regeneration), and symlink the events parquet
-    in race-safely.  Returns (stage, schema, ts_type).
-    """
+def _stage_table_dir(spark: SparkSession, sf_dir: str, leaf: str,
+                     table: str):
+    """Landing-dir staging for ANY file-source stream table: content-key
+    the stage (uid-suffixed root + parquet mtime/size fingerprint via
+    sources.stage_dir — a schema-only key missed in-place data
+    regeneration), and symlink the table's parquet in race-safely.
+    Returns (stage, schema)."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # defensive pinning, mirroring sources.read_parquet_table: the
-    # driver contract may hand us any SparkSession, and the ntz->ltz
-    # cast shifts instants unless the session is UTC
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     stage = stage_dir(
         "spark_graft_stream", _STREAM_STAGE_EPOCH, sf_dir, leaf
     )
     os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    target = f"{sf_dir}/events.parquet"
+    link = f"{stage}/{table}.parquet"
+    target = f"{sf_dir}/{table}.parquet"
     if os.path.islink(link) and os.readlink(link) != target:
         os.remove(link)
     if not os.path.exists(link):
@@ -67,6 +61,20 @@ def _stage_events_dir(spark: SparkSession, sf_dir: str, leaf: str):
         except FileExistsError:
             pass  # concurrent process won the exists→symlink race; the
             # content-keyed stage guarantees its target is identical
+    return stage, schema
+
+
+def _stage_events_dir(spark: SparkSession, sf_dir: str, leaf: str):
+    """Events staging: the shared table staging plus the ts-specific
+    session pinning the nanos column needs.  Returns
+    (stage, schema, ts_type)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive pinning, mirroring sources.read_parquet_table: the
+    # driver contract may hand us any SparkSession, and the ntz->ltz
+    # cast shifts instants unless the session is UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    stage, schema = _stage_table_dir(spark, sf_dir, leaf, "events")
     ts_type = dict(
         zip(schema.names, [f.dataType.typeName() for f in schema.fields])
     ).get("ts")
@@ -620,30 +628,6 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stage_docs_dir(spark: SparkSession, sf_dir: str) -> tuple:
-    """Landing-dir staging for a documents file-source stream: same
-    symlink discipline as :func:`_stage_events_dir` (content-keyed
-    stage via sources.stage_dir, race-safe symlink), but documents have
-    no nanos-timestamp column so no ts normalization is needed."""
-    import os
-
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stage = stage_dir(
-        "spark_graft_stream", _STREAM_STAGE_EPOCH, sf_dir, "documents"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/documents.parquet"
-    target = f"{sf_dir}/documents.parquet"
-    if os.path.islink(link) and os.readlink(link) != target:
-        os.remove(link)
-    if not os.path.exists(link):
-        try:
-            os.symlink(target, link)
-        except FileExistsError:
-            pass
-    return stage, schema
-
-
 @register(
     "q_stream_media_decode",
     """
@@ -679,30 +663,15 @@ def _stage_docs_dir(spark: SparkSession, sf_dir: str) -> tuple:
     "the only stateful operator is the final O(formats) aggregate.",
 )
 def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from typing import Iterator
-
-    import pandas as pd
-
-    from .llm_ops.multimodal import decode_media, synthesize_media
-
-    stage, schema = _stage_docs_dir(spark, sf_dir)
-    stream = spark.readStream.schema(schema).parquet(stage).select("doc_id")
-
-    def forge(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"].astype("int64"),
-                    "kind": "synthetic",
-                    "payload": [
-                        synthesize_media(int(i)) for i in pdf["doc_id"]
-                    ],
-                }
-            )
-
-    media = stream.mapInPandas(
-        forge, "asset_id long, kind string, payload binary"
+    from .llm_ops.multimodal import (
+        MEDIA_FORGE_SCHEMA,
+        decode_media,
+        forge_media_kernel,
     )
+
+    stage, schema = _stage_table_dir(spark, sf_dir, "documents", "documents")
+    stream = spark.readStream.schema(schema).parquet(stage).select("doc_id")
+    media = stream.mapInPandas(forge_media_kernel, MEDIA_FORGE_SCHEMA)
     agg = (
         decode_media(media)
         .groupBy(F.col("format").alias("media_format"))

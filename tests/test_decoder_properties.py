@@ -21,7 +21,7 @@ from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
 
 from test_flac_decode import flac_file, rms_of
 from test_gif_decode import _lzw_encode as gif_lzw_encode, _make_gif
-from test_png_decode import encode_png, encode_png_adam7, encode_png_palette
+from test_png_decode import encode_png_adam7, encode_png_palette
 from test_tiff_decode import (
     _build_tiff,
     _lzw_encode_tiff,

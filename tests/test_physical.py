@@ -125,7 +125,7 @@ def test_compaction_bounds_file_count(spark, sf_dir):
     assert 1 <= len(compact) <= _COMPACT_TARGET_FILES
 
 
-def test_parquet_bloom_point_lookup_pushdown(spark, sf_dir):
+def test_parquet_bloom_point_lookup_pushdown(spark, sf_dir, tmp_path):
     """The IN point lookup must reach the bloom-filtered parquet scan as
     a pushed filter (row-group skipping happens inside parquet-mr; the
     pushed predicate is its prerequisite), and the bloom write option
@@ -167,7 +167,11 @@ def test_parquet_bloom_point_lookup_pushdown(spark, sf_dir):
             "parquet.enable.dictionary#o_custkey": "false",
         }),
     ):
-        out = f"{_stage(sf_dir, 'orders_bloom_v2')}_probe_{name}"
+        # tmp_path, not the shared content-keyed stage: probe dirs are
+        # throwaway and a deterministic shared path would race between
+        # concurrent suite runs (claim_staged exists for exactly that;
+        # per-test tmp_path sidesteps it entirely)
+        out = str(tmp_path / f"probe_{name}")
         w = src_df.write.mode("overwrite")
         for k, v in opts.items():
             w = w.option(k, v)
