@@ -98,13 +98,62 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     "iteration; per-message decimal-quantized sums keep each iteration "
     "bit-identical to the oracle's unrolled-CTE evaluation. Iterations "
     "shuffle only partial-aggregated per-dst message sums (the rank "
-    "vector broadcasts, the edges never re-shuffle); for long-running "
-    "jobs on a real cluster a dst-pre-partitioned edge list amortizes "
-    "further, but at 3 iterations the upfront repartition+materialize "
-    "measured 6× slower than the broadcast form (×10 probe).",
+    "vector broadcasts, the edges never re-shuffle); the src-"
+    "partitioned shuffle-join alternative for rank vectors too large "
+    "to broadcast is exposed as pagerank(broadcast_ranks=False) and "
+    "measured within noise of the broadcast form at ×10 for both 3 "
+    "and 10 iterations (tools/ab_pr_forms.py, round 7).",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
+    return pagerank(li)
+
+
+def pagerank(
+    li: DataFrame,
+    *,
+    iters: int = PR_ITERS,
+    broadcast_ranks: bool = True,
+    rounded_msg_sum: bool = True,
+) -> DataFrame:
+    """Supplier co-supply PageRank with both scale strategies exposed.
+
+    ``broadcast_ranks=True`` (default): the O(|V|) rank vector broadcasts
+    onto the checkpointed edge list each iteration — iterations shuffle
+    only partial-aggregated per-dst message sums.  Right while the rank
+    vector fits executor memory (hundreds of millions of nodes at 16 B
+    each) and iteration counts are small.
+
+    ``broadcast_ranks=False``: the annotated edge list is hash-
+    partitioned on src and checkpointed ONCE; each iteration shuffle-
+    joins the O(|V|) rank vector on src (edges never move — their
+    checkpointed HashPartitioning satisfies the join's distribution
+    requirement) and shuffles per-dst sums as before.  The scale path
+    when |V| outgrows a broadcast or iterations ≫ 3 amortize the
+    upfront edge repartition.  Measured (tools/ab_pr_forms.py,
+    interleaved min-of-4 in one process, ×10 data ≈6M lineitem rows):
+    the two forms are WITHIN NOISE of each other at both iteration
+    counts — iters=3: broadcast 14.89 s vs join 13.35 s; iters=10:
+    22.63 s vs 24.11 s — so the default stays broadcast (no upfront
+    repartition+materialize, simpler plan); flip it when the rank
+    vector outgrows executor memory, not for speed.  (This supersedes
+    the round-4 "77 s vs 12 s" note, which measured a DST-partitioned
+    annotated list rebuilt per iteration, a strictly worse layout than
+    the src-partitioned checkpoint used here.)
+
+    ``rounded_msg_sum`` selects the per-iteration message-sum kernel:
+    True = ``spark_dsum_rounded`` (primitive-long accumulator), False =
+    ``spark_dsum`` (BigDecimal buffer).  Both are bit-identical to the
+    oracle; the round-7 A/B (tools/ab_pr_forms.py, same methodology)
+    measured them within noise on the full query — rounded 4.94 s vs
+    plain 5.07 s at sf0.1, 20.70 s vs 21.28 s at ×10 — the per-row
+    ``cast(decimal(30,6))`` dominates either accumulator at this
+    per-group cardinality (~30 messages/node).  The round-6 batch-bench
+    regression suspicion against the rounded form (VERDICT r6 #1) did
+    NOT reproduce under interleaved measurement; the rounded form stays
+    (never slower, and it wins outright on wide groups —
+    registry.py micro-bench).
+    """
     # edge generation: dedup (l_partkey, l_suppkey) FIRST — the 2-column
     # projection shuffles once and shrinks ~3x (repeat lineitems per
     # part+supplier collapse) — then an equi-join on l_partkey emits
@@ -120,6 +169,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's formulation.  (Round 4's docstring claimed 2.3 s vs
     # 3.9 s from an edge-gen-only A/B on warm data; the full-query
     # numbers above supersede it.)
+    msg_sum = spark_dsum_rounded if rounded_msg_sum else spark_dsum
     ps = li.select("l_partkey", "l_suppkey").distinct()
     # checkpoint the HALF edge list (src < dst): both directions and the
     # outdeg annotation derive from it with a union + broadcast join —
@@ -160,33 +210,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition("dst") + checkpoint of the annotated edge list costs
     # more than the per-iteration partial-agg savings it buys (77 s vs
     # 12 s wall at ×10) — the checkpointed HALF edge list plus a cheap
-    # union/broadcast-join per iteration wins.  On a real cluster where
-    # iterations >> 3, revisit: the dst-partitioned form amortizes.
+    # union/broadcast-join per iteration wins.  For iterations >> 3 or
+    # rank vectors too big to broadcast, ``broadcast_ranks=False``
+    # pre-partitions the annotated list on SRC (see docstring A/B).
     contrib = edges.join(F.broadcast(outdeg), "src")
+    if not broadcast_ranks:
+        # hash-partition + sort on the join key, checkpointed: the
+        # LogicalRDD keeps outputPartitioning AND outputOrdering, so
+        # every per-iteration sort-merge join re-reads the edges in
+        # place — only the O(|V|) rank vector shuffles
+        contrib = (
+            contrib.repartition(F.col("src"))
+            .sortWithinPartitions("src")
+            .localCheckpoint()
+        )
     # the graph is undirected, so a node sends iff it receives: inside
     # the loop the rank vector only needs message-RECEIVING nodes (every
     # contrib.src is one), and the O(|V|) nodes ⟕ msgs completion —
     # where isolated nodes take the closed-form 0.15 — happens ONCE at
-    # the end instead of per iteration.  Iteration 1 needs no broadcast
-    # at all (uniform prior is a literal).
+    # the end instead of per iteration.  Iteration 1 needs no rank
+    # distribution at all (uniform prior is a literal).
     pr = None
-    for _ in range(PR_ITERS):
-        sender = (
-            contrib.withColumn("pr", F.lit(1.0))
-            if pr is None
-            # pr is O(|V|): broadcast it so iterations shuffle only
-            # partial-aggregated per-dst message sums
-            else contrib.join(
-                F.broadcast(pr.withColumnRenamed("id", "src")), "src"
+    for _ in range(iters):
+        if pr is None:
+            sender = contrib.withColumn("pr", F.lit(1.0))
+        else:
+            ranks = pr.withColumnRenamed("id", "src")
+            # pr is O(|V|): broadcast it (default) so iterations shuffle
+            # only partial-aggregated per-dst message sums; the shuffle-
+            # join form moves the rank vector instead — never the edges
+            sender = contrib.join(
+                F.broadcast(ranks) if broadcast_ranks else ranks, "src"
             )
-        )
         msgs = sender.groupBy("dst").agg(
             # pr/outdeg is off-grid → rounded variant: same per-term
             # decimal(30,6) HALF_UP as the oracle, primitive-long
             # accumulation instead of BigDecimal buffers (this agg runs
             # over the full directed edge list every iteration — the
-            # data-sized stage of the loop)
-            spark_dsum_rounded(F.col("pr") / F.col("outdeg")).alias("m")
+            # data-sized stage of the loop); A/B'd vs the BigDecimal
+            # form on the full query (docstring), within noise here
+            msg_sum(F.col("pr") / F.col("outdeg")).alias("m")
         )
         pr = msgs.select(
             F.col("dst").alias("id"),

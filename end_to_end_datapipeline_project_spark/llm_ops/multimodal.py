@@ -441,12 +441,25 @@ class _Vp8lCode:
         self.map = {}
         code = 0
         prev_len = 0
+        kraft = 0  # Σ 2^(15-len); a complete code sums to exactly 2^15
         for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
             ln = lengths[sym]
             code <<= ln - prev_len
             self.map[(ln, code)] = sym
             code += 1
             prev_len = ln
+            kraft += 1 << (15 - ln)
+        # Kraft check (ADVICE r6): an over-subscribed length set (Σ 2^-len
+        # > 1) makes canonical assignment alias codes — dict writes would
+        # silently drop the colliders and some corrupt streams would
+        # decode deterministically-WRONG pixels instead of raising.
+        # Under-subscription stays allowed: unreachable codes simply
+        # never match and the 15-bit read cap raises on them.
+        if kraft > 1 << 15:
+            raise ValueError(
+                "VP8L over-subscribed prefix code (Kraft sum "
+                f"{kraft / (1 << 15):.4f})"
+            )
 
     def read(self, br: _Vp8lBits) -> int:
         if self.single is not None:
@@ -1364,13 +1377,19 @@ def _decode_gif(payload: bytes) -> dict:
         if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
             rows = _gif_deinterlace(rows)
         rgb = ct[rows]
+        # mean_level describes the REPORTED (width, height) canvas; when
+        # the first frame is a sub-rectangle the canvas background /
+        # transparency outside it is undefined without compositing, so
+        # the stat is None rather than a part-of-canvas mean presented
+        # as a whole-canvas one (ADVICE r6)
+        covers = (iw, ih, _left, _top) == (width, height, 0, 0)
         return {
             "format": "gif",
             "width": width,
             "height": height,
             "channels": 3,
             "maxval": 255,
-            "mean_level": float(rgb.mean()),
+            "mean_level": float(rgb.mean()) if covers else None,
         }
 
 
@@ -1551,7 +1570,11 @@ def _flac_residuals(br: _FlacBits, order: int, blocksize: int) -> list:
     escape = (1 << pbits) - 1
     porder = br.u(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize // nparts < max(order, 1):
+    # spec: partition sample count (blocksize >> porder) must be STRICTLY
+    # greater than the predictor order — a first partition with zero
+    # residual samples is forbidden, not merely degenerate (ADVICE r6)
+    psize = blocksize // nparts
+    if blocksize % nparts or psize < 1 or (order and psize <= order):
         raise ValueError("FLAC partition order inconsistent with block size")
     res: list[int] = []
     for p in range(nparts):
@@ -1808,14 +1831,32 @@ def _parse_mp3(payload: bytes) -> dict:
         for b in payload[6:10]:
             size = (size << 7) | (b & 0x7F)
         pos = 10 + size
+    def _trailing_ok(rest: bytes) -> bool:
+        # after ≥1 decoded frame, only RECOGNIZED trailers may follow:
+        # ID3v1 ("TAG", 128 B), APEv2 footer-tagged stream, or zero
+        # padding.  Anything else is a mid-stream desync — the walk
+        # must error, not silently truncate the duration (VERDICT r6
+        # task #4 contract).
+        if not rest:
+            return True
+        if rest[:3] == b"TAG" and len(rest) == 128:
+            return True
+        if b"APETAGEX" in rest[:32]:
+            return True
+        return all(b == 0 for b in rest)
+
     frames = 0
     duration_s = 0.0
     sample_rate = channels = None
     while pos + 4 <= len(payload):
         if not (payload[pos] == 0xFF and payload[pos + 1] & 0xE0 == 0xE0):
-            if frames:
-                break  # trailing garbage / ID3v1 tag after the stream
-            raise ValueError("no MPEG audio frame sync")
+            if frames and _trailing_ok(payload[pos:]):
+                break
+            raise ValueError(
+                f"MPEG audio frame desync at byte {pos}"
+                if frames
+                else "no MPEG audio frame sync"
+            )
         b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
         version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
         layer = 4 - ((b1 >> 1) & 3)  # coded 3/2/1 → Layer I/II/III
@@ -1823,7 +1864,9 @@ def _parse_mp3(payload: bytes) -> dict:
         sr_idx = (b2 >> 2) & 3
         if version == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
             if frames:
-                break
+                raise ValueError(
+                    f"invalid MPEG audio frame header at byte {pos}"
+                )
             raise ValueError("invalid MPEG audio frame header")
         vgroup = 1 if version == 3 else 2
         bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
@@ -2611,9 +2654,28 @@ def synthesize_media(doc_id: int) -> bytes:
             out += frame
             frame_no += 1
         return bytes(out)
-    if kind == 6:  # GIF89a: 4-color global table, LZW-coded diagonal wash
-        idx = bytes((x + y + doc_id) % 4 for y in range(h) for x in range(w))
-        gct = bytes(((doc_id + 40 * j + c * 11) % 256) for j in range(4) for c in range(3))
+    if kind == 6:  # GIF89a: 4-color global table; even ids carry a
+        # CONSTANT-level frame (palette entry 0 = gray doc_id % 256, so
+        # the decoded pixel mean is SQL-trivial and level6 oracle-checks
+        # the LZW+palette path), odd ids keep the diagonal wash whose
+        # grid-modular mean stays pytest-verified (test_gif_decode)
+        if doc_id % 2 == 0:
+            g = doc_id % 256
+            idx = bytes(w * h)  # every pixel → palette entry 0
+            gct = bytes([g, g, g]) + bytes(
+                ((doc_id + 40 * j + c * 11) % 256)
+                for j in range(1, 4)
+                for c in range(3)
+            )
+        else:
+            idx = bytes(
+                (x + y + doc_id) % 4 for y in range(h) for x in range(w)
+            )
+            gct = bytes(
+                ((doc_id + 40 * j + c * 11) % 256)
+                for j in range(4)
+                for c in range(3)
+            )
         lzw = _gif_lzw_encode(idx, 2)
         blocks = b"".join(
             bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
@@ -2669,6 +2731,8 @@ def synthesize_media(doc_id: int) -> bytes:
               WHEN doc_id % 7 = 4
                    THEN round((doc_id % 16384) / 32768.0, 6)
               WHEN doc_id % 7 = 5 THEN 0.0
+              WHEN doc_id % 7 = 6 AND doc_id % 2 = 0
+                   THEN round(CAST(doc_id % 256 AS DOUBLE), 6)
               END AS DOUBLE) AS level6
   FROM documents
 """,
@@ -2700,10 +2764,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         # decoded VALUES, not just metadata: constant-level fixtures
         # have closed-form pixel means / RMS the oracle recomputes.
-        # GIF's diagonal-wash mean exists but is grid-modular-arithmetic
-        # hostile in SQL, so it stays pytest-verified (test_gif_decode)
+        # GIF: even ids are the constant-level variant (oracle-checked
+        # here); odd ids keep the diagonal wash, whose grid-modular mean
+        # is SQL-hostile and stays pytest-verified (test_gif_decode)
         F.when(
-            F.col("format").isin("ppm", "tiff", "webp", "flac", "wav"),
+            F.col("format").isin("ppm", "tiff", "webp", "flac", "wav")
+            | (
+                (F.col("format") == "gif") & (F.col("asset_id") % 2 == 0)
+            ),
             F.round(F.col("mean_level"), 6),
         ).alias("level6"),
     )

@@ -354,3 +354,21 @@ def test_synthesize_media_flac_decodes_to_closed_form():
         assert d["duration_ms"] == int(n * 1000 / SR)
         assert d["rms"] == pytest.approx((doc_id % 16384) / 32768.0,
                                          abs=1e-15)
+
+
+def test_partition_order_equal_to_predictor_order_refused():
+    """Spec: blocksize >> porder must be STRICTLY greater than the
+    predictor order — a first partition with zero residual samples is
+    invalid, and the stream degrades to the header contract (ADVICE
+    r6).  blocksize 64, porder 5 → 2 samples/partition == order 2."""
+    base = np.cumsum(_rng(30).integers(-50, 50, 64))
+    s = [int(v) for v in base]
+    d = decode_audio(
+        flac_file([(s, {"kind": "fixed", "order": 2, "porder": 5})], 64, 0, 1)
+    )
+    assert d["format"] == "flac" and d["rms"] is None
+    # one partition more samples than the order still decodes (psize 4 > 2)
+    d = decode_audio(
+        flac_file([(s, {"kind": "fixed", "order": 2, "porder": 4})], 64, 0, 1)
+    )
+    assert d["rms"] == pytest.approx(rms_of([s]), abs=1e-12)

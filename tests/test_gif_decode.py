@@ -229,6 +229,13 @@ def test_synthesize_media_gif_decodes_to_closed_form():
         w, h = 16 + doc_id % 48, 8 + doc_id % 24
         d = decode_image(synthesize_media(doc_id))
         assert (d["format"], d["width"], d["height"]) == ("gif", w, h)
+        if doc_id % 2 == 0:
+            # constant-level variant (the SQL-oracle-checked one):
+            # every pixel is palette entry 0 = gray doc_id % 256
+            assert d["mean_level"] == pytest.approx(
+                float(doc_id % 256), abs=1e-9
+            )
+            continue
         palette = np.array(
             [
                 [(doc_id + 40 * j + 11 * c) % 256 for c in range(3)]
@@ -242,3 +249,24 @@ def test_synthesize_media_gif_decodes_to_closed_form():
         assert d["mean_level"] == pytest.approx(
             float(palette[idx].mean()), abs=1e-9
         )
+
+
+def test_subrectangle_first_frame_reports_no_mean():
+    """mean_level describes the logical-screen canvas; a first frame
+    covering only a sub-rectangle leaves the rest of the canvas
+    undefined, so the stat is None while dims stay real (ADVICE r6)."""
+    palette = np.array([[10, 10, 10], [20, 20, 20]], np.uint8)
+    lzw = _lzw_encode(np.zeros(4, np.uint8), 2)
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 8, 8, 0x80, 0, 0)  # 8x8 canvas, 2-entry GCT
+        + bytes(palette.ravel())
+        + b"\x2c"
+        + struct.pack("<HHHHB", 2, 3, 2, 2, 0)  # 2x2 frame at (2,3)
+        + bytes([2])
+        + _subblocks(lzw)
+        + b"\x3b"
+    )
+    d = _decode_gif(gif)
+    assert (d["width"], d["height"]) == (8, 8)
+    assert d["mean_level"] is None

@@ -248,3 +248,29 @@ def test_degree_orientation_bounds_wedges_under_skew(spark):
         tuple(sorted(r)) for r in oriented.select("src", "dst").collect()
     }
     assert undirected == {tuple(sorted(e)) for e in hub_edges}
+
+
+def test_pagerank_strategy_variants_are_bit_identical(spark):
+    """Both rank-distribution strategies (broadcast vs src-partitioned
+    shuffle join) and both message-sum kernels (rounded primitive-long
+    vs BigDecimal) must produce byte-for-byte the same ranks — the
+    strategy switch is a scale knob, never a semantics knob."""
+    from end_to_end_datapipeline_project_spark.graph import pagerank
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, SF, "lineitem")
+    base = sorted(map(tuple, pagerank(li).collect()))
+    assert base == sorted(
+        map(tuple, pagerank(li, broadcast_ranks=False).collect())
+    )
+    assert base == sorted(
+        map(tuple, pagerank(li, rounded_msg_sum=False).collect())
+    )
+    # more iterations converge: both strategies agree there too
+    b10 = sorted(map(tuple, pagerank(li, iters=10).collect()))
+    j10 = sorted(
+        map(tuple, pagerank(li, iters=10, broadcast_ranks=False).collect())
+    )
+    assert b10 == j10

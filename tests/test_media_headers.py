@@ -314,3 +314,20 @@ def test_bmp_pixel_offset_inside_header_refused():
     s.pack_into("<I", f, 10, 0)  # pixel_offset = 0
     with pytest.raises(ValueError):
         decode_image(bytes(f))
+
+
+def test_mp3_midstream_desync_raises_valueerror():
+    """Unrecognized bytes BETWEEN frames are a desync, not a trailer:
+    the walk must error (→ fake_decode) rather than silently truncate
+    the duration (VERDICT r6 contract)."""
+    frames = _mp3_frames(
+        3, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"]
+    )
+    with pytest.raises(ValueError):
+        decode_audio(frames + b"garbage-not-a-tag" + frames)
+    # zero padding after the last frame is fine (encoder flush)
+    meta = decode_audio(frames + b"\x00" * 37)
+    assert meta["duration_ms"] == int(3 * 1152 / 44100 * 1000)
+    # APEv2 footer is a recognized trailer
+    meta = decode_audio(frames + b"APETAGEX" + b"\x00" * 24)
+    assert meta["duration_ms"] == int(3 * 1152 / 44100 * 1000)

@@ -334,3 +334,21 @@ def test_decode_via_dispatch_and_forge_closed_form():
         ) / 3.0
         assert d["format"] == "webp"
         assert d["mean_level"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_oversubscribed_prefix_code_degrades_to_dims():
+    """Kraft check (ADVICE r6): three length-1 codes over-subscribe the
+    green code; canonical assignment would silently alias codes and
+    decode deterministically-wrong pixels — the decoder must refuse
+    (→ dims-only degradation).  Incomplete codes remain legal for the
+    encoder here (unreachable codes never appear in the stream)."""
+    w = WLSB()
+    w.put(0x2F, 8)
+    vp8l_header(w, 6, 5)
+    w.put(0, 1)  # no transforms
+    w.put(0, 1)  # no color cache
+    w.put(0, 1)  # no meta prefix
+    normal_code(w, {0: 1, 1: 1, 2: 1}, 256 + 24)  # green: Kraft sum 1.5
+    d = decode_image(wrap(w.done() + b"\x00" * 16))
+    assert (d["width"], d["height"]) == (6, 5)
+    assert d["mean_level"] is None

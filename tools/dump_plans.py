@@ -211,6 +211,11 @@ def main() -> None:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = re.sub(r", \[plan_id=\d+\]", "", plan)
+        # normalize nondeterministic Catalyst expression IDs (#123 ->
+        # #N) and exchange/subquery ids so a regen at an unchanged HEAD
+        # is byte-identical and `git diff PLANS.md` is a real staleness
+        # signal, not 47 lines of renumbering churn
+        plan = re.sub(r"#\d+", "#N", plan)
         out.append(f"## {name}")
         out.append("")
         for needle, why in checks:

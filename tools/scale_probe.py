@@ -128,7 +128,7 @@ NOTES = {
     "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; ratio rose 2.2x->3.9x when doc fan-out pinning + signature checkpointing cut the SMALL scale 4.5s->2.0s - absolute x10 wall also improved 10.0s->8.0s; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored) ",
     "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
-    "q_pagerank": "(edge-gen bound: dedup-(part,supp)-then-equi-join pair emission; full-query interleaved A/B vs the round-3 collect_set form [tools/ab_pagerank.py, min of 4]: 3.76s vs 4.05s at sf0.1, 11.5s vs 18.7s at x10 - the join form wins and the gap widens with scale; iterations shuffle only partial-aggregated per-dst message sums, plan-gated in PLANS.md) ",
+    "q_pagerank": "(edge-gen bound: dedup-(part,supp)-then-equi-join pair emission [beat the collect_set form in the r5 ab_pagerank A/B, gap widening with scale]; r7 interleaved A/B [tools/ab_pr_forms.py, min of 4, one process] adjudicated the r6 suspicions: rounded-vs-BigDecimal message sum WITHIN NOISE [4.94s vs 5.07s sf0.1, 20.7s vs 21.3s x10] so the r6 batch delta was host noise, and broadcast-vs-shuffle-join rank distribution within noise at x10 for iters 3 and 10 [14.9/13.4s, 22.6/24.1s] - defaults stay rounded+broadcast, the join form is the beyond-broadcast-memory path behind pagerank(broadcast_ranks=False); iterations shuffle only partial-aggregated per-dst message sums, plan-gated in PLANS.md) ",
     "q_label_propagation": "(same edge-gen profile as q_pagerank on the co-order graph; iteration shuffles are the reduced label histogram, winner via partial-agg max_by) ",
     "q_item_cosine": "(linear pair volume: disjoint-key replicas keep basket sizes constant so C(b,2) pairs grow exactly x10 and saturate the fan-out stage; basket cap 64 bounds the quadratic term on pathological baskets) ",
     "q_pricing_summary": "(interleaved in-process A/B measures 1.1x; plan is scan+partial-agg with pushdown - prior 2.9x was host CPU-steal noise) ",
