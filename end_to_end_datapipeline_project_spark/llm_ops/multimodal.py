@@ -196,12 +196,149 @@ def decode_image(payload: bytes) -> dict:
         return _parse_tiff(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[4:8] == b"ftyp":
+        return _parse_isobmff(payload)
     raise NotImplementedError(
-        "AVIF/HEIC/... require an image library not present in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF and "
-        "no-transform VP8L WebP decode natively, lossy WebP parses "
-        "dims/format from its headers, everything else uses fake_decode"
+        "AVIF/HEIC pixel data require an AV1/HEVC codec not present in "
+        "this environment (headers parse natively, see _parse_isobmff); "
+        "PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF and no-transform "
+        "VP8L WebP decode natively, lossy WebP parses dims/format from "
+        "its headers, everything else uses fake_decode"
     )
+
+
+#: ISOBMFF major/compatible brands we report a format for
+_ISOBMFF_BRANDS = {
+    b"avif": "avif",
+    b"avis": "avif",  # AVIF image sequence
+    b"heic": "heic",
+    b"heix": "heic",
+    b"mif1": "heic",  # generic HEIF image collection
+}
+
+
+def _isobmff_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [pos, end);
+    handles 64-bit largesize and size==0 (extends to end).  Structural
+    damage (short/overrunning boxes) raises ValueError."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("ISOBMFF box header past end of container")
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("ISOBMFF largesize past end of container")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("ISOBMFF box size out of range")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _parse_isobmff(payload: bytes) -> dict:
+    """AVIF/HEIC header metadata in pure stdlib: ISOBMFF box walk to the
+    primary item's ``ispe`` (image spatial extents) and ``pixi`` (bits/
+    channel count) properties.  Resolution order: ``pitm`` (primary item
+    id) + ``ipma`` (item→property associations, 1-based into ``ipco``)
+    pick the primary image's properties; if either is absent the first
+    ``ispe``/``pixi`` in ``ipco`` is used (single-image files).  Pixel
+    decode genuinely needs an AV1/HEVC codec — ``mean_level`` stays
+    None, same real-metadata contract as lossy WebP / MP3.  Unrecognized
+    brands or a missing ``ispe`` raise ValueError → fake_decode."""
+    fmt = None
+    for btype, body, bend in _isobmff_boxes(payload, 0, len(payload)):
+        if btype != b"ftyp":
+            continue
+        brands = [payload[i : i + 4] for i in range(body, bend, 4)]
+        # major brand, then compatible brands (minor version at [1])
+        for b in [brands[0]] + brands[2:]:
+            if b in _ISOBMFF_BRANDS:
+                fmt = _ISOBMFF_BRANDS[b]
+                break
+        break
+    if fmt is None:
+        raise ValueError("ISOBMFF ftyp without a recognized image brand")
+
+    primary_id = None
+    ipco_props: list = []  # (type, body, end) in ipco order (1-based)
+    assoc: dict = {}  # item_id -> [property indices]
+
+    def walk_meta(pos: int, end: int) -> None:
+        nonlocal primary_id
+        for btype, body, bend in _isobmff_boxes(payload, pos, end):
+            if btype == b"pitm":
+                ver = payload[body]
+                off = body + 4
+                primary_id = int.from_bytes(
+                    payload[off : off + (2 if ver == 0 else 4)], "big"
+                )
+            elif btype == b"iprp":
+                for t2, b2, e2 in _isobmff_boxes(payload, body, bend):
+                    if t2 == b"ipco":
+                        ipco_props.extend(_isobmff_boxes(payload, b2, e2))
+                    elif t2 == b"ipma":
+                        _parse_ipma(b2, e2)
+
+    def _parse_ipma(pos: int, end: int) -> None:
+        ver = payload[pos]
+        flags = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        at = pos + 4
+        n = int.from_bytes(payload[at : at + 4], "big")
+        at += 4
+        for _ in range(n):
+            id_w = 2 if ver == 0 else 4
+            item_id = int.from_bytes(payload[at : at + id_w], "big")
+            at += id_w
+            cnt = payload[at]
+            at += 1
+            idxs = []
+            for _ in range(cnt):
+                if flags & 1:
+                    idx = int.from_bytes(payload[at : at + 2], "big") & 0x7FFF
+                    at += 2
+                else:
+                    idx = payload[at] & 0x7F
+                    at += 1
+                idxs.append(idx)
+            assoc[item_id] = idxs
+
+    for btype, body, bend in _isobmff_boxes(payload, 0, len(payload)):
+        if btype == b"meta":  # fullbox: 4 version/flags bytes
+            walk_meta(body + 4, bend)
+
+    # pick the primary item's properties when resolvable, else first-of-kind
+    cand = ipco_props
+    if primary_id is not None and assoc.get(primary_id):
+        picked = [
+            ipco_props[i - 1]
+            for i in assoc[primary_id]
+            if 1 <= i <= len(ipco_props)
+        ]
+        if picked:
+            cand = picked
+    width = height = None
+    channels = None
+    for btype, body, _bend in cand:
+        if btype == b"ispe" and width is None:
+            width = int.from_bytes(payload[body + 4 : body + 8], "big")
+            height = int.from_bytes(payload[body + 8 : body + 12], "big")
+        elif btype == b"pixi" and channels is None:
+            channels = payload[body + 4]
+    if not width or not height:
+        raise ValueError(f"{fmt} file without an ispe property")
+    return {
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "channels": channels if channels else 3,
+        "maxval": 255,
+        "mean_level": None,  # pixel decode needs an AV1/HEVC codec
+    }
 
 
 #: TIFF IFD entry field types → byte widths (spec §2, types 1-12)
@@ -1987,6 +2124,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                         or (p[:4] == b"RIFF" and p[8:12] == b"WEBP")
                         or p[:4] in (b"II*\x00", b"MM\x00*")
                         or p[:6] in (b"GIF87a", b"GIF89a")
+                        or p[4:8] == b"ftyp"
                     ):
                         d = decode_image(p)
                         rows.append(
@@ -2525,7 +2663,7 @@ def forge_media_kernel(
 
 def synthesize_media(doc_id: int) -> bytes:
     """Deterministic REAL media payload for a doc id — format cycles
-    ppm/webp/tiff/mp3/flac/wav/gif, every parameter a closed-form
+    ppm/webp-or-avif/tiff/mp3/flac/wav/gif, every parameter a closed-form
     function of ``doc_id``.  The fixture generator a media pipeline
     needs for end-to-end smoke tests: payloads are spec-valid streams
     the real header parsers/decoders accept, yet every expected metadata
@@ -2540,7 +2678,34 @@ def synthesize_media(doc_id: int) -> bytes:
         return (
             f"P6 {w} {h} 255\n".encode() + bytes([v]) * (w * h * 3)
         )
-    if kind == 1:  # WebP: lossy VP8 header (even ids) / REAL VP8L (odd)
+    if kind == 1:  # odd: REAL VP8L; doc_id%4==0: lossy-VP8 header;
+        # doc_id%4==2: AVIF (ISOBMFF ispe/pixi + pitm/ipma resolution) —
+        # the two codec-gated header paths are both oracle-exercised
+        if doc_id % 4 == 2:
+
+            def bx(btype: bytes, bbody: bytes) -> bytes:
+                return struct.pack(">I", 8 + len(bbody)) + btype + bbody
+
+            ispe = bx(
+                b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h)
+            )
+            pixi = bx(b"pixi", b"\x00\x00\x00\x00" + bytes([3, 8, 8, 8]))
+            ipma = bx(
+                b"ipma",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">I", 1)
+                + struct.pack(">H", 1)
+                + bytes([2, 1, 2]),
+            )
+            meta = (
+                b"\x00\x00\x00\x00"
+                + bx(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+                + bx(b"iprp", bx(b"ipco", ispe + pixi) + ipma)
+            )
+            return (
+                bx(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+                + bx(b"meta", meta)
+            )
         if doc_id % 2:
             # constant-color lossless stream: no transforms/cache/meta,
             # five simple 1-symbol prefix codes => zero data bits/pixel
@@ -2702,7 +2867,10 @@ def synthesize_media(doc_id: int) -> bytes:
     "q_media_decode",
     """
   SELECT doc_id AS asset_id,
-         CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'webp'
+         CASE doc_id % 7
+              WHEN 0 THEN 'ppm'
+              WHEN 1 THEN CASE WHEN doc_id % 4 = 2
+                               THEN 'avif' ELSE 'webp' END
               WHEN 2 THEN 'tiff' WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac'
               WHEN 5 THEN 'wav' ELSE 'gif' END AS media_format,
          CAST(CASE WHEN doc_id % 7 IN (0, 1, 2, 6)
@@ -2736,8 +2904,8 @@ def synthesize_media(doc_id: int) -> bytes:
               END AS DOUBLE) AS level6
   FROM documents
 """,
-    doc="Real-decoder oracle loop: forge a spec-valid PPM/WebP/TIFF/MP3/"
-    "FLAC/WAV/GIF payload per doc (every parameter closed-form in "
+    doc="Real-decoder oracle loop: forge a spec-valid PPM/WebP/AVIF/TIFF/"
+    "MP3/FLAC/WAV/GIF payload per doc (every parameter closed-form in "
     "doc_id, including the decoded pixel mean / PCM RMS for the "
     "constant-level formats — column level6 verifies decoded VALUES, "
     "not just metadata), "

@@ -633,7 +633,10 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
   WITH f AS (
     SELECT doc_id,
-           CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'webp'
+           CASE doc_id % 7
+                WHEN 0 THEN 'ppm'
+                WHEN 1 THEN CASE WHEN doc_id % 4 = 2
+                                 THEN 'avif' ELSE 'webp' END
                 WHEN 2 THEN 'tiff' WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac'
                 WHEN 5 THEN 'wav' ELSE 'gif' END AS media_format,
            CASE WHEN doc_id % 7 IN (0, 1, 2, 6)

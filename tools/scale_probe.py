@@ -29,6 +29,12 @@ BASE_SF = "/root/testdata/sf0.1"
 #: everything from this line onward when it rewrites SCALING.md
 AB_MARKER = "## Interleaved A/B adjudication"
 
+#: section owned by `scale_probe.py K --tail q...`: does cap-bounded
+#: growth FLATTEN one decade past x10, or was the quadratic only
+#: deferred?  Sits between the ratio table and the A/B appendix; full
+#: probe runs preserve it (ab_bench owns everything after AB_MARKER).
+TAIL_MARKER = "## Output-bound tail probe"
+
 PROBES = [
     "q_daily_report",
     "q_pricing_summary",
@@ -190,9 +196,76 @@ def build(spark, k: int) -> str:
     return out
 
 
+def _tail_probe(spark, run, k: int, big_dir: str, names: list) -> None:
+    """One decade past the standard probe: time each query at ×10 AND
+    ×K (default 30) and compare WALL growth to OUTPUT growth over the
+    ×10→×K step.  For the output-bound queries (candidate pairs grow
+    with replica k-cliques), a healthy cap means wall tracks
+    max(output, data) growth; wall outgrowing both flags a quadratic
+    that the cap only deferred.  Rewrites the TAIL_MARKER section of
+    SCALING.md, preserving the ratio table before it and the A/B
+    appendix after it."""
+    x10_dir = build(spark, 10)
+    run("q_pricing_summary", x10_dir)
+    run("q_pricing_summary", big_dir)
+    rows_out = [
+        TAIL_MARKER,
+        "",
+        f"`python tools/scale_probe.py {k} --tail ...` — ×10 vs ×{k} "
+        f"(data grows {k / 10:.0f}×; min of 2 per cell).  Verdict rule: "
+        "wall growth ≤ 1.25 × max(data growth, output growth) ⇒ the "
+        "candidate caps bound the tail; above that ⇒ the quadratic was "
+        "deferred, not removed.",
+        "",
+        f"| query | ×10 (s) | ×{k} (s) | wall ×{k}/×10 | "
+        f"out rows ×10→×{k} | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    data_ratio = k / 10
+    for name in names:
+        r10 = [run(name, x10_dir) for _ in range(2)]
+        rk = [run(name, big_dir) for _ in range(2)]
+        t10, tk = min(t for t, _ in r10), min(t for t, _ in rk)
+        n10, nk = r10[0][1], rk[0][1]
+        wall = tk / t10 if t10 > 0 else float("inf")
+        out_ratio = nk / n10 if n10 else float("inf")
+        bound = 1.25 * max(data_ratio, out_ratio)
+        verdict = (
+            "caps hold: wall tracks output/data"
+            if wall <= bound
+            else "SUPER-LINEAR TAIL — cap deferred the quadratic"
+        )
+        rows_out.append(
+            f"| {name} | {t10:.2f} | {tk:.2f} | {wall:.1f}× | "
+            f"{n10}→{nk} ({out_ratio:.1f}×) | {verdict} |"
+        )
+        print(rows_out[-1], flush=True)
+    path = "/root/repo/SCALING.md"
+    doc = open(path).read()
+    appendix = ""
+    if AB_MARKER in doc:
+        appendix = doc[doc.index(AB_MARKER) :]
+        doc = doc[: doc.index(AB_MARKER)]
+    if TAIL_MARKER in doc:
+        doc = doc[: doc.index(TAIL_MARKER)]
+    with open(path, "w") as f:
+        f.write(
+            doc.rstrip()
+            + "\n\n"
+            + "\n".join(rows_out)
+            + "\n\n"
+            + appendix
+        )
+    print(f"tail section written to {path}")
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     subset = sys.argv[2:]  # subset run: print ratios, keep SCALING.md intact
+    tail = False
+    if "--tail" in subset:  # subset run that WRITES the tail section
+        subset.remove("--tail")
+        tail = True
     _load()
     spark = get_spark("scale-probe")
     big_dir = build(spark, k)
@@ -221,6 +294,10 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
         return dt, rows
+
+    if tail:
+        _tail_probe(spark, run, k, big_dir, subset)
+        return
 
     # warm both datasets' footers + codegen with one cheap query each
     run("q_pricing_summary", BASE_SF)
@@ -254,13 +331,15 @@ def main() -> None:
     if subset:
         print("(subset run: SCALING.md not rewritten)")
         return
-    # preserve the interleaved-A/B adjudication appendix maintained by
-    # tools/ab_bench.py — the probe owns the ratio table, not the appendix
+    # preserve the ×K tail section (this tool's --tail mode) and the
+    # interleaved-A/B adjudication appendix (tools/ab_bench.py) — the
+    # full probe owns only the ratio table
     appendix = ""
     try:
         old = open("/root/repo/SCALING.md").read()
-        if AB_MARKER in old:
-            appendix = "\n" + old[old.index(AB_MARKER):]
+        marks = [old.index(m) for m in (TAIL_MARKER, AB_MARKER) if m in old]
+        if marks:
+            appendix = "\n" + old[min(marks):]
     except OSError:
         pass
     with open("/root/repo/SCALING.md", "w") as f:
