@@ -65,9 +65,13 @@ def test_fake_decode_deterministic():
 
 
 def test_decode_stub_raises():
-    # AVIF genuinely needs a codec lib -> NotImplementedError
-    with pytest.raises(NotImplementedError):
+    # AVIF headers parse for real since round 7 (ISOBMFF box walk), so a
+    # truncated box tree is *malformed* (ValueError -> fake_decode), not
+    # unimplemented; a brand we carry no parser for stays NotImplemented
+    with pytest.raises(ValueError):
         decode_image(b"\x00\x00\x00 ftypavif\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x12\x34\x56\x78unknown-no-ftyp-magic")
     # WebP/TIFF headers parse for real since round 6, so truncated
     # streams are *malformed* (ValueError -> fake_decode), not
     # unimplemented

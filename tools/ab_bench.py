@@ -67,6 +67,34 @@ def interleaved_times(
     return times
 
 
+def host_canary(spark) -> tuple[float, float]:
+    """Fixed-work host-speed measurements recorded beside Σ(min) so
+    cross-ROUND comparisons can be normalized: per-round suite totals on
+    this shared host have shifted ±35% with no code change (r6→r7), and
+    without a canary every such shift costs an investigation.  Returns
+    (single-core seconds: pure-Python arithmetic loop, all-cores
+    seconds: fixed Spark range-sum) — min of 3 each."""
+    py = min(
+        _timeit(lambda: sum(i * i for i in range(2 * 10**6)))
+        for _ in range(3)
+    )
+    jvm = min(
+        _timeit(
+            lambda: spark.range(2 * 10**8)
+            .selectExpr("sum(id * 2) AS s")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return py, jvm
+
+
+def _timeit(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def write_appendix(rows: list[str]) -> None:
     path = "/root/repo/SCALING.md"
     try:
@@ -96,6 +124,7 @@ def main() -> None:
             names.append(a)
     names = names or list(HEADLINE)
     spark = get_spark("ab-bench")
+    cpy, cjvm = host_canary(spark)
     t_wall0 = time.time()
     times = interleaved_times(spark, names, sf_dir, reps)
     wall = time.time() - t_wall0
@@ -108,7 +137,10 @@ def main() -> None:
         f"{len(names)} queries round-robin ×{reps} in one process "
         f"(wall {wall:.0f}s incl. warm-up).  min = quiet-host estimate; "
         "spread = max/min across interleaved reps (host-noise gauge: "
-        "the plan did not change between reps).",
+        "the plan did not change between reps).  Host-speed canary "
+        f"(fixed work, min of 3): python 1-core {cpy:.2f}s, spark "
+        f"all-cores {cjvm:.2f}s — divide Σ(min) deltas across rounds by "
+        "the canary ratio before reading them as regressions.",
         "",
         "| query | min (s) | median (s) | spread | reps (s) |",
         "|---|---|---|---|---|",

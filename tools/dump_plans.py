@@ -216,6 +216,10 @@ def main() -> None:
         # is byte-identical and `git diff PLANS.md` is a real staleness
         # signal, not 47 lines of renumbering churn
         plan = re.sub(r"#\d+", "#N", plan)
+        # AQE stage numbers and whole-stage-codegen span ids are
+        # execution-order-dependent (vary run to run even at one HEAD)
+        plan = re.sub(r"QueryStage \d+", "QueryStage N", plan)
+        plan = re.sub(r"\*\(\d+\)", "*(N)", plan)
         out.append(f"## {name}")
         out.append("")
         for needle, why in checks:
