@@ -18,7 +18,8 @@ decode: CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals, stereo
 decorrelation, CRC-verified — see ``_parse_flac``) decode for REAL in
 pure stdlib/numpy, via ``decode_image``/``decode_audio`` and the
 ``decode_media`` kernel; lossless WebP also decodes for REAL in the
-no-transform VP8L subset (prefix codes, LZ77, color cache — see
+VP8L subset incl. subtract-green + palette transforms (prefix codes,
+LZ77, color cache — see
 ``_decode_vp8l``).  Lossy WebP (VP8/VP8X) and MP3 parse REAL
 dims / duration / rate / channels from their headers (pixel/PCM
 entropy decode genuinely needs a codec library — none ships in this
@@ -89,7 +90,8 @@ def decode_image(payload: bytes) -> dict:
     gray/RGB strips, none/LZW/PackBits compression) decode fully (see
     :func:`_decode_png` / :func:`_decode_jpeg` / :func:`_decode_gif` /
     :func:`_parse_tiff`); lossless WebP decodes fully for the
-    no-transform VP8L subset (see :func:`_decode_vp8l`), lossy WebP
+    VP8L subset incl. subtract-green and palette transforms (see
+    :func:`_decode_vp8l`), lossy WebP
     parses dims/format from its VP8/VP8X headers.  Codecs that
     genuinely need an external library (VP8-lossy/AVIF pixel data)
     still raise, and the deterministic ``fake_decode`` stand-in keeps
@@ -201,8 +203,9 @@ def decode_image(payload: bytes) -> dict:
     raise NotImplementedError(
         "AVIF/HEIC pixel data require an AV1/HEVC codec not present in "
         "this environment (headers parse natively, see _parse_isobmff); "
-        "PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF and no-transform "
-        "VP8L WebP decode natively, lossy WebP parses dims/format from "
+        "PPM/BMP/PNG/baseline-JPEG/GIF/baseline-TIFF and VP8L WebP "
+        "(subtract-green/palette) decode natively, lossy WebP parses "
+        "dims/format from "
         "its headers, everything else uses fake_decode"
     )
 
@@ -697,40 +700,22 @@ def _vp8l_lz77(code: int, br: _Vp8lBits) -> int:
     return ((2 + (code & 1)) << extra) + br.u(extra) + 1
 
 
-def _decode_vp8l(body: bytes) -> dict:
-    """REAL pixel decode of the VP8L subset without transforms or
-    entropy (meta-prefix) images: simple and code-length-coded prefix
-    codes, LZ77 backward references (both the 120-entry 2D neighborhood
-    map and plain distances), and the color cache.
-
-    Transform bits or a meta-prefix bit raise ``_Vp8lUnsupported`` —
-    the caller keeps the header-only dims contract (real-world encoder
-    output almost always uses the predictor transform, and decoding it
-    wrong would be worse than declining).  Structural damage (overrun,
-    bad codes, out-of-range cache/backref) raises ValueError."""
+def _vp8l_coded_image(br: _Vp8lBits, width: int, height: int, level0: bool):
+    """One entropy-coded ARGB image (spec "DecodeImageStream" without
+    the transform layer): optional color cache, the five prefix codes
+    (simple or code-length-coded), LZ77 backward references (120-entry
+    2D neighborhood map and plain distances).  ``level0`` guards the
+    meta-prefix bit, which only top-level images carry.  Returns an
+    (height*width, 4) uint8 ARGB array."""
     import numpy as np
 
-    if body[0] != 0x2F:
-        raise ValueError("VP8L chunk missing signature byte")
-    br = _Vp8lBits(body, 1)
-    width = br.u(14) + 1
-    height = br.u(14) + 1
-    alpha_hint = br.u(1)
-    if br.u(3) != 0:
-        raise ValueError("VP8L reserved version bits set")
-    if br.u(1):
-        raise _Vp8lUnsupported("transform present")
     cache_bits = 0
     if br.u(1):
         cache_bits = br.u(4)
         if not (1 <= cache_bits <= 11):
             raise ValueError("VP8L color-cache size out of range")
-    if br.u(1):
+    if level0 and br.u(1):
         raise _Vp8lUnsupported("meta-prefix entropy image present")
-    if width * height > _VP8L_DECODE_CAP:
-        # the pixel loop is per-sample Python — a wallpaper-sized image
-        # must not stall the Spark kernel; dims stay real via the caller
-        raise _Vp8lUnsupported("image beyond the pixel-decode cap")
     cache_size = (1 << cache_bits) if cache_bits else 0
     green = _vp8l_read_code(br, 256 + 24 + cache_size)
     red = _vp8l_read_code(br, 256)
@@ -778,7 +763,94 @@ def _decode_vp8l(body: bytes) -> dict:
             out[pos] = (argb >> 24 & 0xFF, argb >> 16 & 0xFF,
                         argb >> 8 & 0xFF, argb & 0xFF)
             pos += 1
-    rgb = out[:, 1:4].astype(np.float64)
+    return out
+
+
+def _decode_vp8l(body: bytes) -> dict:
+    """REAL pixel decode of the VP8L subset covering simple and
+    code-length-coded prefix codes, LZ77 backward references (both the
+    120-entry 2D neighborhood map and plain distances), the color
+    cache, and two of the four transforms: SUBTRACT-GREEN and
+    COLOR-INDEXING (delta-coded palette with 1/2/4-bit pixel bundling)
+    — the pair palette-style encoder output (icons, stickers,
+    GIF-converted images) actually uses.
+
+    The PREDICTOR and COLOR transforms and meta-prefix entropy images
+    raise ``_Vp8lUnsupported`` — the caller keeps the header-only dims
+    contract.  Deliberate: their border semantics (top-right neighbor
+    at the rightmost column) and ClampAddSubtract rounding carry
+    genuine spec ambiguity when implemented from memory, and a decoder
+    whose own forward-encoder tests share the same misreading would
+    pass while decoding real files deterministically WRONG — declining
+    is strictly better (the ADVICE-r6 discipline).  Structural damage
+    (overrun, bad codes, out-of-range cache/backref/palette index)
+    raises ValueError."""
+    import numpy as np
+
+    if body[0] != 0x2F:
+        raise ValueError("VP8L chunk missing signature byte")
+    br = _Vp8lBits(body, 1)
+    width = br.u(14) + 1
+    height = br.u(14) + 1
+    alpha_hint = br.u(1)
+    if br.u(3) != 0:
+        raise ValueError("VP8L reserved version bits set")
+    if width * height > _VP8L_DECODE_CAP:
+        # the pixel loop is per-sample Python — a wallpaper-sized image
+        # must not stall the Spark kernel; dims stay real via the caller
+        raise _Vp8lUnsupported("image beyond the pixel-decode cap")
+    # transform layer (top-level images only).  Each transform type may
+    # appear at most once; COLOR-INDEXING narrows the coded width when
+    # small palettes bundle several pixels into one green byte.
+    transforms: list = []  # applied in REVERSE order after decode
+    xsize = width
+    seen: set = set()
+    while br.u(1):
+        ttype = br.u(2)
+        if ttype in seen:
+            raise ValueError("VP8L transform repeated")
+        seen.add(ttype)
+        if ttype == 2:  # SUBTRACT-GREEN: no payload
+            transforms.append(("subgreen", None))
+        elif ttype == 3:  # COLOR-INDEXING: delta-coded palette
+            n_pal = br.u(8) + 1
+            stored = _vp8l_coded_image(br, n_pal, 1, level0=False)
+            # palette entries are stored as component-wise differences
+            # with the previous entry (entry 0 vs transparent black)
+            pal = np.cumsum(stored.astype(np.int64), axis=0).astype(
+                np.uint8
+            )
+            bpp = 1 if n_pal <= 2 else 2 if n_pal <= 4 else 4 if n_pal <= 16 else 8
+            transforms.append(("palette", (n_pal, pal, bpp, xsize)))
+            if bpp < 8:
+                ppb = 8 // bpp  # pixels bundled per green byte
+                xsize = -(-xsize // ppb)
+        else:  # 0 = PREDICTOR, 1 = COLOR — declined, see docstring
+            raise _Vp8lUnsupported("predictor/color transform present")
+    out = _vp8l_coded_image(br, xsize, height, level0=True)
+    img = out.reshape(height, xsize, 4)  # ARGB
+    for kind, arg in reversed(transforms):
+        if kind == "subgreen":
+            # inverse: add green back onto red and blue, mod 256
+            # (uint8 arithmetic wraps, which IS the spec's mod-256)
+            img[:, :, 1] += img[:, :, 2]
+            img[:, :, 3] += img[:, :, 2]
+        else:  # palette
+            n_pal, pal, bpp, orig_x = arg
+            g = img[:, :, 2]  # indices live in the green channel
+            if bpp < 8:
+                ppb = 8 // bpp
+                cols = np.arange(orig_x)
+                # bundled pixels unpack LSB-first within each byte
+                idx = (
+                    g[:, cols // ppb] >> ((cols % ppb) * bpp).astype(np.uint8)
+                ) & ((1 << bpp) - 1)
+            else:
+                idx = g[:, :orig_x]
+            if int(idx.max(initial=0)) >= n_pal:
+                raise ValueError("VP8L palette index beyond palette size")
+            img = pal[idx]  # (height, orig_x, 4) ARGB
+    rgb = img.reshape(-1, 4)[:, 1:4].astype(np.float64)
     return {
         "format": "webp",
         "width": width,
@@ -2097,7 +2169,8 @@ def decode_media(media: DataFrame) -> DataFrame:
     images and PCM-WAV audio decode natively (header + numpy
     pixel/sample math; PNG via stdlib zlib + filter reconstruction,
     JPEG via its own Huffman+IDCT, GIF/baseline-TIFF via their own LZW
-    variants, no-transform VP8L WebP via its own prefix-code+LZ77
+    variants, VP8L WebP (incl. subtract-green + delta-coded-palette
+    inverse transforms) via its own prefix-code+LZ77
     decoder, FLAC via rice-coded subframe reconstruction); lossy-WebP/
     MP3 parse real metadata from their headers; anything else falls
     back to the deterministic ``fake_decode`` (format=NULL marks the
@@ -2707,8 +2780,14 @@ def synthesize_media(doc_id: int) -> bytes:
                 + bx(b"meta", meta)
             )
         if doc_id % 2:
-            # constant-color lossless stream: no transforms/cache/meta,
-            # five simple 1-symbol prefix codes => zero data bits/pixel
+            # constant-color lossless stream, zero data bits/pixel.  Two
+            # sub-variants with IDENTICAL decoded pixels (so the level6
+            # closed form below is one formula): doc_id%4==1 codes the
+            # color as five 1-symbol literal prefix codes with no
+            # transforms; doc_id%4==3 routes the SAME color through the
+            # COLOR-INDEXING transform — a 1-entry delta-coded palette
+            # with 1-bit pixel bundling (8 px/green byte) — so the
+            # palette inverse path is driver-verified, not pytest-only
             acc = nbits = 0
             out = bytearray(b"\x2f")
 
@@ -2721,19 +2800,43 @@ def synthesize_media(doc_id: int) -> bytes:
                     acc >>= 8
                     nbits -= 8
 
+            def put_simple1(sym: int) -> None:
+                put(1, 1)  # simple code
+                put(0, 1)  # one symbol
+                put(1, 1)  # 8-bit symbol field
+                put(sym, 8)
+
+            g, r, b = (
+                (doc_id * 5) % 256,
+                (doc_id * 3) % 256,
+                (doc_id * 7) % 256,
+            )
             put(w - 1, 14)
             put(h - 1, 14)
             put(0, 1)  # alpha hint
             put(0, 3)  # version
-            put(0, 1)  # no transforms
+            if doc_id % 4 == 3:
+                put(1, 1)  # a transform is present
+                put(3, 2)  # COLOR-INDEXING
+                put(0, 8)  # palette size - 1 = 0 (1 entry -> 1-bit bundle)
+                # palette sub-image (1x1): no cache, five 1-symbol codes;
+                # entry 0 delta vs transparent black IS the color itself
+                put(0, 1)
+                for sym in (g, r, b, 255, 0):
+                    put_simple1(sym)
+                put(0, 1)  # no more transforms
+                # bundled main image: all indices 0 -> green bytes all 0
+                g, r, b = 0, 0, 0
+            else:
+                put(0, 1)  # no transforms
             put(0, 1)  # no color cache
             put(0, 1)  # no meta prefix
             for sym in (
-                (doc_id * 5) % 256,  # green
-                (doc_id * 3) % 256,  # red
-                (doc_id * 7) % 256,  # blue
-                255,                 # alpha
-                0,                   # distance
+                g,    # green (palette variant: packed zero indices)
+                r,    # red
+                b,    # blue
+                255,  # alpha
+                0,    # distance
             ):
                 put(1, 1)  # simple code
                 put(0, 1)  # one symbol

@@ -2,9 +2,11 @@
 test_gif_decode.py: an INDEPENDENT forward encoder (its own LSB-first
 bit writer, canonical-code constructor and LZ77 code inverse) drives
 simple and code-length-coded prefix codes, 2D-mapped and plain LZ77
-distances, and the color cache; transform streams must degrade to
-dims-only and the distance-map construction must match the spec's
-explicit prefix."""
+distances, the color cache, and the SUBTRACT-GREEN and COLOR-INDEXING
+(delta-coded palette, bundled pixels) inverse transforms; predictor/
+color-transform streams must degrade to dims-only (declined by design)
+and the distance-map construction must match the spec's explicit
+prefix."""
 
 import struct
 
@@ -352,3 +354,181 @@ def test_oversubscribed_prefix_code_degrades_to_dims():
     d = decode_image(wrap(w.done() + b"\x00" * 16))
     assert (d["width"], d["height"]) == (6, 5)
     assert d["mean_level"] is None
+
+
+# ---- transforms: subtract-green + color-indexing ---------------------------
+
+
+def _literal_emitters(w, pixels):
+    """Normal/simple codes for a literal-only ARGB pixel list; returns
+    emit(pixel) writing g, r, b, a in stream order."""
+    gs = {p[2] for p in pixels}
+    rs = {p[1] for p in pixels}
+    bs = {p[3] for p in pixels}
+    as_ = {p[0] for p in pixels}
+
+    def code_for(vals, alphabet):
+        if len(vals) == 1:
+            return simple_code(w, [next(iter(vals))])
+        return normal_code(w, {v: 8 for v in vals}, alphabet)
+
+    eg = code_for(gs, 256 + 24)
+    er = code_for(rs, 256)
+    eb = code_for(bs, 256)
+    ea = code_for(as_, 256)
+    simple_code(w, [0])  # distance code, unused
+
+    def emit(p):
+        a, r, g, b = p
+        eg(g)
+        er(r)
+        eb(b)
+        ea(a)
+
+    return emit
+
+
+def test_subtract_green_inverse():
+    W_, H_ = 9, 4
+    rng = _rng(40)
+    argb = [
+        (255, int(r), int(g), int(b))
+        for r, g, b in rng.integers(0, 256, (W_ * H_, 3))
+    ]
+    # forward transform: subtract green from red and blue, mod 256
+    resid = [(a, (r - g) % 256, g, (b - g) % 256) for a, r, g, b in argb]
+    w = WLSB()
+    w.put(0x2F, 8)
+    vp8l_header(w, W_, H_)
+    w.put(1, 1)  # a transform is present
+    w.put(2, 2)  # SUBTRACT-GREEN
+    w.put(0, 1)  # no more transforms
+    w.put(0, 1)  # no color cache
+    w.put(0, 1)  # no meta prefix
+    emit = _literal_emitters(w, resid)
+    for p in resid:
+        emit(p)
+    d = _decode_vp8l(w.done())
+    exp = np.mean([(r + g + b) / 3.0 for _, r, g, b in argb])
+    assert d["mean_level"] == pytest.approx(float(exp), abs=1e-9)
+
+
+def _palette_stream(W_, H_, palette, idx, n_declared=None):
+    """Assemble a COLOR-INDEXING stream: delta-coded palette sub-image,
+    then the bundled (or plain) index image in the green channel."""
+    n = n_declared or len(palette)
+    bpp = 1 if n <= 2 else 2 if n <= 4 else 4 if n <= 16 else 8
+    w = WLSB()
+    w.put(0x2F, 8)
+    vp8l_header(w, W_, H_)
+    w.put(1, 1)
+    w.put(3, 2)  # COLOR-INDEXING (its payload follows immediately;
+    # the next transform-present bit comes AFTER the palette sub-image)
+    w.put(n - 1, 8)
+    # palette sub-image: component-wise delta vs previous entry
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for p in palette:
+        deltas.append(tuple((p[i] - prev[i]) % 256 for i in range(4)))
+        prev = p
+    w.put(0, 1)  # sub-image: no color cache (no meta bit at level > 0)
+    emit = _literal_emitters(w, deltas)
+    for p in deltas:
+        emit(p)
+    w.put(0, 1)  # no more transforms
+    # main image: packed indices in the green channel
+    if bpp < 8:
+        ppb = 8 // bpp
+        xp = -(-W_ // ppb)
+        packed = []
+        for y in range(H_):
+            for xb in range(xp):
+                byte = 0
+                for i in range(ppb):
+                    x = xb * ppb + i
+                    if x < W_:
+                        byte |= idx[y * W_ + x] << (i * bpp)
+                packed.append(byte)
+        greens = packed
+        mw = xp
+    else:
+        greens = list(idx)
+        mw = W_
+    pixels = [(255, 0, g, 0) for g in greens]
+    w.put(0, 1)  # main image: no color cache
+    w.put(0, 1)  # no meta prefix (level 0)
+    emit = _literal_emitters(w, pixels)
+    for p in pixels:
+        emit(p)
+    return w.done()
+
+
+def test_color_indexing_bundled_2bit():
+    # 4-entry palette => 2-bit indices, 4 pixels per green byte; width 10
+    # does not divide evenly so the last byte is partial
+    W_, H_ = 10, 3
+    palette = [
+        (255, 10, 20, 30),
+        (255, 200, 100, 50),
+        (128, 0, 255, 0),
+        (255, 7, 7, 7),
+    ]
+    rng = _rng(41)
+    idx = [int(v) for v in rng.integers(0, 4, W_ * H_)]
+    d = _decode_vp8l(_palette_stream(W_, H_, palette, idx))
+    exp = np.mean(
+        [(palette[i][1] + palette[i][2] + palette[i][3]) / 3.0 for i in idx]
+    )
+    assert (d["width"], d["height"]) == (W_, H_)
+    assert d["mean_level"] == pytest.approx(float(exp), abs=1e-9)
+
+
+def test_color_indexing_unbundled_large_palette():
+    W_, H_ = 6, 2
+    rng = _rng(42)
+    palette = [
+        (255, int(r), int(g), int(b))
+        for r, g, b in rng.integers(0, 256, (20, 3))
+    ]  # 17..256 entries => bpp 8, no bundling
+    idx = [int(v) for v in rng.integers(0, 20, W_ * H_)]
+    d = _decode_vp8l(_palette_stream(W_, H_, palette, idx))
+    exp = np.mean(
+        [(palette[i][1] + palette[i][2] + palette[i][3]) / 3.0 for i in idx]
+    )
+    assert d["mean_level"] == pytest.approx(float(exp), abs=1e-9)
+
+
+def test_palette_index_beyond_size_refused():
+    # declare 3 entries (still 2-bit bundling) but emit index 3
+    W_, H_ = 4, 1
+    palette = [(255, 1, 1, 1), (255, 2, 2, 2), (255, 3, 3, 3)]
+    body = _palette_stream(W_, H_, palette, [0, 1, 2, 3])
+    with pytest.raises(ValueError):
+        _decode_vp8l(body)
+
+
+def test_repeated_transform_refused():
+    w = WLSB()
+    w.put(0x2F, 8)
+    vp8l_header(w, 4, 4)
+    w.put(1, 1)
+    w.put(2, 2)  # subtract-green
+    w.put(1, 1)
+    w.put(2, 2)  # subtract-green AGAIN
+    with pytest.raises(ValueError):
+        _decode_vp8l(w.done() + b"\x00" * 8)
+
+
+def test_predictor_transform_still_degrades_to_dims():
+    # predictor/color transforms are DECLINED by design (border and
+    # rounding semantics carry real misreading risk when implemented
+    # from memory): dims-only, never wrong pixels
+    for ttype in (0, 1):
+        w = WLSB()
+        w.put(0x2F, 8)
+        vp8l_header(w, 12, 7)
+        w.put(1, 1)
+        w.put(ttype, 2)
+        d = decode_image(wrap(w.done() + b"\x00" * 8))
+        assert (d["width"], d["height"]) == (12, 7)
+        assert d["mean_level"] is None
