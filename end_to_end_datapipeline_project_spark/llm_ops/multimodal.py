@@ -1635,17 +1635,41 @@ def decode_audio(payload: bytes) -> dict:
         if channels <= 0 or sample_rate <= 0 or bits not in (8, 16, 24, 32):
             raise ValueError("RIFF/WAVE magic but not a valid PCM fmt chunk")
         n_samples = len(data) // (channels * bits // 8)
+        nvals = n_samples * channels
+        # count=/slice guards an odd-length data chunk (frombuffer would
+        # raise on a non-multiple buffer).  All four PCM widths decode:
+        # 8-bit is UNSIGNED with a 128 midpoint (WAV convention); 24-bit
+        # is 3-byte little-endian two's complement assembled manually.
         if bits == 16:
-            # count= guards an odd-length data chunk (frombuffer would
-            # raise on a non-multiple buffer)
             x = (
-                np.frombuffer(data, dtype="<i2", count=n_samples * channels)
+                np.frombuffer(data, dtype="<i2", count=nvals)
                 .astype(np.float64)
                 / 32768.0
             )
-            rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
-        else:
-            rms = None
+        elif bits == 8:
+            x = (
+                np.frombuffer(data, dtype=np.uint8, count=nvals)
+                .astype(np.float64)
+                - 128.0
+            ) / 128.0
+        elif bits == 32:
+            x = (
+                np.frombuffer(data, dtype="<i4", count=nvals)
+                .astype(np.float64)
+                / 2147483648.0
+            )
+        else:  # 24-bit: assemble and sign-extend
+            raw = np.frombuffer(
+                data, dtype=np.uint8, count=nvals * 3
+            ).reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int64)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | (raw[:, 2].astype(np.int64) << 16)
+            )
+            v -= (v >> 23) << 24  # two's complement sign extension
+            x = v.astype(np.float64) / 8388608.0
+        rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
         return {
             "format": "wav",
             "channels": channels,

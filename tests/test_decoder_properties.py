@@ -187,3 +187,75 @@ def test_vp8l_literals_any_geometry(w, h, n_colors, seed):
     exp = float(np.mean([palette[int(i)] for i in px]))
     assert (d["width"], d["height"]) == (w, h)
     assert d["mean_level"] == pytest.approx(exp, abs=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 12),
+       st.integers(1, 20), st.integers(0, 2**32 - 1))
+def test_vp8l_palette_transform_any_geometry(w, h, n_pal, seed):
+    """COLOR-INDEXING sweep: every bundling regime (1/2/4/8-bit) at
+    random geometry, incl. widths that leave a partial trailing byte."""
+    from test_vp8l_decode import _palette_stream
+
+    rng = np.random.default_rng(seed)
+    palette = [
+        (255, int(r), int(g), int(b))
+        for r, g, b in rng.integers(0, 256, (n_pal, 3))
+    ]
+    idx = [int(v) for v in rng.integers(0, n_pal, w * h)]
+    d = _decode_vp8l(_palette_stream(w, h, palette, idx))
+    exp = float(
+        np.mean([(palette[i][1] + palette[i][2] + palette[i][3]) / 3.0
+                 for i in idx])
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_level"] == pytest.approx(exp, abs=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+def test_vp8l_subtract_green_any_geometry(w, h, seed):
+    from test_vp8l_decode import _literal_emitters
+
+    rng = np.random.default_rng(seed)
+    argb = [
+        (255, int(r), int(g), int(b))
+        for r, g, b in rng.integers(0, 256, (w * h, 3))
+    ]
+    resid = [(a, (r - g) % 256, g, (b - g) % 256) for a, r, g, b in argb]
+    wr = WLSB()
+    wr.put(0x2F, 8)
+    vp8l_header(wr, w, h)
+    wr.put(1, 1)
+    wr.put(2, 2)  # SUBTRACT-GREEN
+    wr.put(0, 1)  # no more transforms
+    wr.put(0, 1)  # no cache
+    wr.put(0, 1)  # no meta
+    emit = _literal_emitters(wr, resid)
+    for p in resid:
+        emit(p)
+    d = _decode_vp8l(wr.done())
+    exp = float(np.mean([(r + g + b) / 3.0 for _, r, g, b in argb]))
+    assert d["mean_level"] == pytest.approx(exp, abs=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 2000), st.integers(1, 4),
+       st.booleans(), st.booleans())
+def test_isobmff_any_dims(w, h, channels, with_pitm, large_meta):
+    """ISOBMFF sweep: dims/channels survive any geometry, pitm present
+    or not, 32- or 64-bit meta box size."""
+    import test_isobmff_headers as ib
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        _parse_isobmff,
+    )
+
+    props = ib.ispe(w, h) + ib.pixi(channels)
+    meta_extra = ib.pitm(1) if with_pitm else b""
+    iprp_body = ib.box(b"ipco", props)
+    if with_pitm:
+        iprp_body += ib.ipma({1: [1, 2]})
+    meta = b"\x00\x00\x00\x00" + meta_extra + ib.box(b"iprp", iprp_body)
+    payload = ib.ftyp() + ib.box(b"meta", meta, large=large_meta)
+    d = _parse_isobmff(payload)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)

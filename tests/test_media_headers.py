@@ -331,3 +331,56 @@ def test_mp3_midstream_desync_raises_valueerror():
     # APEv2 footer is a recognized trailer
     meta = decode_audio(frames + b"APETAGEX" + b"\x00" * 24)
     assert meta["duration_ms"] == int(3 * 1152 / 44100 * 1000)
+
+
+# ---- WAV PCM widths --------------------------------------------------------
+
+
+def _wav(bits: int, data: bytes, channels: int = 1, rate: int = 8000) -> bytes:
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_8bit_unsigned_rms():
+    import struct as _s  # noqa: F401
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_audio,
+    )
+
+    # square wave around the 128 midpoint: +/- 64 => rms = 0.5
+    data = bytes([192, 64] * 50)
+    d = decode_audio(_wav(8, data))
+    assert d["bits"] == 8 and d["n_samples"] == 100
+    assert d["rms"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_wav_24bit_signed_rms():
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_audio,
+    )
+
+    amp = 1 << 22  # quarter full scale => rms = 0.5
+    pos = amp.to_bytes(3, "little")
+    neg = (-amp & 0xFFFFFF).to_bytes(3, "little")
+    d = decode_audio(_wav(24, (pos + neg) * 50))
+    assert d["bits"] == 24 and d["n_samples"] == 100
+    assert d["rms"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_wav_32bit_signed_rms():
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_audio,
+    )
+
+    amp = 1 << 30
+    data = b"".join(
+        struct.pack("<i", v) for v in ([amp, -amp] * 50)
+    )
+    d = decode_audio(_wav(32, data))
+    assert d["bits"] == 32 and d["n_samples"] == 100
+    assert d["rms"] == pytest.approx(0.5, abs=1e-12)

@@ -180,6 +180,11 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("BroadcastHashJoin", "O(B) bucket log-weight table broadcasts back into the token scan"),
         ("partial_", "per-doc weight sums combine map-side before the doc_id shuffle"),
     ],
+    "q_media_decode": [
+        ("MapInPandas", "forge + decode run as Arrow-batched kernels, never row-at-a-time UDFs"),
+        ("REPARTITION_BY_NUM", "the ONLY exchange is the deliberate Python fan-out pin (single-file scan would otherwise starve the kernel cores)"),
+        ("!ENSURE_REQUIREMENTS", "no plan-required shuffles — the decode chain carries no join/agg"),
+    ],
     "q_naive_bayes": [
         ("BroadcastHashJoin", "O(vocab x k) pivoted model broadcasts to the token stream — one shuffle total"),
         ("!Window", "argmax via array_sort over (−score, class) structs — no per-doc rank window"),
