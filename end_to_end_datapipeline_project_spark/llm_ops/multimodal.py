@@ -355,7 +355,21 @@ _TIFF_TAGS = frozenset(
 )
 
 
-def _tiff_lzw_decode(data: bytes) -> bytearray:
+#: pixel-count ceiling for the COMPRESSED image decoders (PNG/JPEG/GIF/
+#: TIFF): their output size is driven by header-declared dimensions, not
+#: payload size, so a crafted 65535×65535 header (or an LZW/zlib
+#: amplification bomb behind it) would otherwise allocate gigabytes
+#: inside the Spark Python kernel.  Past the cap the decoders return the
+#: REAL validated header metadata with ``mean_level`` None — the same
+#: graceful dims-only degradation the VP8L/FLAC caps use, never
+#: fake_decode (dims are already verified) and never an unbounded
+#: allocation.  Uncompressed formats (PPM/BMP) need no cap: their pixel
+#: arrays are zero-copy views into the payload itself.  16.7M pixels
+#: (e.g. 4096×4096) ≈ 64 MB of RGBA — bounded work per asset.
+_IMAGE_DECODE_CAP = 1 << 24
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
     """TIFF-variant LZW (spec §13): MSB-first bit packing, 8-bit
     symbols, clear=256/EOI=257, and EARLY code-width change — the width
     grows one code sooner than GIF's (at table length (1<<w)-2 given the
@@ -403,11 +417,13 @@ def _tiff_lzw_decode(data: bytes) -> bytearray:
             raise ValueError("TIFF LZW code beyond table")
         out += entry
         prev = entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("TIFF LZW output exceeds declared strip size")
         if len(table) == (1 << code_size) - 2 and code_size < 12:
             code_size += 1
 
 
-def _packbits_decode(data: bytes) -> bytearray:
+def _packbits_decode(data: bytes, max_out: int | None = None) -> bytearray:
     """PackBits RLE (TIFF compression 32773): n>=0 ⇒ n+1 literals,
     -127..-1 ⇒ repeat next byte 1-n times, -128 ⇒ no-op."""
     out = bytearray()
@@ -425,6 +441,8 @@ def _packbits_decode(data: bytes) -> bytearray:
                 raise ValueError("PackBits repeat run truncated")
             out += data[pos : pos + 1] * (1 - n)
             pos += 1
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("PackBits output exceeds declared strip size")
     return out
 
 
@@ -501,6 +519,9 @@ def _parse_tiff(payload: bytes) -> dict:
         and 279 in tags
         and 0 < width
         and 0 < height
+        # past the pixel cap, keep the validated header metadata instead
+        # of letting header-declared dims drive an unbounded allocation
+        and width * height <= _IMAGE_DECODE_CAP
     )
     if not decodable:
         return meta  # real metadata, header-only contract
@@ -512,15 +533,19 @@ def _parse_tiff(payload: bytes) -> dict:
         rows_per_strip, height
     )):
         raise ValueError("TIFF strip count inconsistent with RowsPerStrip")
+    # bound per-strip decompression by the strip's DECLARED pixel size:
+    # LZW amplifies up to ~4096x and PackBits 128x, so without this a
+    # small crafted strip expands far past what the dims can hold
+    strip_max = min(rows_per_strip, height) * width * channels
     raw = bytearray()
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(payload):
             raise ValueError("TIFF strip extends past end of file")
         strip = payload[off : off + cnt]
         if compression == 5:
-            raw += _tiff_lzw_decode(strip)
+            raw += _tiff_lzw_decode(strip, max_out=strip_max)
         elif compression == 32773:
-            raw += _packbits_decode(strip)
+            raw += _packbits_decode(strip, max_out=strip_max)
         else:
             raw += strip
     need = width * height * channels
@@ -998,6 +1023,18 @@ def _decode_png(payload: bytes) -> dict:
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if width * height > _IMAGE_DECODE_CAP:
+        # IHDR is CRC-verified, so dims are trustworthy: keep them and
+        # skip the pixel stage rather than let header-declared dims
+        # drive an unbounded inflate+unfilter (see _IMAGE_DECODE_CAP)
+        return {
+            "format": "png",
+            "width": width,
+            "height": height,
+            "channels": 3 if color_type == 3 else channels,
+            "maxval": 255,
+            "mean_level": None,
+        }
 
     def unfilter(raw: bytes, w_px: int, h_px: int):
         """Reconstruct one (sub-)image's scanlines (filters 0-4)."""
@@ -1044,7 +1081,27 @@ def _decode_png(payload: bytes) -> dict:
             prev = cur
         return recon
 
-    raw = zlib.decompress(bytes(idat))
+    # expected filtered-stream size is exactly determined by the dims,
+    # so bound the inflate at it: zlib amplifies ~1000x, and an IDAT
+    # bomb must fail the length contract without first materializing
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    )
+    expected = sum(
+        h_p * (w_p * channels + 1)
+        for w_p, h_p in (
+            ((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in passes
+        )
+        if w_p > 0 and h_p > 0
+    )
+    inflater = zlib.decompressobj()
+    raw = inflater.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("PNG pixel data does not match dimensions")
     if interlace == 0:
         blocks = [unfilter(raw, width, height)]
     else:  # Adam7: 7 independently-filtered sub-images, in spec order
@@ -1318,6 +1375,18 @@ def _decode_jpeg(payload: bytes) -> dict:
     if hmax < 1 or vmax < 1:
         raise ValueError("JPEG invalid sampling factors")
     w, h = frame["w"], frame["h"]
+    if w * h > _IMAGE_DECODE_CAP:
+        # SOF dims are parsed and validated: keep them, skip the pixel
+        # stage — header-declared dims must not size the plane arrays
+        # and the per-MCU loop unboundedly (see _IMAGE_DECODE_CAP)
+        return {
+            "format": "jpeg",
+            "width": w,
+            "height": h,
+            "channels": len(comps),
+            "maxval": 255,
+            "mean_level": None,
+        }
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     by_id = {c["id"]: c for c in comps}
@@ -1539,6 +1608,19 @@ def _decode_gif(payload: bytes) -> dict:
     )
     if width == 0 or height == 0:
         raise ValueError("GIF with zero logical-screen dimension")
+    dims_only = {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "maxval": 255,
+        "mean_level": None,
+    }
+    if width * height > _IMAGE_DECODE_CAP:
+        # header dims are validated: keep them, skip the LZW stage
+        # rather than let declared dims size the decode (the LZW
+        # output is bounded by `expected`, which the cap now bounds)
+        return dims_only
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1575,6 +1657,10 @@ def _decode_gif(payload: bytes) -> dict:
             raise ValueError("GIF image with no color table in scope")
         if iw == 0 or ih == 0 or pos >= len(payload):
             raise ValueError("GIF image descriptor malformed")
+        if iw * ih > _IMAGE_DECODE_CAP:
+            # a frame larger than the capped canvas can only be a
+            # crafted descriptor; canvas dims stay real, stats decline
+            return dims_only
         min_code_size = payload[pos]
         data, pos = _gif_collect_subblocks(payload, pos + 1)
         idx = np.frombuffer(

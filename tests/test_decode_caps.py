@@ -1,0 +1,149 @@
+"""Decode-cap / amplification-bomb tests: a crafted header declaring
+huge dimensions, or a compressed stream that expands far beyond what
+the dimensions can hold, must degrade to real-header-metadata (dims,
+mean_level None) or ValueError — never an unbounded allocation inside
+the Spark kernel.  Mirrors the VP8L/FLAC cap discipline for the other
+compressed decoders (PNG/JPEG/GIF/TIFF)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+    _IMAGE_DECODE_CAP,
+    _decode_gif,
+    _decode_png,
+    _packbits_decode,
+    _parse_tiff,
+    _tiff_lzw_decode,
+    decode_image,
+)
+
+from test_gif_decode import _lzw_encode as gif_lzw_encode, _subblocks
+from test_png_decode import _chunk as png_chunk
+
+
+def test_png_giant_dims_degrade_to_header_metadata():
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + png_chunk(b"IEND", b"")
+    )
+    d = decode_image(png)
+    assert (d["format"], d["width"], d["height"]) == ("png", 60000, 60000)
+    assert d["mean_level"] is None
+
+
+def test_png_idat_bomb_fails_length_contract_bounded():
+    # 4x4 RGB image, but IDAT inflates to ~1 MB: the bounded inflate
+    # must raise on the length contract without materializing the bomb
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", bomb)
+        + png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _decode_png(png)
+
+
+def test_jpeg_giant_sof_dims_degrade_to_header_metadata():
+    # the scan/table checks run before the cap, so provide real (tiny)
+    # tables: one 1-bit huffman code for symbol 0 in each class
+    sof = struct.pack(">BHHB", 8, 30000, 30000, 1) + bytes([1, 0x11, 0])
+    dqt = bytes([0]) + bytes([1] * 64)
+    dht_dc = bytes([0x00, 1] + [0] * 15 + [0])
+    dht_ac = bytes([0x10, 1] + [0] * 15 + [0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        + b"\x00" * 8
+        + b"\xff\xd9"
+    )
+    d = decode_image(jpg)
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 30000, 30000)
+    assert d["mean_level"] is None
+
+
+def test_gif_giant_screen_and_frame_degrade():
+    gct = bytes(6)
+    giant_screen = (
+        b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0x80, 0, 0) + gct
+    )
+    d = _decode_gif(giant_screen)
+    assert (d["width"], d["height"]) == (60000, 60000)
+    assert d["mean_level"] is None
+    # normal canvas, crafted giant frame descriptor
+    lzw = gif_lzw_encode(np.zeros(4, np.uint8), 2)
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 8, 8, 0x80, 0, 0) + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 30000, 30000, 0)
+        + bytes([2]) + _subblocks(lzw) + b"\x3b"
+    )
+    d = _decode_gif(gif)
+    assert (d["width"], d["height"]) == (8, 8)
+    assert d["mean_level"] is None
+
+
+def test_tiff_giant_dims_degrade_to_header_metadata():
+    # hand-assembled IFD: giant dims, otherwise fully decodable fields
+    def short(x):
+        return struct.pack("<HH", x, 0)
+
+    def long_(x):
+        return struct.pack("<I", x)
+
+    entries = [
+        (256, 4, 1, long_(60000)), (257, 4, 1, long_(60000)),
+        (258, 3, 1, short(8)), (259, 3, 1, short(1)),
+        (262, 3, 1, short(1)), (273, 4, 1, long_(8)),
+        (277, 3, 1, short(1)), (278, 4, 1, long_(60000)),
+        (279, 4, 1, long_(4)),
+    ]
+    t = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", len(entries))
+    for tag, ftype, count, valb in entries:
+        t += struct.pack("<HHI", tag, ftype, count) + valb
+    t += struct.pack("<I", 0)
+    d = _parse_tiff(t)
+    assert (d["width"], d["height"]) == (60000, 60000)
+    assert d["mean_level"] is None
+
+
+def test_tiff_lzw_strip_bomb_bounded():
+    # a strip that legitimately decodes to 1 MB, declared for a 4-pixel
+    # image: the per-strip bound must refuse during decode
+    data = _lzw_encode_like(b"\x07" * (1 << 20))
+    with pytest.raises(ValueError):
+        _tiff_lzw_decode(data, max_out=4)
+    out = _tiff_lzw_decode(data)  # unbounded still works
+    assert len(out) == 1 << 20
+
+
+def _lzw_encode_like(raw: bytes) -> bytes:
+    from test_tiff_decode import _lzw_encode_tiff
+
+    return _lzw_encode_tiff(raw)
+
+
+def test_packbits_bomb_bounded():
+    # 128x amplification: 2-byte runs expanding to 128 bytes each
+    data = b"\x81\x07" * 1000  # -127 => 128 repeats of 0x07, x1000
+    out = _packbits_decode(data)
+    assert len(out) == 128000
+    with pytest.raises(ValueError):
+        _packbits_decode(data, max_out=64)
+
+
+def test_cap_is_sane():
+    assert _IMAGE_DECODE_CAP >= 4096 * 4096
