@@ -463,6 +463,8 @@ def _parse_tiff(payload: bytes) -> dict:
 
     import numpy as np
 
+    if len(payload) < 8:
+        raise ValueError("TIFF magic but payload shorter than its header")
     bo = "<" if payload[:2] == b"II" else ">"
     (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
     if ifd_off + 2 > len(payload):

@@ -147,3 +147,37 @@ def test_packbits_bomb_bounded():
 
 def test_cap_is_sane():
     assert _IMAGE_DECODE_CAP >= 4096 * 4096
+
+
+def test_fuzz_decoder_exception_contract():
+    """Arbitrary bytes behind every recognized magic must either decode
+    or raise ValueError/NotImplementedError — never struct.error /
+    IndexError escaping to the caller (the kernel catches Exception,
+    but the documented decoder contract is the narrow pair)."""
+    import random
+
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_audio,
+    )
+
+    magics = [
+        b"P6 ", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+        b"RIFF1234WEBP", b"II*\x00", b"MM\x00*", b"GIF89a",
+        b"\x00\x00\x00\x14ftypavif", b"\x00\x00\x00\x10ftypheic",
+    ]
+    audio_magics = [b"RIFF1234WAVE", b"fLaC", b"ID3", b"\xff\xfb"]
+    rng = random.Random(20260815)
+    for _ in range(1500):
+        m = rng.choice(magics)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        try:
+            decode_image(m + body)
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(800):
+        m = rng.choice(audio_magics)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        try:
+            decode_audio(m + body)
+        except (ValueError, NotImplementedError):
+            pass
