@@ -949,3 +949,63 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("log_weight"), "doc_id")
         .limit(_DSIR_N)
     )
+
+
+@register(
+    "q_compression_ratio",
+    None,  # deliberately the repo's ONE rows-only query: zlib/DEFLATE is
+    # not expressible in SQL, so no DuckDB twin exists.  Values are
+    # pinned instead by closed-form pytest fixtures (constant text
+    # compresses to ~0, hash-chain noise stays near 1 —
+    # tests/test_llm_ops.py) and the kernel is deterministic (fixed
+    # level, single zlib build in the container).
+    doc="zlib compression-ratio quality signal (the Gopher/FineWeb "
+    "staple): highly repetitive boilerplate compresses far below "
+    "normal prose, random noise barely compresses at all, so a "
+    "[0.1, 0.9] band on deflate(text)/len(text) is a cheap first-pass "
+    "junk filter.  Scale shape: one Arrow mapInPandas kernel over the "
+    "corpus scan (zlib runs at C speed per batch), zero shuffles, no "
+    "driver state — the same kind-of-work profile as the media "
+    "feature kernel.",
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..sources import pin_parallelism
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    docs = pin_parallelism(docs, "doc_id")
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            nb = [len(b) for b in raw]
+            # level pinned: zlib output is deterministic per (input,
+            # level, strategy) for a given zlib build
+            ratio = [
+                round(len(zlib.compress(b, 6)) / n, 6) if n else None
+                for b, n in zip(raw, nb)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "zlib_ratio": pd.Series(ratio, dtype="Float64"),
+                    "keep": pd.Series(
+                        [
+                            r is not None and 0.1 <= r <= 0.9
+                            for r in ratio
+                        ],
+                        dtype="boolean",
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_bytes long, zlib_ratio double, keep boolean",
+    )

@@ -341,3 +341,39 @@ def test_bpe_merges_match_reference(spark, sf_dir):
                         key=lambda r: r.iter)
     ]
     assert got == expected
+
+
+def test_compression_ratio_closed_forms(spark):
+    """zlib-ratio kernel pinned by closed-form fixtures: constant text
+    compresses to ~0 (junk), md5-chain noise stays near 1 (noise),
+    normal prose lands inside the keep band."""
+    import hashlib
+    import os
+    import tempfile
+
+    from end_to_end_datapipeline_project_spark.registry import all_queries
+
+    noise = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(200)
+    )
+    # mid-entropy "prose": words drawn from a 500-word vocabulary —
+    # ~9 bits of entropy per ~7-byte word lands inside the keep band
+    # (a literally repeated sentence would compress to ~0 like doc 1)
+    vocab = [hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(500)]
+    prose = " ".join(
+        vocab[int(hashlib.md5(f"w{j}".encode()).hexdigest(), 16) % 500]
+        for j in range(800)
+    )
+    df = spark.createDataFrame(
+        [(1, "ab" * 4000), (2, noise), (3, prose)],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = all_queries()["q_compression_ratio"](spark, td).collect()
+    out = {r.doc_id: r for r in rows}
+    assert out[1].zlib_ratio < 0.02 and not out[1].keep  # repetitive junk
+    assert out[2].zlib_ratio > 0.55  # hash-chain noise barely compresses
+    assert out[2].keep is bool(out[2].zlib_ratio <= 0.9)
+    assert 0.1 <= out[3].zlib_ratio <= 0.9 and out[3].keep  # prose
+    assert out[3].n_bytes == len(prose.encode())
