@@ -1,10 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver tails stdout and parses the LAST line):
+the bulky per-query dicts are printed as their own earlier JSON lines
+(`"detail": "batch_queries"` / `"detail": "interleaved_min"`), and the
+FINAL stdout line is a SHORT JSON carrying only the suite totals, the
+host-speed canary, and sf — round 7 lost its machine-readable total
+because the one-line-everything format outgrew the driver's tail
+capture.
 
 Each query is fully materialized through a noop sink (no driver-side
 collect skew); a warm-up pass primes the JVM/codegen so the numbers
-reflect steady-state plan execution, which is what scales.
+reflect steady-state plan execution, which is what scales.  The host
+canary (fixed 1-core python loop + fixed all-core Spark job, min of 3)
+is emitted every round so cross-round Σ(min) deltas can be normalized
+mechanically: this shared host has shifted ±35% with no code change
+(r6→r7), and without a canary every such shift costs an investigation.
 """
 
 from __future__ import annotations
@@ -78,6 +89,33 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def host_canary(spark) -> dict[str, float]:
+    """Fixed-work host-speed measurements recorded beside the suite
+    totals (same probes as tools/ab_bench.py): a pure-Python 1-core
+    arithmetic loop and a fixed all-core Spark range-sum, min of 3
+    each.  Divide cross-round Σ(min) deltas by the canary ratio before
+    reading them as regressions."""
+
+    def timeit(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    py = min(
+        timeit(lambda: sum(i * i for i in range(2 * 10**6)))
+        for _ in range(3)
+    )
+    jvm = min(
+        timeit(
+            lambda: spark.range(2 * 10**8)
+            .selectExpr("sum(id * 2) AS s")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return {"python_1core_sec": round(py, 3), "spark_allcores_sec": round(jvm, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -143,18 +181,25 @@ def main() -> None:
         for name in HEADLINE:
             samples[name].append(timed(name))
 
+    canary = host_canary(spark)
+
     total = round(sum(timings.values()), 3)
     imins = {n: round(min(ts), 3) for n, ts in samples.items()}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # bulky per-query dicts go on their own lines (human/NDJSON
+    # consumers); the driver parses only the short FINAL line below
+    print(json.dumps({"detail": "batch_queries", "queries": timings}))
+    print(json.dumps({"detail": "interleaved_min", "queries": imins}))
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "interleaved_min": imins,
+                "n_queries": len(timings),
                 "interleaved_min_total": round(sum(imins.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "canary": canary,
+                "sf": sf_val,
             }
         )
     )

@@ -982,7 +982,12 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            raw = [t.encode("utf-8") for t in pdf["text"]]
+            # NULL text → empty bytes → n_bytes 0, null ratio, keep
+            # False (a None in the Arrow batch must not fail the task)
+            raw = [
+                t.encode("utf-8") if t is not None else b""
+                for t in pdf["text"]
+            ]
             nb = [len(b) for b in raw]
             # level pinned: zlib output is deterministic per (input,
             # level, strategy) for a given zlib build

@@ -110,6 +110,46 @@ def test_refusals():
         _parse_isobmff(ftyp() + struct.pack(">I", 4096) + b"meta")
 
 
+def test_truncated_box_bodies_raise_valueerror_not_indexerror():
+    """ADVICE r7: crafted/truncated ftyp/pitm/ipma bodies must raise the
+    structural-damage ValueError through the public decode_image
+    contract, never an IndexError from indexing past a box body."""
+    # empty ftyp body: no brand bytes at all
+    with pytest.raises(ValueError):
+        _parse_isobmff(box(b"ftyp", b""))
+    # empty / sub-minimal pitm body inside meta
+    with pytest.raises(ValueError):
+        _parse_isobmff(
+            avif_file(ispe(8, 8), meta_extra=box(b"pitm", b""))
+        )
+    with pytest.raises(ValueError):
+        _parse_isobmff(
+            avif_file(
+                ispe(8, 8), meta_extra=box(b"pitm", b"\x00\x00\x00\x00")
+            )
+        )
+    # ipma whose declared entry count runs past the box body
+    bad_ipma = box(
+        b"ipma", b"\x00\x00\x00\x00" + struct.pack(">I", 3) + b"\x00\x01"
+    )
+    with pytest.raises(ValueError):
+        _parse_isobmff(
+            avif_file(ispe(8, 8), meta_extra=pitm(1), iprp_extra=bad_ipma)
+        )
+    # ipma association indices truncated mid-list
+    bad_ipma2 = box(
+        b"ipma",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 1)
+        + struct.pack(">H", 1)
+        + bytes([4, 1]),  # declares 4 associations, supplies 1
+    )
+    with pytest.raises(ValueError):
+        _parse_isobmff(
+            avif_file(ispe(8, 8), meta_extra=pitm(1), iprp_extra=bad_ipma2)
+        )
+
+
 def test_decode_media_routes_avif(spark):
     from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
         decode_media,

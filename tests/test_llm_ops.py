@@ -377,3 +377,25 @@ def test_compression_ratio_closed_forms(spark):
     assert out[2].keep is bool(out[2].zlib_ratio <= 0.9)
     assert 0.1 <= out[3].zlib_ratio <= 0.9 and out[3].keep  # prose
     assert out[3].n_bytes == len(prose.encode())
+
+
+def test_compression_ratio_null_text_yields_null_ratio(spark):
+    """ADVICE r7: a NULL text value must yield (0 bytes, null ratio,
+    keep=False) — not an AttributeError that fails the whole task."""
+    import os
+    import tempfile
+
+    from end_to_end_datapipeline_project_spark.registry import all_queries
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x" * 500)],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = all_queries()["q_compression_ratio"](spark, td).collect()
+    out = {r.doc_id: r for r in rows}
+    assert out[1].n_bytes == 0 and out[1].zlib_ratio is None
+    assert out[1].keep is False
+    assert out[2].n_bytes == 0 and out[2].zlib_ratio is None
+    assert out[3].zlib_ratio is not None

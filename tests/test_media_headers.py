@@ -333,6 +333,35 @@ def test_mp3_midstream_desync_raises_valueerror():
     assert meta["duration_ms"] == int(3 * 1152 / 44100 * 1000)
 
 
+def test_mp3_lyrics3_and_enhanced_tag_trailers():
+    """ADVICE r7: LYRICS3 v1/v2 and enhanced TAG+ trailers are benign —
+    the walk must return the real frame metadata, not fall back to
+    fake_decode."""
+    frames = _mp3_frames(
+        3, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"]
+    )
+    want = int(3 * 1152 / 44100 * 1000)
+    # LYRICS3v2: LYRICSBEGIN ... size + LYRICS200, then ID3v1
+    lyr2 = (
+        b"LYRICSBEGIN" + b"LYR00011hello world" + b"000030LYRICS200"
+        + b"TAG" + b"\x00" * 125
+    )
+    assert decode_audio(frames + lyr2)["duration_ms"] == want
+    # LYRICS3v1: LYRICSBEGIN ... LYRICSEND, no ID3v1
+    assert (
+        decode_audio(frames + b"LYRICSBEGIN" + b"some text" + b"LYRICSEND")[
+            "duration_ms"
+        ]
+        == want
+    )
+    # enhanced tag: 227-byte TAG+ block followed by the 128-byte ID3v1
+    tagplus = b"TAG+" + b"\x00" * 223 + b"TAG" + b"\x00" * 125
+    assert decode_audio(frames + tagplus)["duration_ms"] == want
+    # but a TAG+ of the wrong length is still a desync
+    with pytest.raises(ValueError):
+        decode_audio(frames + b"TAG+" + b"\x00" * 10)
+
+
 # ---- WAV PCM widths --------------------------------------------------------
 
 

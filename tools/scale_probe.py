@@ -35,6 +35,15 @@ AB_MARKER = "## Interleaved A/B adjudication"
 #: probe runs preserve it (ab_bench owns everything after AB_MARKER).
 TAIL_MARKER = "## Output-bound tail probe"
 
+#: default `--tail` subset: the four output-bound dedup queries whose
+#: caps the tail probe exists to audit
+TAIL_DEFAULT = (
+    "q_fuzzy_match",
+    "q_minhash_lsh",
+    "q_prefix_filter_join",
+    "q_sorted_neighborhood",
+)
+
 PROBES = [
     "q_daily_report",
     "q_pricing_summary",
@@ -266,6 +275,11 @@ def main() -> None:
     if "--tail" in subset:  # subset run that WRITES the tail section
         subset.remove("--tail")
         tail = True
+        if not subset:
+            # bare `--tail` defaults to the output-bound probe set
+            # rather than rewriting the tail section to an empty table
+            # (ADVICE r7)
+            subset = list(TAIL_DEFAULT)
     _load()
     spark = get_spark("scale-probe")
     big_dir = build(spark, k)
