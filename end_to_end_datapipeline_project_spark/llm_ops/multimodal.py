@@ -20,10 +20,14 @@ pure stdlib/numpy, via ``decode_image``/``decode_audio`` and the
 ``decode_media`` kernel; lossless WebP also decodes for REAL in the
 VP8L subset incl. subtract-green + palette transforms (prefix codes,
 LZ77, color cache — see
-``_decode_vp8l``).  Lossy WebP (VP8/VP8X) and MP3 parse REAL
-dims / duration / rate / channels from their headers (pixel/PCM
-entropy decode genuinely needs a codec library — none ships in this
-container).  Everything else (AVIF/AAC/...) raises
+``_decode_vp8l``).  Lossy WebP (VP8/VP8X), MP3 (full frame-header
+walk), and AVIF/HEIC (ISOBMFF box walk — see ``_parse_isobmff``)
+parse REAL dims / duration / rate / channels from their headers, with
+pixel/PCM VALUES permanently environment-gated: entropy decode
+genuinely needs a codec library, none ships in this container, and the
+frontier is declared CLOSED — see ``COVERAGE.md §7`` for the contract
+table and the upgrade path if a codec library ever appears.
+Everything else (AAC/Opus/...) raises
 ``NotImplementedError`` and falls back to the deterministic ``fake_decode``,
 which computes real features (byte length, sha256, md5-derived
 dimensions) so every payload stays end-to-end verifiable, including
