@@ -951,9 +951,52 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: output schema of the zlib compression-ratio kernel (shared by the
+#: batch query and the streaming tier's q_stream_compression_ratio)
+COMPRESSION_RATIO_SCHEMA = (
+    "doc_id long, n_bytes long, zlib_ratio double, keep boolean"
+)
+
+
+def compression_ratio_kernel(batches):
+    """Arrow ``mapInPandas`` kernel: per-document zlib compression
+    ratio + [0.1, 0.9] keep band.  Module-level so the batch query and
+    the Structured Streaming variant run the IDENTICAL kernel."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        # NULL text → empty bytes → n_bytes 0, null ratio, keep
+        # False (a None in the Arrow batch must not fail the task)
+        raw = [
+            t.encode("utf-8") if t is not None else b""
+            for t in pdf["text"]
+        ]
+        nb = [len(b) for b in raw]
+        # level pinned: zlib output is deterministic per (input,
+        # level, strategy) for a given zlib build
+        ratio = [
+            round(len(zlib.compress(b, 6)) / n, 6) if n else None
+            for b, n in zip(raw, nb)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pd.Series(nb, dtype="int64"),
+                "zlib_ratio": pd.Series(ratio, dtype="Float64"),
+                "keep": pd.Series(
+                    [r is not None and 0.1 <= r <= 0.9 for r in ratio],
+                    dtype="boolean",
+                ),
+            }
+        )
+
+
 @register(
     "q_compression_ratio",
-    None,  # deliberately the repo's ONE rows-only query: zlib/DEFLATE is
+    None,  # deliberately rows-only (with its streaming twin
+    # q_stream_compression_ratio, the repo's only two): zlib/DEFLATE is
     # not expressible in SQL, so no DuckDB twin exists.  Values are
     # pinned instead by closed-form pytest fixtures (constant text
     # compresses to ~0, hash-chain noise stays near 1 —
@@ -969,48 +1012,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature kernel.",
 )
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     from ..sources import pin_parallelism
 
     docs = read_parquet_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     docs = pin_parallelism(docs, "doc_id")
-
-    def kernel(batches):
-        import zlib
-
-        for pdf in batches:
-            # NULL text → empty bytes → n_bytes 0, null ratio, keep
-            # False (a None in the Arrow batch must not fail the task)
-            raw = [
-                t.encode("utf-8") if t is not None else b""
-                for t in pdf["text"]
-            ]
-            nb = [len(b) for b in raw]
-            # level pinned: zlib output is deterministic per (input,
-            # level, strategy) for a given zlib build
-            ratio = [
-                round(len(zlib.compress(b, 6)) / n, 6) if n else None
-                for b, n in zip(raw, nb)
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": pd.Series(nb, dtype="int64"),
-                    "zlib_ratio": pd.Series(ratio, dtype="Float64"),
-                    "keep": pd.Series(
-                        [
-                            r is not None and 0.1 <= r <= 0.9
-                            for r in ratio
-                        ],
-                        dtype="boolean",
-                    ),
-                }
-            )
-
     return docs.mapInPandas(
-        kernel,
-        "doc_id long, n_bytes long, zlib_ratio double, keep boolean",
+        compression_ratio_kernel, COMPRESSION_RATIO_SCHEMA
     )

@@ -687,3 +687,52 @@ def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, agg, f"stream_media_decode_{next(_MEM_SEQ)}", complete=True
     )
+
+
+@register(
+    "q_stream_compression_ratio",
+    None,  # rows-only like its batch twin q_compression_ratio:
+    # zlib/DEFLATE has no SQL expression for DuckDB, so there is no
+    # oracle; instead pytest asserts the streaming output EQUALS the
+    # batch query's aggregate on the same corpus (identical kernel,
+    # identical zlib build — tests/test_streaming_queries.py)
+    doc="Structured Streaming THROUGH the zlib compression-ratio "
+    "kernel: a file-source stream of documents runs the SAME "
+    "module-level mapInPandas kernel as batch q_compression_ratio "
+    "inside micro-batches, then aggregates per keep-flag in complete "
+    "mode (availableNow trigger, memory sink).  Proves the round-7 "
+    "kernel composes with the streaming tier like the media kernels. "
+    "Scale shape: the kernel is stateless per-batch (no state store); "
+    "the only stateful operator is the final 2-row keep/drop "
+    "aggregate; ratio sums are decimal-exact over round(·,6) terms so "
+    "the result is independent of micro-batch partitioning.",
+)
+def q_stream_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops.clean import (
+        COMPRESSION_RATIO_SCHEMA,
+        compression_ratio_kernel,
+    )
+    from .registry import spark_dsum_fast
+
+    stage, schema = _stage_table_dir(spark, sf_dir, "documents", "documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("doc_id", "text")
+    )
+    scored = stream.mapInPandas(
+        compression_ratio_kernel, COMPRESSION_RATIO_SCHEMA
+    )
+    agg = scored.groupBy("keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.round(spark_dsum_fast(F.col("zlib_ratio"), 6), 6).alias(
+            "sum_ratio"
+        ),
+    )
+    return run_stream_to_memory(
+        spark,
+        agg,
+        f"stream_compression_ratio_{next(_MEM_SEQ)}",
+        complete=True,
+    )

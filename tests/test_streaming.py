@@ -423,3 +423,34 @@ def test_stream_geofence_multibatch_state_carries(spark, tmp_path):
     assert [(r.user_id, r.event_id, r.transition) for r in rows] == [
         (7, 2, "exit")
     ]
+
+def test_stream_compression_ratio_matches_batch(spark, sf_dir):
+    """VERDICT r7 task #6: the zlib kernel composes with Structured
+    Streaming — the streamed per-keep aggregate must EQUAL the batch
+    q_compression_ratio aggregated the same way (identical module-level
+    kernel, decimal-exact ratio sums independent of batch splits)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.registry import (
+        all_queries,
+        spark_dsum_fast,
+    )
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        q_stream_compression_ratio,
+    )
+
+    got = q_stream_compression_ratio(spark, sf_dir)
+    want = (
+        all_queries()["q_compression_ratio"](spark, sf_dir)
+        .groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.round(spark_dsum_fast(F.col("zlib_ratio"), 6), 6).alias(
+                "sum_ratio"
+            ),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
