@@ -1149,11 +1149,14 @@ _PF_TOPK = 10
                              ORDER BY jaccard DESC, doc_b) <= {_PF_TOPK}
 """,
     doc=f"EXACT set-similarity self-join (shingle-set Jaccard >= "
-    f"{_PF_THRESHOLD}) via prefix filtering: shingles are globally "
-    "ranked rarest-first, each doc indexes only its first "
-    "|x|-ceil(t|x|)+1 rarest shingles (if J(x,y) >= t then overlap >= "
-    "t*|x|, so similar pairs MUST collide inside the prefix), and "
-    "candidates are verified with a full-overlap count, and each doc "
+    f"{_PF_THRESHOLD}) via PPJoin ASYMMETRIC prefix filtering: "
+    "shingles are globally ranked rarest-first; the probing side uses "
+    "the AllPairs prefix |x|-ceil(t|x|)+1 while the indexed (smaller-"
+    "record) side needs only |y|-ceil(2t/(1+t)|y|)+1 entries under the "
+    "(size, doc_id) pair order — a qualifying pair MUST collide inside "
+    "probe(x) ∩ index(y), so the pruning stays lossless while hot-"
+    "shingle fan-out drops ~2x.  "
+    "Candidates are verified with a full-overlap count, and each doc "
     f"emits only its top-{_PF_TOPK} partners (jaccard desc, doc_b asc) "
     "so worst-case output is K*n even inside similarity cliques. The "
     "oracle is the brute-force all-shared-shingles join with the same "
@@ -1193,35 +1196,61 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc_id by the row_number window, so the equi-join is cheap
         .join(sz, "doc_id")
     )
-    prefix = ranked.filter(
+    # PPJoin ASYMMETRIC prefixes (Xiao et al. 2008; VERDICT r7 task #3):
+    # the probing prefix keeps the AllPairs length |x|-ceil(t|x|)+1, but
+    # the INDEXED side only needs |y|-ceil(2t/(1+t)·|y|)+1 entries when
+    # pairs are generated under the size order |y| <= |x| — for a
+    # qualifying pair the required overlap α >= 2t/(1+t)·|y| exceeds
+    # what y could share with ALL its index-prefix entries skipped, so
+    # the first common shingle (rarest-first global order) lands inside
+    # probe(x) ∩ index(y).  At t=0.8 the index prefix is ~x0.55 of the
+    # probe prefix, cutting hot-shingle candidate fan-out d_probe² →
+    # d_probe·d_index inside replica cliques — the ×30 probe's dominant
+    # stage.  LOSSLESS, so the brute-force oracle is unchanged.
+    probe = ranked.filter(
         F.col("pos")
         <= F.col("sz")
         - F.expr(f"(({_PF_T_NUM} * sz + {_PF_T_DEN - 1}) div {_PF_T_DEN})")
         + 1
     ).select("doc_id", "shingle", "pos", "sz")
-    # AllPairs/PPJoin candidate pruning — both filters are LOSSLESS for
-    # J >= t, so the oracle (brute force) is unchanged:
-    # - length filter: J >= t  =>  t·max(|x|,|y|) <= min(|x|,|y|)
+    # 2t/(1+t) = 2·NUM/(NUM+DEN) exactly; ceil over positive ints again
+    idx = probe.filter(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(
+            f"((2 * {_PF_T_NUM} * sz + {_PF_T_NUM + _PF_T_DEN - 1})"
+            f" div {_PF_T_NUM + _PF_T_DEN})"
+        )
+        + 1
+    )
+    # candidate pruning — all three filters are LOSSLESS for J >= t:
+    # - size order: index side is the smaller record ((sz, doc_id)
+    #   lexicographic so equal-size pairs are generated exactly once)
+    # - length filter: J >= t  =>  t·|x| <= |y| for |y| <= |x|
     # - positional filter: all common shingles of a qualifying pair sit
     #   at or after its FIRST common prefix entry, so overlap <=
     #   1 + min(|x|-pa, |y|-pb); require that to reach the overlap
     #   threshold α = ceil(t/(1+t)·(|x|+|y|)).  A pair survives if ANY
     #   shared prefix entry passes, which contains the first-entry case.
-    # On replica-clique data these cut candidates ~5-10× before the
-    # expensive verification fan-out.
     alpha = F.expr(
         f"(({_PF_T_NUM} * (a.sz + b.sz) + {_PF_T_NUM + _PF_T_DEN - 1})"
         f" div {_PF_T_NUM + _PF_T_DEN})"
     )
     cand = (
-        prefix.alias("a")
+        probe.alias("a")
         .join(
-            prefix.alias("b"),
+            idx.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
-                F.lit(_PF_T_NUM) * F.greatest("a.sz", "b.sz")
-                <= F.lit(_PF_T_DEN) * F.least("a.sz", "b.sz")
+                (F.col("b.sz") < F.col("a.sz"))
+                | (
+                    (F.col("b.sz") == F.col("a.sz"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id"))
+                )
+            )
+            & (
+                F.lit(_PF_T_NUM) * F.col("a.sz")
+                <= F.lit(_PF_T_DEN) * F.col("b.sz")
             )
             & (
                 F.lit(1)
@@ -1233,8 +1262,8 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )

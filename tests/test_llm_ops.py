@@ -208,6 +208,50 @@ def test_prefix_filter_join_matches_bruteforce(spark, sf_dir):
                 assert (a, b) not in got
 
 
+def test_prefix_filter_join_equal_size_clique(spark):
+    """The PPJoin asymmetric index prefix generates equal-size pairs via
+    the (sz, doc_id) lexicographic order — a replica clique where every
+    member has the SAME shingle-set size must still yield every
+    qualifying pair exactly once (the ×30 probe's dominant shape)."""
+    import os
+    import tempfile
+
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        _PF_THRESHOLD,
+        q_prefix_filter_join,
+        shingles,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, f"{base} replica{i}") for i in range(6)]  # equal sizes
+    rows.append((99, "totally different tiny text here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in q_prefix_filter_join(spark, td).collect()
+        }
+        sh = shingles(
+            spark.read.parquet(os.path.join(td, "documents.parquet"))
+        ).collect()
+    sets = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / len(sets[a] | sets[b]) if inter else 0.0
+            if jac >= _PF_THRESHOLD:
+                want[(a, b)] = jac
+    assert want  # the clique must actually qualify
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5
+
+
 def test_cdc_chunks_boundaries_are_content_anchored(spark, sf_dir):
     """Shifting a document by prepending tokens must leave most chunk
     fingerprints intact (the CDC property fixed-width chunking lacks)."""
