@@ -1170,10 +1170,30 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _PF_THRESHOLD
     docs = read_parquet_table(spark, sf_dir, "documents")
     sh = shingles(docs).localCheckpoint()
-    # per-doc sizes AND the verify arrays come from ONE checkpointed
-    # map-side shingle_arrays pass: size = |array| in-row (no corpus
-    # shuffle), and the same materialization feeds both verify joins
-    arrs = shingle_arrays(docs).localCheckpoint()
+    # global df + a DISTINCT long surrogate id (sid) per shingle, pinned
+    # by ONE checkpoint: the candidate join and the verify arrays carry
+    # 8-byte longs instead of ~30-char shingle strings.  The ×30 probe
+    # showed verification dominating (244 s of a 330 s stage-by-stage
+    # walk: 11M string-array intersections); long-array array_intersect
+    # plus a long equi-join key cut both the compare cost and the
+    # shuffle bytes.  sid values carry no meaning — only distinctness —
+    # so monotonically_increasing_id is safe once materialized; the
+    # rarest-first PREFIX ORDER stays on the exact (df, shingle) string
+    # key, unchanged.
+    vocab = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    shv = sh.join(vocab, "shingle")
+    # verify arrays as long sids — replaces the separate shingle_arrays
+    # corpus pass (one fewer tokenize+explode of the whole corpus)
+    arrs = (
+        shv.groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("shs"))
+        .localCheckpoint()
+    )
     sz = arrs.select("doc_id", F.size("shs").alias("sz"))
     # rarest-first ordering WITHOUT a global rank: the prefix only needs
     # each doc's shingles ordered by (df, shingle) — ranking positions
@@ -1181,10 +1201,8 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avoids the single-partition row_number sort of the whole shingle
     # vocabulary the global-rank form required (the probe's ×10
     # super-linear stage: one core sorting 10× the vocabulary)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        sh.join(df_counts, "shingle")
-        .withColumn(
+        shv.withColumn(
             "pos",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -1212,7 +1230,7 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("sz")
         - F.expr(f"(({_PF_T_NUM} * sz + {_PF_T_DEN - 1}) div {_PF_T_DEN})")
         + 1
-    ).select("doc_id", "shingle", "pos", "sz")
+    ).select("doc_id", "sid", "pos", "sz")
     # 2t/(1+t) = 2·NUM/(NUM+DEN) exactly; ceil over positive ints again
     idx = probe.filter(
         F.col("pos")
@@ -1240,7 +1258,7 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.alias("a")
         .join(
             idx.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (
                 (F.col("b.sz") < F.col("a.sz"))
                 | (
@@ -1267,12 +1285,15 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verification by per-doc shingle-ARRAY intersection: two doc-keyed
-    # joins carrying one array per row, shared = |array_intersect|
+    # verification by per-doc sid-ARRAY intersection: two doc-keyed
+    # joins carrying one long array per row, shared = |array_intersect|
     # computed map-side.  The exploded alternative (cand ⋈ shingles ⋈
     # shingles → groupBy pair) shuffles |cand|·|shingles/doc| skinny
     # rows — measured 62 s vs 0.4 s at the ×10 probe for the same 1.2M
-    # candidates.  Exact string intersection, no hashing.
+    # candidates.  EXACT: sids are a bijection onto the shingle
+    # vocabulary (distinct surrogate keys, not hashes), so
+    # |arr_a ∩ arr_b| equals the string-set intersection the oracle
+    # computes — no collision probability anywhere.
     overlap = (
         cand.join(
             arrs.select(
