@@ -1167,6 +1167,23 @@ _PF_TOPK = 10
     "keep the token universe large enough for the prefix to select.",
 )
 def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_k = Window.partitionBy("doc_a").orderBy(F.desc("jacc"), "doc_b")
+    return (
+        _prefix_filter_scored(spark, sf_dir)
+        .withColumn("__rk", F.row_number().over(w_k))
+        .filter(F.col("__rk") <= _PF_TOPK)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("jacc"), 6).alias("jaccard"),
+        )
+    )
+
+
+def _prefix_filter_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All qualifying pairs (doc_a, doc_b, shared, jacc) with J >= t,
+    BEFORE the per-doc top-K emission cap."""
     t = _PF_THRESHOLD
     docs = read_parquet_table(spark, sf_dir, "documents")
     sh = shingles(docs).localCheckpoint()
@@ -1318,19 +1335,17 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
-    w_k = Window.partitionBy("doc_a").orderBy(F.desc("jacc"), "doc_b")
-    return (
-        overlap.withColumn("jacc", jac)
-        .filter(F.col("jacc") >= t)
-        .withColumn("__rk", F.row_number().over(w_k))
-        .filter(F.col("__rk") <= _PF_TOPK)
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared",
-            F.round(F.col("jacc"), 6).alias("jaccard"),
-        )
-    )
+    return overlap.withColumn("jacc", jac).filter(F.col("jacc") >= t)
+
+
+def prefix_filter_qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-CAP qualifying pairs (J >= t) of the exact set-similarity
+    join — the intrinsic-work measure the scale probe needs: the
+    top-K emission cap bounds what q_prefix_filter_join RETURNS, but an
+    exact join must still verify every qualifying pair to rank the
+    top K, so wall growth should be judged against THIS count, not the
+    capped output (tools/scale_probe.py WORK_PROBES)."""
+    return _prefix_filter_scored(spark, sf_dir).select("doc_a", "doc_b")
 
 
 # --- content-defined chunking (rolling-hash boundaries) -------------------
