@@ -58,6 +58,10 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("TakeOrderedAndProject", "top-100 never global-sorts"),
         ("partial_", "per-order quantity sums combine map-side"),
     ],
+    "q_prefix_filter_join": [
+        ("SortMergeJoin", "candidate join keyed on the long shingle sid"),
+        ("!CartesianProduct", "prefix pruning keeps the self-join keyed — never all-pairs"),
+    ],
     "q_bm25": [
         ("BroadcastHashJoin", "df/corpus stats broadcast to the scoring join"),
     ],
