@@ -68,6 +68,15 @@ def type_lint(arrow_schema) -> list:
     return bad
 
 
+#: the ONLY queries allowed to run without a DuckDB oracle — zlib/
+#: DEFLATE has no SQL expression; their values are pinned by pytest
+#: closed-form fixtures and a streaming==batch equality pin.  Any other
+#: oracle-less query counts as a FAILURE (its oracle was dropped).
+ROWS_ONLY_ALLOWED = frozenset(
+    {"q_compression_ratio", "q_stream_compression_ratio"}
+)
+
+
 def main() -> int:
     # pin the PROCESS timezone: PySpark's collect() converts timestamps
     # via datetime.fromtimestamp (SYSTEM tz, not the session tz), so on
@@ -114,9 +123,16 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows {name}: {len(srows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
-            n_rows_only += 1
+            if name in ROWS_ONLY_ALLOWED:
+                print(f"rows {name}: {len(srows)} rows (no oracle) "
+                      f"[{time.time()-t0:.1f}s]")
+                n_rows_only += 1
+            else:
+                # an oracle was dropped: every query outside the
+                # documented allowlist MUST have a DuckDB twin
+                print(f"FAIL {name}: no oracle and not in "
+                      f"ROWS_ONLY_ALLOWED ({len(srows)} rows)")
+                n_fail += 1
             continue
         try:
             res = con.execute(oracles[name])
