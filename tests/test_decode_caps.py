@@ -181,3 +181,55 @@ def test_fuzz_decoder_exception_contract():
             decode_audio(m + body)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_mutation_fuzz_isobmff_and_mp3_contract():
+    """Structure-aware fuzz (r8): byte flips / truncations / insertions
+    of VALID AVIF and MP3 payloads reach the deep pitm/ipma and
+    frame-walk paths that random bodies behind a magic almost never
+    hit.  Contract: decode or raise ValueError/NotImplementedError —
+    never IndexError/struct.error.  A 60k-iteration sweep of this
+    generator ran clean at r8 HEAD; 4k deterministic iterations are
+    pinned here."""
+    import random
+
+    import test_isobmff_headers as ib
+    import test_media_headers as mh
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_audio,
+    )
+
+    valid_img = ib.avif_file(
+        ib.ispe(100, 50) + ib.pixi(1) + ib.ispe(320, 200) + ib.pixi(3),
+        meta_extra=ib.pitm(2),
+        iprp_extra=ib.ipma({1: [1, 2], 2: [3, 4]}),
+    )
+    m = mh._M1L3
+    valid_mp3 = (
+        mh._id3v2(40)
+        + mh._mp3_frames(5, m["b1"], m["b2"], m["b3"], m["flen"])
+        + b"TAG" + b"\x00" * 125
+    )
+    rng = random.Random(8)
+    for i in range(4000):
+        src, fn = (
+            (valid_img, decode_image) if i % 2 == 0 else (valid_mp3, decode_audio)
+        )
+        b = bytearray(src)
+        for _ in range(rng.randrange(1, 4)):
+            if len(b) < 8:
+                break
+            op = rng.randrange(3)
+            if op == 0:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1:
+                del b[rng.randrange(1, len(b)):]
+            else:
+                pos = rng.randrange(len(b))
+                b[pos:pos] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 9))
+                )
+        try:
+            fn(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
