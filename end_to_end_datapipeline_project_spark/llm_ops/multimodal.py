@@ -1730,6 +1730,12 @@ def decode_audio(payload: bytes) -> dict:
             cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
             body = payload[pos + 8 : pos + 8 + csize]
             if cid == b"fmt ":
+                if len(body) < 16:
+                    # truncated payload or a lying csize: the slice
+                    # above silently shortens body, and unpacking it
+                    # must raise the contract ValueError, not
+                    # struct.error (r8 mutation fuzz)
+                    raise ValueError("truncated WAV fmt chunk")
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
             elif cid == b"data":
                 data = body

@@ -183,38 +183,69 @@ def test_fuzz_decoder_exception_contract():
             pass
 
 
-def test_mutation_fuzz_isobmff_and_mp3_contract():
-    """Structure-aware fuzz (r8): byte flips / truncations / insertions
-    of VALID AVIF and MP3 payloads reach the deep pitm/ipma and
-    frame-walk paths that random bodies behind a magic almost never
-    hit.  Contract: decode or raise ValueError/NotImplementedError —
-    never IndexError/struct.error.  A 60k-iteration sweep of this
-    generator ran clean at r8 HEAD; 4k deterministic iterations are
-    pinned here."""
-    import random
+def test_truncated_wav_fmt_chunk_raises_valueerror():
+    """r8 mutation-fuzz find: a fmt chunk whose body is shorter than 16
+    bytes (truncated payload or lying csize) must raise the contract
+    ValueError, not struct.error."""
+    import struct
 
-    import test_isobmff_headers as ib
-    import test_media_headers as mh
     from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
         decode_audio,
     )
 
-    valid_img = ib.avif_file(
-        ib.ispe(100, 50) + ib.pixi(1) + ib.ispe(320, 200) + ib.pixi(3),
-        meta_extra=ib.pitm(2),
-        iprp_extra=ib.ipma({1: [1, 2], 2: [3, 4]}),
+    # fmt csize SAYS 16 but the payload ends after 4 body bytes
+    cut = b"RIFF" + struct.pack("<I", 24) + b"WAVE" + b"fmt " + struct.pack(
+        "<I", 16
+    ) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError):
+        decode_audio(cut)
+
+
+def test_mutation_fuzz_decoder_contract_all_formats():
+    """Structure-aware fuzz (r8): byte flips / truncations / insertions
+    of VALID payloads for every decoded format (synthesize_media's
+    ppm/webp/avif/tiff/mp3/flac/wav/gif cycle, an encoder-built PNG,
+    a pitm/ipma AVIF, and a trailer-rich MP3) reach the deep parse
+    paths random bodies behind a magic almost never hit.  Contract:
+    decode or raise ValueError/NotImplementedError — never IndexError/
+    struct.error.  A 120k-iteration sweep of this generator ran clean
+    at r8 HEAD (after it caught the truncated-WAV-fmt struct.error);
+    a deterministic subset is pinned here."""
+    import random
+
+    import test_isobmff_headers as ib
+    import test_media_headers as mh
+    from test_png_decode import _gradient, encode_png
+
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        decode_audio,
+        synthesize_media,
     )
+
+    seeds = []
+    for d in range(21):  # 3 full cycles of the 7-format mix
+        fn = decode_audio if d % 7 in (3, 4, 5) else decode_image
+        seeds.append((synthesize_media(d), fn))
+    seeds.append((encode_png(_gradient(12, 17, 3), 2, [0, 1, 2, 3, 4] * 3),
+                  decode_image))
+    seeds.append((
+        ib.avif_file(
+            ib.ispe(100, 50) + ib.pixi(1) + ib.ispe(320, 200) + ib.pixi(3),
+            meta_extra=ib.pitm(2),
+            iprp_extra=ib.ipma({1: [1, 2], 2: [3, 4]}),
+        ),
+        decode_image,
+    ))
     m = mh._M1L3
-    valid_mp3 = (
+    seeds.append((
         mh._id3v2(40)
         + mh._mp3_frames(5, m["b1"], m["b2"], m["b3"], m["flen"])
-        + b"TAG" + b"\x00" * 125
-    )
+        + b"TAG" + b"\x00" * 125,
+        decode_audio,
+    ))
     rng = random.Random(8)
     for i in range(4000):
-        src, fn = (
-            (valid_img, decode_image) if i % 2 == 0 else (valid_mp3, decode_audio)
-        )
+        src, fn = seeds[i % len(seeds)]
         b = bytearray(src)
         for _ in range(rng.randrange(1, 4)):
             if len(b) < 8:
