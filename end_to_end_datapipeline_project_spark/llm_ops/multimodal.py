@@ -1356,6 +1356,10 @@ def _decode_jpeg(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = _jpeg_unpack(">BBB", seg, 6 + 3 * c)
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 15 <= 4):
+                    # spec range Hi/Vi ∈ [1,4]; a zero factor divides
+                    # by zero at upsampling (r8 mutation fuzz)
+                    raise ValueError("JPEG sampling factor out of range")
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
@@ -1372,6 +1376,11 @@ def _decode_jpeg(payload: bytes) -> dict:
                 bits = seg[i + 1 : i + 17]
                 n = sum(bits)
                 symbols = seg[i + 17 : i + 17 + n]
+                if len(bits) < 16 or len(symbols) < n:
+                    # truncated DHT segment: _huff_table would index
+                    # past the symbol list (r8 mutation fuzz) — raise
+                    # the contract ValueError instead
+                    raise ValueError("truncated JPEG DHT segment")
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(
                     bits, symbols
                 )
@@ -1429,6 +1438,11 @@ def _decode_jpeg(payload: bytes) -> dict:
             (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
         )
         c["pred"] = 0
+    if any("dc" not in c for c in comps):
+        # a baseline single-scan file must cover every frame component;
+        # a crafted SOS listing a subset leaves unscanned components
+        # without tables and the MCU loop would KeyError (r8 fuzz)
+        raise ValueError("JPEG scan does not cover all frame components")
     basis = _idct_basis()
     br = _JpegBitReader(payload, pos)
     zz = _ZIGZAG

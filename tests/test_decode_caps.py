@@ -201,6 +201,55 @@ def test_truncated_wav_fmt_chunk_raises_valueerror():
         decode_audio(cut)
 
 
+def test_jpeg_crafted_contract_guards():
+    """The three r8 mutation-fuzz JPEG finds, each as a direct crafted
+    case: truncated DHT (was IndexError), zero sampling factor (was
+    ZeroDivisionError), and an SOS covering a component subset (was
+    KeyError) must all raise the contract ValueError."""
+    import numpy as np
+    from test_jpeg_decode import encode_jpeg_color420_const, encode_jpeg_gray
+
+    from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
+        _decode_jpeg,
+    )
+
+    gray = encode_jpeg_gray(
+        (np.arange(16 * 24) % 251).reshape(16, 24).astype(np.uint8)
+    )
+    color = encode_jpeg_color420_const(16, 16, 120, 130, 140)
+
+    def seg_off(payload: bytes, marker: bytes) -> int:
+        i = payload.index(marker)
+        return i
+
+    # 1. truncated DHT: shrink the first DHT's declared length so the
+    #    symbol list is cut mid-table
+    i = seg_off(gray, b"\xff\xc4")
+    cut = bytearray(gray)
+    cut[i + 2 : i + 4] = (8).to_bytes(2, "big")  # length 8 < 2+17
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(cut))
+    # 2. zero sampling factor in SOF0 component 0
+    i = seg_off(gray, b"\xff\xc0")
+    zf = bytearray(gray)
+    zf[i + 2 + 8] = 0x00  # hv byte of component 0
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(zf))
+    # 3. SOS listing only 1 of the 3 frame components
+    i = seg_off(color, b"\xff\xda")
+    sub = bytearray(color)
+    # SOS header: len(2) ns(1) then ns*(cs,td/ta); rewrite ns=1 and
+    # splice out the other two component entries
+    ln = int.from_bytes(sub[i + 2 : i + 4], "big")
+    body = sub[i + 4 : i + 2 + ln]
+    ns = body[0]
+    assert ns == 3
+    new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:])
+    sub[i + 2 : i + 2 + ln] = (len(new_body) + 2).to_bytes(2, "big") + new_body
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(sub))
+
+
 def test_mutation_fuzz_decoder_contract_all_formats():
     """Structure-aware fuzz (r8): byte flips / truncations / insertions
     of VALID payloads for every decoded format (synthesize_media's
@@ -228,6 +277,18 @@ def test_mutation_fuzz_decoder_contract_all_formats():
         seeds.append((synthesize_media(d), fn))
     seeds.append((encode_png(_gradient(12, 17, 3), 2, [0, 1, 2, 3, 4] * 3),
                   decode_image))
+    import numpy as np
+    from test_jpeg_decode import encode_jpeg_color420_const, encode_jpeg_gray
+    from test_media_headers import _bmp
+
+    gpx = (np.arange(16 * 24) % 251).reshape(16, 24).astype(np.uint8)
+    seeds.append((encode_jpeg_gray(gpx, restart_interval=4), decode_image))
+    seeds.append((encode_jpeg_color420_const(16, 16, 120, 130, 140),
+                  decode_image))
+    seeds.append((
+        _bmp((np.arange(10 * 12 * 3) % 256).reshape(10, 12, 3).astype(np.uint8), 24),
+        decode_image,
+    ))
     seeds.append((
         ib.avif_file(
             ib.ispe(100, 50) + ib.pixi(1) + ib.ispe(320, 200) + ib.pixi(3),
