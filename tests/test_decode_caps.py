@@ -289,6 +289,26 @@ def test_mutation_fuzz_decoder_contract_all_formats():
         _bmp((np.arange(10 * 12 * 3) % 256).reshape(10, 12, 3).astype(np.uint8), 24),
         decode_image,
     ))
+    # variant-rich GIF/TIFF/PNG paths (interlace, LZW+predictor,
+    # PackBits, Adam7, palette) via the independent test encoders
+    import test_gif_decode as tg
+    import test_png_decode as tp
+    import test_tiff_decode as tt
+
+    palette = tg._rng(6).integers(0, 256, (4, 3)).astype(np.uint8)
+    gidx = tg._rng(7).integers(0, 4, 17 * 11).astype(np.uint8)
+    seeds.append((tg._make_gif(17, 11, palette, gidx, 2, interlaced=True),
+                  decode_image))
+    px3 = tt._rng(4).integers(0, 256, (11, 13, 3)).astype(np.uint8)
+    seeds.append((tt._build_tiff(13, 11, 3, px3, compression=5, predictor=2),
+                  decode_image))
+    seeds.append((tt._build_tiff(13, 11, 3, px3, compression=32773),
+                  decode_image))
+    pxp = np.random.default_rng(7).integers(0, 256, (13, 17, 3)).astype(np.uint8)
+    seeds.append((tp.encode_png_adam7(pxp, 2), decode_image))
+    plte = np.random.default_rng(8).integers(0, 256, (7, 3)).astype(np.uint8)
+    pidx = np.random.default_rng(9).integers(0, 7, (9, 11)).astype(np.uint8)
+    seeds.append((tp.encode_png_palette(pidx, plte), decode_image))
     seeds.append((
         ib.avif_file(
             ib.ispe(100, 50) + ib.pixi(1) + ib.ispe(320, 200) + ib.pixi(3),
