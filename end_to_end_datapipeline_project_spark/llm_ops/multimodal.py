@@ -2211,7 +2211,27 @@ def _parse_mp3(payload: bytes) -> dict:
         if rest[:4] == b"TAG+" and len(rest) == 355:  # enhanced + ID3v1
             return True
         if rest[:11] == b"LYRICSBEGIN":  # LYRICS3v1/v2 (± ID3v1 after)
-            return True
+            # ADVICE r8: an 11-byte prefix match alone would accept ANY
+            # tail that happens to start with the marker — validate the
+            # LYRICS3 terminator before treating it as a benign trailer.
+            body = rest
+            if len(body) >= 128 and body[-128:-125] == b"TAG":
+                body = body[:-128]  # optional ID3v1 after the block
+            if body.endswith(b"LYRICS200"):
+                # v2: ...fields + 6-digit size + "LYRICS200"; the size
+                # counts the block from LYRICSBEGIN up to (excluding)
+                # the size digits themselves
+                szd = body[-15:-9]
+                return (
+                    len(body) >= 26
+                    and szd.isdigit()
+                    and int(szd) == len(body) - 15
+                )
+            if body.endswith(b"LYRICSEND"):
+                # v1: free text terminated by "LYRICSEND"; spec caps the
+                # structure at 5100 bytes
+                return len(body) <= 11 + 5100 + 9
+            return False
         if b"APETAGEX" in rest[:32]:
             return True
         return all(b == 0 for b in rest)

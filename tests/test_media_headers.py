@@ -362,6 +362,38 @@ def test_mp3_lyrics3_and_enhanced_tag_trailers():
         decode_audio(frames + b"TAG+" + b"\x00" * 10)
 
 
+def test_mp3_lyrics3_without_terminator_is_desync():
+    """ADVICE r8: a tail that merely STARTS with 'LYRICSBEGIN' is not a
+    LYRICS3 trailer — without a valid terminator ('LYRICSEND', or
+    size+'LYRICS200' with a size that checks out) it is a mid-stream
+    desync and must raise, not silently truncate the duration."""
+    frames = _mp3_frames(
+        3, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"]
+    )
+    # no terminator at all
+    with pytest.raises(ValueError):
+        decode_audio(frames + b"LYRICSBEGIN" + b"garbage desync bytes")
+    # v2 terminator present but the 6-digit size is wrong
+    with pytest.raises(ValueError):
+        decode_audio(
+            frames + b"LYRICSBEGIN" + b"xyz" + b"999999LYRICS200"
+        )
+    # v2 size digits are not digits
+    with pytest.raises(ValueError):
+        decode_audio(
+            frames + b"LYRICSBEGIN" + b"xyz" + b"00zz30LYRICS200"
+        )
+    # v1 block over the 5100-byte spec cap
+    with pytest.raises(ValueError):
+        decode_audio(
+            frames + b"LYRICSBEGIN" + b"x" * 5200 + b"LYRICSEND"
+        )
+    # valid v2 WITHOUT a trailing ID3v1 still accepted
+    lyr2 = b"LYRICSBEGIN" + b"LYR00011hello world" + b"000030LYRICS200"
+    want = int(3 * 1152 / 44100 * 1000)
+    assert decode_audio(frames + lyr2)["duration_ms"] == want
+
+
 # ---- WAV PCM widths --------------------------------------------------------
 
 
