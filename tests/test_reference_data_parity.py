@@ -35,14 +35,13 @@ BUS_TRAJ = TrajectoryConfig(
 )
 
 
-def _duck_silver(day: str):
-    """Independent implementation of the reference cleanse in DuckDB."""
-    files = sorted(glob.glob(f"{RAW}/year=*/month=*/day=*/*.json"))
-    con = duckdb.connect()
+def _silver_cte(files: list, day: str) -> str:
+    """The independent DuckDB implementation of the reference cleanse as
+    a WITH-clause body producing a ``silver`` CTE (full column set
+    including the deterministic dedup survivor's Lat/Lon)."""
     listing = ", ".join(f"'{f}'" for f in files)
-    return con.sql(
-        f"""
-      WITH raw AS (
+    return f"""
+      raw AS (
         SELECT unnest(result) AS v
         FROM read_json([{listing}],
           columns = {{'result': 'STRUCT(Lines VARCHAR, Lon DOUBLE,
@@ -64,12 +63,79 @@ def _duck_silver(day: str):
         SELECT * FROM typed
         WHERE Lat BETWEEN 52.0 AND 52.4 AND Lon BETWEEN 20.5 AND 21.5
           AND d = DATE '{day}' AND Lines <> ''
-      )
-      SELECT DISTINCT ON (VehicleNumber, t)
-             Lines, VehicleNumber, Lat, Lon, t
-      FROM boxed ORDER BY VehicleNumber, t, Lines, Lat, Lon
+      ),
+      silver AS (
+        -- deterministic survivor: min by (Lines, Lat, Lon) per key,
+        -- mirroring cleanse.dedup_deterministic's asc_nulls_last rank
+        SELECT DISTINCT ON (VehicleNumber, t)
+               Lines, VehicleNumber, Lat, Lon, t
+        FROM boxed ORDER BY VehicleNumber, t, Lines, Lat, Lon
+      )"""
+
+
+def _duck_silver(day: str):
+    """Independent implementation of the reference cleanse in DuckDB."""
+    files = sorted(glob.glob(f"{RAW}/year=*/month=*/day=*/*.json"))
+    con = duckdb.connect()
+    return con.sql(
+        f"WITH {_silver_cte(files, day)} SELECT * FROM silver"
+    ).fetchall()
+
+
+def _duck_gold_report(day: str):
+    """Independent DuckDB implementation of the FULL gold tier
+    (gtfsGold.py:36-105 semantics as this engine re-expresses them):
+    per-vehicle lag window → haversine (geo.haversine_sql — the exact
+    formula text the oracle gate uses) → fuel/cost literals → time
+    delta → speed with the ≤70 km/h anomaly cut → the 8-aggregate
+    per-line report + cost_of_1km.  Returns {Lines: metrics-tuple}."""
+    from end_to_end_datapipeline_project_spark.geo import haversine_sql
+
+    files = sorted(
+        glob.glob(f"{RAW}/year=*/month=*/day={int(day[-2:]):02d}/*.json")
+    )
+    hav = haversine_sql("prev_lat", "prev_lon", "Lat", "Lon")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+      WITH {_silver_cte(files, day)},
+      lagged AS (
+        SELECT Lines, VehicleNumber, Lat, Lon, t,
+               lag(Lat) OVER w AS prev_lat,
+               lag(Lon) OVER w AS prev_lon,
+               lag(t)   OVER w AS prev_time
+        FROM silver
+        WINDOW w AS (PARTITION BY VehicleNumber ORDER BY t)
+      ),
+      dist AS (
+        SELECT *, coalesce({hav}, 0.0) AS dist_km FROM lagged
+      ),
+      enr AS (
+        SELECT *,
+               dist_km / 100.0 * 30.0 * 6.5 AS cost_pln,
+               date_diff('second', prev_time, t) AS diff_time_sec,
+               CASE WHEN date_diff('second', prev_time, t) > 0
+                    THEN dist_km / date_diff('second', prev_time, t)
+                         * 3600.0
+                    ELSE 0.0 END AS speed_kmh
+        FROM dist
+      ),
+      kept AS (SELECT * FROM enr WHERE speed_kmh <= 70.0)
+      SELECT Lines,
+             sum(dist_km)  AS total_distance_km,
+             sum(cost_pln) AS total_cost_pln,
+             max(dist_km)  AS max_segment_km,
+             count(VehicleNumber) AS data_points_count,
+             avg(speed_kmh) AS avg_speed,
+             max(speed_kmh) AS max_recorded_speed,
+             count(DISTINCT VehicleNumber) AS unique_vehicles_count,
+             sum(dist_km) / count(DISTINCT VehicleNumber)
+               AS avg_dist_per_vehicle,
+             sum(cost_pln) / nullif(sum(dist_km), 0.0) AS cost_of_1km
+      FROM kept GROUP BY Lines
     """
     ).fetchall()
+    return {r[0]: r[1:] for r in rows}
 
 
 def test_silver_matches_independent_cleanse_on_reference_raw(spark):
@@ -100,3 +166,51 @@ def test_gold_report_runs_on_reference_raw(spark):
         assert r.total_distance_km >= 0
         assert r.max_recorded_speed <= 70.0  # anomaly cutoff applied
         assert r.unique_vehicles_count >= 1
+
+
+@pytest.mark.parametrize("day", ["2026-02-10", "2026-02-23"])
+def test_gold_report_matches_independent_impl_on_reference_raw(spark, day):
+    """VERDICT r8 task #2: the GOLD report on the reference's own raw
+    WAW data, value-compared against an independent DuckDB twin of the
+    full lag → haversine → fuel/cost → speed-cut → 8-aggregate chain —
+    not just invariants.  Counts must match exactly; double aggregates
+    to 1e-9 relative (JVM Math.sin/cos and libm may legally differ in
+    the last ulp per row, so bit-equality across engines is not a
+    meaningful target for trig-derived sums — 1e-9 is ~10,000× tighter
+    than any real discrepancy a semantic bug would produce)."""
+    import math
+
+    dd = int(day[-2:])
+    bronze = read_bronze(spark, RAW, year=2026, month=2, day=dd)
+    rep = daily_report(
+        enrich(bronze_to_silver(bronze, day), BUS_TRAJ), group_col="Lines"
+    )
+    got = {
+        r["Lines"]: (
+            r["total_distance_km"],
+            r["total_cost_pln"],
+            r["max_segment_km"],
+            r["data_points_count"],
+            r["avg_speed"],
+            r["max_recorded_speed"],
+            r["unique_vehicles_count"],
+            r["avg_dist_per_vehicle"],
+            r["cost_of_1km"],
+        )
+        for r in rep.collect()
+    }
+    exp = _duck_gold_report(day)
+    assert set(got) == set(exp)
+    assert len(got) > 50  # real data: every active line that day
+    ints = {3, 6}  # data_points_count, unique_vehicles_count: exact
+    for line, g in got.items():
+        e = exp[line]
+        for i, (gv, ev) in enumerate(zip(g, e)):
+            if i in ints:
+                assert gv == ev, (line, i, gv, ev)
+            elif gv is None or ev is None:
+                assert gv is None and ev is None, (line, i, gv, ev)
+            else:
+                assert math.isclose(
+                    gv, ev, rel_tol=1e-9, abs_tol=1e-12
+                ), (line, i, gv, ev)
