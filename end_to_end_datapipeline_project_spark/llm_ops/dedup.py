@@ -1167,10 +1167,15 @@ _PF_TOPK = 10
     "keep the token universe large enough for the prefix to select.",
 )
 def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pf_apply_topk(_prefix_filter_scored(spark, sf_dir))
+
+
+def _pf_apply_topk(scored: DataFrame) -> DataFrame:
+    """Per-doc top-K emission cap + output projection over the scored
+    qualifying pairs (shared by the query and its observed probe form)."""
     w_k = Window.partitionBy("doc_a").orderBy(F.desc("jacc"), "doc_b")
     return (
-        _prefix_filter_scored(spark, sf_dir)
-        .withColumn("__rk", F.row_number().over(w_k))
+        scored.withColumn("__rk", F.row_number().over(w_k))
         .filter(F.col("__rk") <= _PF_TOPK)
         .select(
             "doc_a",
@@ -1179,6 +1184,19 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("jacc"), 6).alias("jaccard"),
         )
     )
+
+
+def q_prefix_filter_join_observed(spark: SparkSession, sf_dir: str, obs):
+    """q_prefix_filter_join with a CollectMetrics node on the PRE-CAP
+    scored pairs: one run yields both the capped output and the
+    intrinsic-work count (``obs.get["work_rows"]``), so the scale
+    probe's work column no longer re-executes the whole scored plan —
+    including its three localCheckpoint materializations — a second
+    time (ADVICE r8)."""
+    scored = _prefix_filter_scored(spark, sf_dir).observe(
+        obs, F.count(F.lit(1)).alias("work_rows")
+    )
+    return _pf_apply_topk(scored)
 
 
 def _prefix_filter_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,11 +1358,12 @@ def _prefix_filter_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def prefix_filter_qualifying(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRE-CAP qualifying pairs (J >= t) of the exact set-similarity
-    join — the intrinsic-work measure the scale probe needs: the
-    top-K emission cap bounds what q_prefix_filter_join RETURNS, but an
-    exact join must still verify every qualifying pair to rank the
-    top K, so wall growth should be judged against THIS count, not the
-    capped output (tools/scale_probe.py WORK_PROBES)."""
+    join — the intrinsic-work measure for scale analysis: the top-K
+    emission cap bounds what q_prefix_filter_join RETURNS, but an exact
+    join must still verify every qualifying pair to rank the top K.
+    The scale probe now reads this count from the timed run itself via
+    ``q_prefix_filter_join_observed`` (ADVICE r8); this standalone form
+    remains for ad-hoc inspection of the qualifying-pair set."""
     return _prefix_filter_scored(spark, sf_dir).select("doc_a", "doc_b")
 
 

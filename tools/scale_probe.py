@@ -45,12 +45,18 @@ TAIL_DEFAULT = (
 )
 
 
-def _pf_qualifying(spark, sf_dir):
+#: section owned by `scale_probe.py K --decade`: the work-probe queries
+#: one decade past the ×30 tail cell.  Sits between the tail table and
+#: the A/B appendix; tail runs preserve it.
+DECADE_MARKER = "## Decade cell (work-probe tail, tool-generated)"
+
+
+def _pf_observed(spark, sf_dir, obs):
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
-        prefix_filter_qualifying,
+        q_prefix_filter_join_observed,
     )
 
-    return prefix_filter_qualifying(spark, sf_dir)
+    return q_prefix_filter_join_observed(spark, sf_dir, obs)
 
 
 #: intrinsic-WORK probes for emission-capped EXACT queries: the cap
@@ -62,8 +68,19 @@ def _pf_qualifying(spark, sf_dir):
 #: output 5.2×) as a deferred quadratic.  Approximate queries
 #: (minhash/fuzzy/sorted-neighborhood) have no entry: their caps bound
 #: the WORK itself, so post-cap output is the right denominator.
+#: Each value is the query WITH a CollectMetrics node on the pre-cap
+#: rows (signature: (spark, sf_dir, Observation) -> DataFrame), so the
+#: work count rides a TIMED run instead of re-executing the plan
+#: (ADVICE r8).
 WORK_PROBES = {
-    "q_prefix_filter_join": _pf_qualifying,
+    "q_prefix_filter_join": _pf_observed,
+}
+
+#: tables each work-probe query reads — lets `--decade` replicate only
+#: what its subset needs (a full ×100 build of all ten tables would
+#: write ~60M lineitem rows nobody scans)
+WORK_PROBE_TABLES = {
+    "q_prefix_filter_join": ("documents",),
 }
 
 PROBES = [
@@ -183,14 +200,22 @@ NOTES = {
 }
 
 
-def build(spark, k: int) -> str:
+def build(spark, k: int, tables: tuple | None = None) -> str:
     from end_to_end_datapipeline_project_spark.sources import claim_staged
 
-    out = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}"
+    subset = (
+        KEY_OFFSETS
+        if tables is None
+        else {t: KEY_OFFSETS[t] for t in tables}
+    )
+    # partial builds publish under their own suffix so a later FULL ×K
+    # probe never claims a directory that holds only a table subset
+    suffix = "" if tables is None else "_" + "-".join(sorted(subset))
+    out = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}{suffix}"
 
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
-        for table, offsets in KEY_OFFSETS.items():
+        for table, offsets in subset.items():
             df = read_parquet_table(spark, BASE_SF, table)
             if table in ("nation", "region"):
                 big = df  # dimension lookups: keep identical
@@ -258,35 +283,21 @@ def _tail_probe(spark, run, k: int, big_dir: str, names: list) -> None:
     ]
     data_ratio = k / 10
     for name in names:
-        r10 = [run(name, x10_dir) for _ in range(2)]
-        rk = [run(name, big_dir) for _ in range(2)]
-        t10, tk = min(t for t, _ in r10), min(t for t, _ in rk)
-        n10, nk = r10[0][1], rk[0][1]
-        wall = tk / t10 if t10 > 0 else float("inf")
-        out_ratio = nk / n10 if n10 else float("inf")
-        work_cell, work_ratio = "—", 0.0
-        if name in WORK_PROBES:
-            w10 = WORK_PROBES[name](spark, x10_dir).count()
-            wk = WORK_PROBES[name](spark, big_dir).count()
-            work_ratio = wk / w10 if w10 else float("inf")
-            work_cell = f"{w10}→{wk} ({work_ratio:.1f}×)"
-        bound = 1.25 * max(data_ratio, out_ratio, work_ratio)
-        verdict = (
-            "caps hold: wall tracks output/work/data"
-            if wall <= bound
-            else "SUPER-LINEAR TAIL — cap deferred the quadratic"
-        )
-        rows_out.append(
-            f"| {name} | {t10:.2f} | {tk:.2f} | {wall:.1f}× | "
-            f"{n10}→{nk} ({out_ratio:.1f}×) | {work_cell} | {verdict} |"
-        )
+        r10 = _measure(run, name, x10_dir)
+        rk = _measure(run, name, big_dir)
+        rows_out.append(_growth_row(name, r10, rk, data_ratio))
         print(rows_out[-1], flush=True)
     path = "/root/repo/SCALING.md"
     doc = open(path).read()
     appendix = ""
-    if AB_MARKER in doc:
-        appendix = doc[doc.index(AB_MARKER) :]
-        doc = doc[: doc.index(AB_MARKER)]
+    # the decade section (this tool's --decade mode) and the A/B
+    # appendix (tools/ab_bench.py) both live after the tail table —
+    # preserve whichever comes first
+    for m in (DECADE_MARKER, AB_MARKER):
+        if m in doc:
+            appendix = doc[doc.index(m) :]
+            doc = doc[: doc.index(m)]
+            break
     if TAIL_MARKER in doc:
         doc = doc[: doc.index(TAIL_MARKER)]
     with open(path, "w") as f:
@@ -300,35 +311,142 @@ def _tail_probe(spark, run, k: int, big_dir: str, names: list) -> None:
     print(f"tail section written to {path}")
 
 
+def _measure(run, name: str, sf_dir: str) -> tuple:
+    """min-of-2 timing at one scale; for WORK_PROBES queries the FIRST
+    run carries the pre-cap work CollectMetrics, so the intrinsic-work
+    count costs no extra execution of the scored plan (ADVICE r8).
+    Returns (t_min, out_rows, work_rows|None)."""
+    observed = name in WORK_PROBES
+    first = run(name, sf_dir, observed=observed)
+    second = run(name, sf_dir)
+    return min(first[0], second[0]), first[1], first[2]
+
+
+def _growth_row(
+    name: str, small: tuple, big: tuple, data_ratio: float
+) -> str:
+    t_s, n_s, w_s = small
+    t_b, n_b, w_b = big
+    wall = t_b / t_s if t_s > 0 else float("inf")
+    out_ratio = n_b / n_s if n_s else float("inf")
+    work_cell, work_ratio = "—", 0.0
+    if w_s is not None:
+        work_ratio = w_b / w_s if w_s else float("inf")
+        work_cell = f"{w_s}→{w_b} ({work_ratio:.1f}×)"
+    bound = 1.25 * max(data_ratio, out_ratio, work_ratio)
+    verdict = (
+        "caps hold: wall tracks output/work/data"
+        if wall <= bound
+        else "SUPER-LINEAR TAIL — cap deferred the quadratic"
+    )
+    return (
+        f"| {name} | {t_s:.2f} | {t_b:.2f} | {wall:.1f}× | "
+        f"{n_s}→{n_b} ({out_ratio:.1f}×) | {work_cell} | {verdict} |"
+    )
+
+
+def _decade_probe(spark, run, k: int) -> None:
+    """`--decade`: one decade past the ×30 tail cell for the
+    emission-capped EXACT queries (WORK_PROBES) — ×30 vs ×K wall growth
+    judged against output AND pre-cap work growth, so the ×100 claim in
+    SCALING.md is regenerable in one command instead of a hand-built
+    one-off (VERDICT r8 task #4).  Replicates only the tables the
+    subset reads (a full ×100 build would write ~60M lineitem rows
+    nobody scans).  Rewrites the DECADE_MARKER section, preserving the
+    ratio/tail tables before it and the A/B appendix after it."""
+    base = 30  # the tail probe's top scale — the decade is ×30 → ×K
+    names = list(WORK_PROBES)
+    tables = tuple(
+        sorted({t for n in names for t in WORK_PROBE_TABLES[n]})
+    )
+
+    def _dir_for(scale: int) -> str:
+        # a FULL ×scale replica published by an earlier probe run is a
+        # superset of the subset build — reuse it instead of rewriting
+        full = f"/tmp/spark_graft_scale_{os.getuid()}/x{scale}"
+        return full if os.path.exists(full) else build(spark, scale, tables)
+
+    base_dir = _dir_for(base)
+    big_dir = _dir_for(k)
+    data_ratio = k / base
+    rows_out = [
+        DECADE_MARKER,
+        "",
+        f"`python tools/scale_probe.py {k} --decade` — ×{base} vs ×{k} "
+        f"(data grows {data_ratio:.1f}×; min of 2 per cell; work rows "
+        "ride the first timed run's CollectMetrics, no extra pass).  "
+        "Same verdict rule as the tail probe: wall growth ≤ 1.25 × "
+        "max(data, output, work) growth ⇒ the caps bound a SECOND "
+        "decade; above ⇒ the quadratic was deferred, not removed.",
+        "",
+        f"| query | ×{base} (s) | ×{k} (s) | wall ×{k}/×{base} | "
+        f"out rows ×{base}→×{k} | work rows ×{base}→×{k} | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in names:
+        r_base = _measure(run, name, base_dir)
+        r_big = _measure(run, name, big_dir)
+        rows_out.append(_growth_row(name, r_base, r_big, data_ratio))
+        print(rows_out[-1], flush=True)
+    path = "/root/repo/SCALING.md"
+    doc = open(path).read()
+    appendix = ""
+    if AB_MARKER in doc:
+        appendix = doc[doc.index(AB_MARKER) :]
+        doc = doc[: doc.index(AB_MARKER)]
+    if DECADE_MARKER in doc:
+        doc = doc[: doc.index(DECADE_MARKER)]
+    with open(path, "w") as f:
+        f.write(
+            doc.rstrip()
+            + "\n\n"
+            + "\n".join(rows_out)
+            + "\n\n"
+            + appendix
+        )
+    print(f"decade section written to {path}")
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    subset = sys.argv[2:]  # subset run: print ratios, keep SCALING.md intact
-    tail = False
-    if "--tail" in subset:  # subset run that WRITES the tail section
-        subset.remove("--tail")
-        tail = True
-        if not subset:
-            # bare `--tail` defaults to the output-bound probe set
-            # rather than rewriting the tail section to an empty table
-            # (ADVICE r7)
-            subset = list(TAIL_DEFAULT)
+    argv = sys.argv[1:]
+    tail = "--tail" in argv  # subset run that WRITES the tail section
+    decade = "--decade" in argv  # work-probe decade cell (×30 vs ×K)
+    argv = [a for a in argv if a not in ("--tail", "--decade")]
+    if argv and argv[0].isdigit():
+        k = int(argv[0])
+        subset = argv[1:]  # subset run: print ratios, keep SCALING.md
+    else:
+        k = 100 if decade else 10
+        subset = argv
+    if tail and not subset:
+        # bare `--tail` defaults to the output-bound probe set rather
+        # than rewriting the tail section to an empty table (ADVICE r7)
+        subset = list(TAIL_DEFAULT)
     _load()
     spark = get_spark("scale-probe")
-    big_dir = build(spark, k)
 
-    def run(name: str, sf_dir: str) -> tuple[float, int]:
+    def run(name: str, sf_dir: str, observed: bool = False) -> tuple:
         # Observation rides the same noop write — output-row counts cost
         # no extra pass, and make "output-bound" ratio claims checkable
-        # (rows_small -> rows_big printed beside the wall ratio)
+        # (rows_small -> rows_big printed beside the wall ratio).  With
+        # observed=True the WORK_PROBES form adds a second CollectMetrics
+        # on the pre-cap rows — intrinsic work from the SAME timed run.
         from pyspark.sql import Observation
 
         obs = Observation()
+        wobs = Observation() if observed else None
+        df = (
+            WORK_PROBES[name](spark, sf_dir, wobs)
+            if observed
+            else REGISTRY[name].spark_fn(spark, sf_dir)
+        )
         t0 = time.time()
-        REGISTRY[name].spark_fn(spark, sf_dir).observe(
-            obs, F.count(F.lit(1)).alias("rows")
-        ).write.format("noop").mode("overwrite").save()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
         dt = time.time() - t0
         rows = obs.get["rows"]
+        work = wobs.get["work_rows"] if observed else None
         # queries that persist()/localCheckpoint() intermediates pin
         # executor memory; without cleanup those RDDs survive into the
         # NEXT query's timing and skew it with GC/spill pressure.
@@ -339,8 +457,13 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         spark._jvm.System.gc()
-        return dt, rows
+        return dt, rows, work
 
+    if decade:
+        _decade_probe(spark, run, k)
+        return
+
+    big_dir = build(spark, k)
     if tail:
         _tail_probe(spark, run, k, big_dir, subset)
         return
@@ -363,8 +486,8 @@ def main() -> None:
     for name in subset or PROBES:
         runs_small = [run(name, BASE_SF) for _ in range(2)]
         runs_big = [run(name, big_dir) for _ in range(2)]
-        t_small = min(t for t, _ in runs_small)
-        t_big = min(t for t, _ in runs_big)
+        t_small = min(t for t, _, _ in runs_small)
+        t_big = min(t for t, _, _ in runs_big)
         rows_small, rows_big = runs_small[0][1], runs_big[0][1]
         ratio = t_big / t_small if t_small > 0 else float("inf")
         rows_ratio = rows_big / rows_small if rows_small else float("inf")
@@ -383,7 +506,11 @@ def main() -> None:
     appendix = ""
     try:
         old = open("/root/repo/SCALING.md").read()
-        marks = [old.index(m) for m in (TAIL_MARKER, AB_MARKER) if m in old]
+        marks = [
+            old.index(m)
+            for m in (TAIL_MARKER, DECADE_MARKER, AB_MARKER)
+            if m in old
+        ]
         if marks:
             appendix = "\n" + old[min(marks):]
     except OSError:
