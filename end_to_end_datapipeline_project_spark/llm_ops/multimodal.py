@@ -395,7 +395,21 @@ def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
     """TIFF-variant LZW (spec §13): MSB-first bit packing, 8-bit
     symbols, clear=256/EOI=257, and EARLY code-width change — the width
     grows one code sooner than GIF's (at table length (1<<w)-2 given the
-    decoder's one-entry lag, vs GIF's (1<<w)-1)."""
+    decoder's one-entry lag, vs GIF's (1<<w)-1).
+
+    Interop corner (the final-code width-boundary desync): libtiff's
+    encoder (tif_lzw.c, LZWPostEncode) counts the flush of the final
+    pending sequence against the code table — free_ent++ with no string
+    recorded — and bumps the code width if that crosses the boundary, so
+    its EOI arrives at the NEW width and the lagged-add bump below stays
+    in sync.  Writers following the TIFF6 §13 pseudocode literally do
+    NOT count the flush, so when the decoder's lagged add lands the
+    table exactly on 510/1022/2046 their EOI (or a reset Clear) arrives
+    at the PREVIOUS width.  Right after such a bump this decoder
+    therefore also accepts the old-width reading, but ONLY for EOI
+    followed by nothing but zero byte-padding, or for Clear when the
+    new-width reading is not a valid code — a data code is never
+    reinterpreted, so genuinely corrupt streams still raise."""
     clear, eoi = 256, 257
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -404,19 +418,40 @@ def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
     prev: bytes | None = None
     acc = nbits = 0
     pos = 0
+    just_bumped = False  # width grew via the lagged add on the previous code
     while True:
+        filled = True
         while nbits < code_size:
             if pos >= len(data):
-                raise ValueError("TIFF LZW stream ended without EOI")
+                filled = False
+                break
             acc = (acc << 8) | data[pos]
             nbits += 8
             pos += 1
+        if just_bumped and nbits >= code_size - 1:
+            # old-width EOI tolerance: valid iff the stream is exhausted
+            # and everything after the old-width code is zero padding
+            # shorter than a byte (a legit stream always has >= one more
+            # full code after any data code, so this cannot misfire)
+            oldw = code_size - 1
+            alt = (acc >> (nbits - oldw)) & ((1 << oldw) - 1)
+            rem_bits = nbits - oldw
+            if (
+                alt == eoi
+                and pos == len(data)
+                and rem_bits < 8
+                and (acc & ((1 << rem_bits) - 1)) == 0
+            ):
+                return out
+        if not filled:
+            raise ValueError("TIFF LZW stream ended without EOI")
         code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
         nbits -= code_size
         # truncate the accumulator to the bits still pending — without
         # this it grows into a bignum and every shift copies the whole
         # stream, turning decode quadratic on multi-MB strips
         acc &= (1 << nbits) - 1
+        was_bumped, just_bumped = just_bumped, False
         if code == clear:
             table = list(base)
             code_size = 9
@@ -436,6 +471,19 @@ def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
             entry = prev + prev[:1]
             table.append(entry)
         else:
+            if was_bumped and code >> 1 == eoi:
+                # old-width EOI whose trailing byte-padding pushed the
+                # new-width reading beyond the table
+                return out
+            if was_bumped and code >> 1 == clear:
+                # old-width Clear from a non-counting writer: push the
+                # over-read bit back and resync
+                acc |= (code & 1) << nbits
+                nbits += 1
+                table = list(base)
+                code_size = 9
+                prev = None
+                continue
             raise ValueError("TIFF LZW code beyond table")
         out += entry
         prev = entry
@@ -443,6 +491,7 @@ def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
             raise ValueError("TIFF LZW output exceeds declared strip size")
         if len(table) == (1 << code_size) - 2 and code_size < 12:
             code_size += 1
+            just_bumped = True
 
 
 def _packbits_decode(data: bytes, max_out: int | None = None) -> bytearray:

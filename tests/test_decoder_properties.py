@@ -7,7 +7,7 @@ filter mixes — no Spark involved, so examples are cheap."""
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
     _decode_gif,
@@ -47,6 +47,153 @@ def test_gif_lzw_roundtrip_any_bytes(data, min_code):
 @given(st.binary(min_size=1, max_size=4000))
 def test_tiff_lzw_roundtrip_any_bytes(data):
     assert bytes(_tiff_lzw_decode(_lzw_encode_tiff(data))) == data
+    # the TIFF6 §13 pseudocode writer convention (final flush not counted
+    # against the table) must decode too — the r9 escape was exactly this
+    # convention landing on a width boundary
+    assert bytes(
+        _tiff_lzw_decode(_lzw_encode_tiff(data, count_flush=False))
+    ) == data
+
+
+# ---- final-symbol state-machine boundaries ------------------------------------
+# Family sweep for the r9 TIFF LZW escape class: any decoder mirroring an
+# encoder state machine with a one-entry (or one-symbol) lag can desync
+# on the stream's LAST symbol, because the final flush adds no entry to
+# resync on.  Random payloads land the final state change on the exact
+# boundary only ~1/10³ of the time, so each strategy below CONSTRUCTS
+# payloads whose final add/symbol lands on every boundary deliberately.
+
+
+def _tiff_flush_next_code(data):
+    """Encoder table's next_code just before the final flush emit — equal
+    to the decoder's table length right after it processes the final
+    data code.  The desync corner is this landing on 510/1022/2046
+    (early change: width bumps at (1<<w)-2 given the decoder's lag)."""
+    table = {bytes([i]) for i in range(256)}
+    next_code = 258
+    seq = b""
+    for b in bytes(data):
+        nxt = seq + bytes([b])
+        if nxt in table:
+            seq = nxt
+            continue
+        if next_code < 4096:
+            table.add(nxt)
+            next_code += 1
+        seq = bytes([b])
+    return next_code
+
+
+def _gif_flush_next_code(indices, min_code_size):
+    """GIF analog of :func:`_tiff_flush_next_code` (late change: the
+    decoder bumps at (1<<w)-1)."""
+    trie = {}
+    next_code = (1 << min_code_size) + 2
+    prev = None
+    for b in bytes(indices):
+        if prev is None:
+            prev = b
+            continue
+        if (prev, b) in trie:
+            prev = trie[(prev, b)]
+            continue
+        if next_code < 4096:
+            trie[(prev, b)] = next_code
+            next_code += 1
+        prev = b
+    return next_code
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.sampled_from([510, 1022, 2046]), st.integers(0, 2**32 - 1))
+def test_tiff_lzw_final_add_lands_on_width_boundary(target, seed):
+    """The r9 escape: the lagged add performed while processing the FINAL
+    data code lands the decoder table exactly on 510/1022/2046, so the
+    width bumps with no further data code to resync on.  Both writer
+    conventions must decode — libtiff (tif_lzw.c LZWPostEncode counts
+    the flush, EOI at the NEW width) and TIFF6 §13 pseudocode (flush not
+    counted, EOI at the OLD width, absorbed by the decoder's old-width
+    EOI tolerance)."""
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, 256, 2600).astype(np.uint8))
+    # adds are monotone in prefix length with unit steps, so the scan
+    # always finds an exact landing for near-incompressible bytes
+    n = next(
+        (k for k in range(max(1, target - 300), len(data) + 1)
+         if _tiff_flush_next_code(data[:k]) == target),
+        None,
+    )
+    assert n is not None
+    for count_flush in (True, False):
+        enc = _lzw_encode_tiff(data[:n], count_flush=count_flush)
+        assert bytes(_tiff_lzw_decode(enc)) == data[:n]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.sampled_from([511, 1023, 2047]), st.integers(0, 2**32 - 1))
+def test_gif_lzw_final_add_lands_on_width_boundary(target, seed):
+    """GIF analog of the TIFF corner.  Structurally immune — the decode
+    loop stops once ``expected`` pixels are out and never reads the
+    post-final EOI at the possibly-desynced width — pinned here so it
+    STAYS immune if the loop condition ever changes."""
+    rng = np.random.default_rng(seed)
+    idx = bytes(rng.integers(0, 256, 2600).astype(np.uint8))
+    n = next(
+        (k for k in range(max(2, target - 560), len(idx) + 1)
+         if _gif_flush_next_code(idx[:k], 8) == target),
+        None,
+    )
+    assert n is not None
+    data = gif_lzw_encode(idx[:n], 8)
+    assert bytes(_gif_lzw_decode(data, 8, n)) == idx[:n]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_vp8l_final_symbol_at_every_bit_offset(seed):
+    """Sweep image width 1..16 at exactly 1 bit/pixel (two-symbol green
+    code; the other channels are 0-bit single-symbol codes) so the FINAL
+    pixel's symbol lands on every bit offset of the stream's last byte,
+    including exactly on a byte boundary with zero padding — the VP8L
+    member of the final-symbol boundary family."""
+    rng = np.random.default_rng(seed)
+    ga, gb = sorted(int(v) for v in rng.choice(256, 2, replace=False))
+    for w in range(1, 17):
+        wr = WLSB()
+        wr.put(0x2F, 8)
+        vp8l_header(wr, w, 1)
+        wr.put(0, 1)  # no transform
+        wr.put(0, 1)  # no cache
+        wr.put(0, 1)  # no meta
+        eg = simple_code(wr, [ga, gb])
+        simple_code(wr, [10])   # red
+        simple_code(wr, [20])   # blue
+        simple_code(wr, [255])  # alpha
+        simple_code(wr, [0])    # distance, unused
+        vals = []
+        for i in range(w):
+            g = ga if (i + seed) % 2 == 0 else gb
+            eg(g)
+            vals.append((10 + g + 20) / 3.0)
+        d = _decode_vp8l(wr.done())
+        assert (d["width"], d["height"], d["channels"]) == (w, 1, 3)
+        assert d["mean_level"] == pytest.approx(
+            float(np.mean(vals)), abs=1e-9
+        )
+
+
+def test_flac_final_rice_bit_at_every_offset():
+    """Sweep block size 1..16 with all-zero FIXED(0) residuals (rice
+    param 0 → exactly 1 bit per residual) so the residual section's
+    FINAL bit crosses every offset of its last byte, including landing
+    exactly on the pre-CRC byte alignment — the FLAC member of the
+    final-symbol boundary family."""
+    for n in range(1, 17):
+        d = decode_audio(
+            flac_file([([0] * n, {"kind": "fixed", "order": 0})], n, 0, 1)
+        )
+        assert d["n_samples"] == n
+        assert d["rms"] == 0.0
 
 
 @settings(max_examples=50, deadline=None)
@@ -119,6 +266,14 @@ def test_png_palette_any_size(w, h, n_entries, seed):
     st.sampled_from([1, 5, 32773]), st.integers(1, 16),
     st.integers(0, 2**32 - 1),
 )
+@example(
+    w=16,
+    h=16,
+    ch=3,
+    compression=5,
+    rps=16,
+    seed=7,
+).via('discovered failure')
 def test_tiff_mean_any_geometry(w, h, ch, compression, rps, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)

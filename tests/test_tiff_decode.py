@@ -20,9 +20,17 @@ from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
 # ---- independent encoders ---------------------------------------------------
 
 
-def _lzw_encode_tiff(data):
+def _lzw_encode_tiff(data, count_flush=True):
     """TIFF-variant LZW encoder: bytes-keyed table, MSB-first packing,
-    width grows EARLY (when the next free code reaches (1<<w)-1)."""
+    width grows EARLY (when the next free code reaches (1<<w)-1).
+
+    ``count_flush=True`` mirrors libtiff (tif_lzw.c LZWPostEncode): the
+    flush of the final pending sequence counts against the code table
+    (free_ent++ with no string recorded) and can bump the width before
+    EOI — which keeps a lagged-add decoder in sync at the 510/1022/2046
+    boundaries.  ``count_flush=False`` mirrors the TIFF6 §13 pseudocode
+    literally (no count, EOI at the old width); the package decoder must
+    accept BOTH (its old-width EOI tolerance)."""
     clear, eoi = 256, 257
     table = {bytes([i]): i for i in range(256)}
     next_code = eoi + 1
@@ -55,6 +63,10 @@ def _lzw_encode_tiff(data):
         seq = bytes([b])
     if seq:
         emit(table[seq])
+        if count_flush and next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
     emit(eoi)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
