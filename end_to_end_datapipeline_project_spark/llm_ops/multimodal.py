@@ -2944,6 +2944,60 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Forward TIFF-LZW encoder for the media forge (the decoder in
+    :func:`_tiff_lzw_decode` is tested against an INDEPENDENT encoder in
+    tests/test_tiff_decode.py): trie-keyed greedy longest-match,
+    MSB-first packing, EARLY code-width change, and — following libtiff's
+    tif_lzw.c LZWPostEncode — the flush of the final pending sequence
+    COUNTS against the code table (free_ent++ with no string recorded),
+    bumping the width before EOI when the flush lands on a boundary, so
+    lagged-add decoders stay in sync at 510/1022/2046."""
+    clear, eoi = 256, 257
+    trie: dict[tuple[int, int], int] = {}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    emit(clear)
+    prev = -1
+    for b in bytes(data):
+        if prev < 0:
+            prev = b
+            continue
+        hit = trie.get((prev, b))
+        if hit is not None:
+            prev = hit
+            continue
+        emit(prev)
+        if next_code < 4096:
+            trie[(prev, b)] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = b
+    if prev >= 0:
+        emit(prev)
+        if next_code < 4096:  # the flush counts (libtiff LZWPostEncode)
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+    emit(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 #: output schema of :func:`forge_media_kernel`
 MEDIA_FORGE_SCHEMA = "asset_id long, kind string, payload binary"
 
@@ -3086,9 +3140,35 @@ def synthesize_media(doc_id: int) -> bytes:
         chunk = b"VP8 " + struct.pack("<I", len(body)) + body
         return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     if kind == 2:  # little-endian TIFF, SamplesPerPixel 1-4, one real
-        # uncompressed strip of constant level doc_id % 256
+        # strip.  Sub-variants by doc_id % 3 fold the oracle mix onto the
+        # compressor boundary surfaces (the r9 TIFF-LZW escape class was
+        # invisible to the oracle because every forged strip stayed
+        # uncompressed): 0 → uncompressed constant strip; 1 → LZW over a
+        # byte ramp (i % 256) SIZED TO CROSS the 9→10 (and ≥1536 B also
+        # the 10→11) code-width boundary; 2 → PackBits over a constant
+        # strip, crossing the 128-byte max-run boundary.  Means stay
+        # closed-form: constant → doc_id % 256; ramp over N=w*h*ch bytes
+        # → (32640·(N div 256) + r·(r−1)/2)/N with r = N mod 256.
         ch = 1 + doc_id % 4
         v = doc_id % 256
+        n_bytes = w * h * ch
+        if doc_id % 3 == 1 and n_bytes >= 256:
+            # below 256 bytes the ramp cannot reach the first width
+            # boundary — keep those uncompressed so LZW payloads ALWAYS
+            # cross a boundary (oracle SQL mirrors this gate)
+            comp = 5
+            strip = _tiff_lzw_encode(bytes(i % 256 for i in range(n_bytes)))
+        elif doc_id % 3 == 2:
+            comp = 32773
+            q, r = divmod(n_bytes, 128)
+            strip = bytes([129, v]) * q  # 129 = repeat-run of 128
+            if r >= 2:
+                strip += bytes([257 - r, v])
+            elif r == 1:
+                strip += bytes([0, v])
+        else:
+            comp = 1
+            strip = bytes([v]) * n_bytes
         n = 9
         ifd_end = 8 + 2 + n * 12 + 4
         extra = ch * 2 if ch >= 3 else 0  # BitsPerSample spills at ch>=3
@@ -3109,12 +3189,12 @@ def synthesize_media(doc_id: int) -> bytes:
             (256, 3, 1, short(w)),
             (257, 3, 1, short(h)),
             (258, 3, ch, bits_val),
-            (259, 3, 1, short(1)),  # uncompressed
+            (259, 3, 1, short(comp)),
             (262, 3, 1, short(1 if ch < 3 else 2)),  # gray / RGB
             (273, 4, 1, long_(px_off)),
             (277, 3, 1, short(ch)),
             (278, 3, 1, short(h)),
-            (279, 4, 1, long_(w * h * ch)),
+            (279, 4, 1, long_(len(strip))),
         ]
         out = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
         for tag, ftype, count, valb in entries:
@@ -3122,7 +3202,7 @@ def synthesize_media(doc_id: int) -> bytes:
         out += struct.pack("<I", 0)
         if ch >= 3:
             out += struct.pack(f"<{ch}H", *([8] * ch))
-        return out + bytes([v]) * (w * h * ch)
+        return out + strip
     if kind == 3:  # MP3: MPEG1 Layer III 128k/44100 stereo, 8-23 frames
         n = 8 + doc_id % 16
         frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
@@ -3225,8 +3305,23 @@ def synthesize_media(doc_id: int) -> bytes:
               WHEN 5 THEN floor(160 * (1 + doc_id % 10) * 1000.0 / 8000)
               END AS BIGINT) AS duration_ms,
          CAST(CASE
-              WHEN doc_id % 7 IN (0, 2)
+              WHEN doc_id % 7 = 0
                    THEN round(CAST(doc_id % 256 AS DOUBLE), 6)
+              WHEN doc_id % 7 = 2
+                   THEN CASE WHEN doc_id % 3 = 1
+                             AND (16 + doc_id % 48) * (8 + doc_id % 24)
+                                 * (1 + doc_id % 4) >= 256
+                        THEN round(
+                          (32640.0 * (((16 + doc_id % 48)
+                                       * (8 + doc_id % 24)
+                                       * (1 + doc_id % 4)) // 256)
+                           + (((16 + doc_id % 48) * (8 + doc_id % 24)
+                               * (1 + doc_id % 4)) % 256)
+                             * ((((16 + doc_id % 48) * (8 + doc_id % 24)
+                                  * (1 + doc_id % 4)) % 256) - 1) / 2.0)
+                          / ((16 + doc_id % 48) * (8 + doc_id % 24)
+                             * (1 + doc_id % 4)), 6)
+                        ELSE round(CAST(doc_id % 256 AS DOUBLE), 6) END
               WHEN doc_id % 7 = 1 AND doc_id % 2 = 1
                    THEN round(((doc_id * 5) % 256 + (doc_id * 3) % 256
                                + (doc_id * 7) % 256) / 3.0, 6)

@@ -326,11 +326,50 @@ def test_short_pixel_data_refused():
 
 
 def test_synthesize_media_tiff_decodes_to_closed_form():
-    for doc_id in (2, 9, 16, 23):  # kind == doc_id % 7 == 2
+    # doc_id % 3 picks the compression sub-variant: 0 → uncompressed
+    # constant, 1 → LZW byte ramp (boundary-crossing), 2 → PackBits
+    # constant; the sweep covers all three plus the small-strip LZW
+    # fallback gate
+    seen = set()
+    for doc_id in (2, 9, 16, 23, 30, 37, 44, 51, 58):
         assert doc_id % 7 == 2
         w, h, ch = 16 + doc_id % 48, 8 + doc_id % 24, 1 + doc_id % 4
         d = decode_image(synthesize_media(doc_id))
         assert (d["format"], d["width"], d["height"], d["channels"]) == (
             "tiff", w, h, ch,
         )
-        assert d["mean_level"] == pytest.approx(float(doc_id % 256))
+        n = w * h * ch
+        if doc_id % 3 == 1 and n >= 256:
+            seen.add("lzw")
+            q, r = divmod(n, 256)
+            exp = (32640 * q + r * (r - 1) / 2) / n
+        else:
+            seen.add("packbits" if doc_id % 3 == 2 else "constant")
+            exp = float(doc_id % 256)
+        assert d["mean_level"] == pytest.approx(exp, abs=1e-9)
+    assert seen == {"lzw", "packbits", "constant"}
+
+
+def test_synthesize_media_lzw_tiffs_cross_width_boundary():
+    """Every LZW-compressed forge TIFF must cross at least one code-width
+    boundary (that is the point of the sub-variant — the r9 escape was
+    only reachable past 510 table adds, which the old constant-strip
+    forge never approached)."""
+    from test_decoder_properties import _tiff_flush_next_code
+
+    checked = 0
+    for doc_id in range(2, 2 + 7 * 40, 7):  # kind 2 ids
+        w, h, ch = 16 + doc_id % 48, 8 + doc_id % 24, 1 + doc_id % 4
+        n = w * h * ch
+        if doc_id % 3 != 1 or n < 256:
+            continue
+        ramp = bytes(i % 256 for i in range(n))
+        assert _tiff_flush_next_code(ramp) > 510
+        # and the decoder round-trips the actual forged payload
+        d = decode_image(synthesize_media(doc_id))
+        q, r = divmod(n, 256)
+        assert d["mean_level"] == pytest.approx(
+            (32640 * q + r * (r - 1) / 2) / n, abs=1e-9
+        )
+        checked += 1
+    assert checked >= 8
