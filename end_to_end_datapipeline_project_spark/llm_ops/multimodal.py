@@ -2263,24 +2263,35 @@ def _parse_mp3(payload: bytes) -> dict:
             # ADVICE r8: an 11-byte prefix match alone would accept ANY
             # tail that happens to start with the marker — validate the
             # LYRICS3 terminator before treating it as a benign trailer.
-            body = rest
-            if len(body) >= 128 and body[-128:-125] == b"TAG":
-                body = body[:-128]  # optional ID3v1 after the block
-            if body.endswith(b"LYRICS200"):
-                # v2: ...fields + 6-digit size + "LYRICS200"; the size
-                # counts the block from LYRICSBEGIN up to (excluding)
-                # the size digits themselves
-                szd = body[-15:-9]
-                return (
-                    len(body) >= 26
-                    and szd.isdigit()
-                    and int(szd) == len(body) - 15
-                )
-            if body.endswith(b"LYRICSEND"):
-                # v1: free text terminated by "LYRICSEND"; spec caps the
-                # structure at 5100 bytes
-                return len(body) <= 11 + 5100 + 9
-            return False
+            # ADVICE r9: 'TAG' exactly 128 bytes from the end may be
+            # lyric TEXT rather than a trailing ID3v1 tag, so stripping
+            # it unconditionally destroys a real terminator — accept if
+            # EITHER interpretation (unstripped first, then with the
+            # optional ID3v1 stripped) validates.
+            def _lyrics3_ok(body: bytes) -> bool:
+                if body.endswith(b"LYRICS200"):
+                    # v2: ...fields + 6-digit size + "LYRICS200"; the
+                    # size counts the block from LYRICSBEGIN up to
+                    # (excluding) the size digits themselves
+                    szd = body[-15:-9]
+                    return (
+                        len(body) >= 26
+                        and szd.isdigit()
+                        and int(szd) == len(body) - 15
+                    )
+                if body.endswith(b"LYRICSEND"):
+                    # v1: free text terminated by "LYRICSEND"; spec caps
+                    # the structure at 5100 bytes
+                    return len(body) <= 11 + 5100 + 9
+                return False
+
+            if _lyrics3_ok(rest):
+                return True
+            return (
+                len(rest) >= 128
+                and rest[-128:-125] == b"TAG"
+                and _lyrics3_ok(rest[:-128])
+            )
         if b"APETAGEX" in rest[:32]:
             return True
         return all(b == 0 for b in rest)

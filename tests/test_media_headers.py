@@ -445,3 +445,36 @@ def test_wav_32bit_signed_rms():
     d = decode_audio(_wav(32, data))
     assert d["bits"] == 32 and d["n_samples"] == 100
     assert d["rms"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_mp3_lyrics3_text_contains_tag_at_id3v1_offset():
+    """ADVICE r9: a valid LYRICS3 block with NO trailing ID3v1 whose
+    lyric TEXT happens to contain 'TAG' exactly 128 bytes from the end
+    must still validate — the old heuristic unconditionally stripped the
+    last 128 bytes on that match, destroying the real terminator."""
+    frames = _mp3_frames(
+        3, _M1L3["b1"], _M1L3["b2"], _M1L3["b3"], _M1L3["flen"]
+    )
+    want = int(3 * 1152 / 44100 * 1000)
+    # v1: place 'TAG' so it starts exactly 128 bytes before the end of
+    # the whole trailer (inside the lyric text), terminator LYRICSEND
+    text = b"before " + b"TAG" + b"x" * 116
+    lyr1 = b"LYRICSBEGIN" + text + b"LYRICSEND"
+    assert lyr1[-128:-125] == b"TAG"
+    assert decode_audio(frames + lyr1)["duration_ms"] == want
+    # v2 analog: 'TAG' lands 128 bytes from the end inside the text,
+    # with a size that checks out only on the UNSTRIPPED body
+    body_text = b"LYR00100" + b"y" * 20 + b"TAG" + b"y" * 110
+    lyr2 = b"LYRICSBEGIN" + body_text + (
+        b"%06dLYRICS200" % (11 + len(body_text))
+    )
+    assert lyr2[-128:-125] == b"TAG"
+    assert decode_audio(frames + lyr2)["duration_ms"] == want
+    # and a REAL trailing ID3v1 after a valid block is still stripped
+    lyr_v1 = b"LYRICSBEGIN" + b"plain text" + b"LYRICSEND"
+    assert (
+        decode_audio(frames + lyr_v1 + b"TAG" + b"\x00" * 125)[
+            "duration_ms"
+        ]
+        == want
+    )

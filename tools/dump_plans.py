@@ -280,17 +280,22 @@ def main() -> None:
         # finalizes it and WholeStageCodegen spans / chosen join
         # strategies become visible
         df.collect()
-        plan = canonicalize(
-            df._jdf.queryExecution().executedPlan().toString()
-        )
+        raw = df._jdf.queryExecution().executedPlan().toString()
+        # needles check the RAW plan: canonicalize() splices the
+        # broadcast wrapper chain out, so a negated gate like !Exchange
+        # evaluated on the canonical form could no longer catch a
+        # BroadcastExchange regressing into a zero-shuffle query
+        # (ADVICE r9).  Only the RENDERED tree is canonicalized (for
+        # byte-stable regens).
+        plan = canonicalize(raw)
         out.append(f"## {name}")
         out.append("")
         for needle, why in checks:
             # "!" prefix = the plan must NOT contain the substring
             if needle.startswith("!"):
-                ok = needle[1:] not in plan
+                ok = needle[1:] not in raw
             else:
-                ok = needle in plan
+                ok = needle in raw
             out.append(f"- {'✓' if ok else '✗ MISSING'} `{needle}` — {why}")
             if not ok:
                 failures.append((name, needle))
