@@ -275,7 +275,10 @@ def _tail_probe(spark, run, k: int, big_dir: str, names: list) -> None:
         "emission-capped EXACT queries, see WORK_PROBES) counts the "
         "pre-cap qualifying rows the algorithm must score to rank the "
         "cap's survivors — for those queries post-cap output "
-        "understates intrinsic growth by construction.",
+        "understates intrinsic growth by construction.  Wall includes "
+        "DataFrame CONSTRUCTION (eager localCheckpoint materializations "
+        "count — ADVICE r9), so cells are not comparable to pre-r10 "
+        "tables.",
         "",
         f"| query | ×10 (s) | ×{k} (s) | wall ×{k}/×10 | "
         f"out rows ×10→×{k} | work rows ×10→×{k} | verdict |",
@@ -377,7 +380,9 @@ def _decade_probe(spark, run, k: int) -> None:
         "ride the first timed run's CollectMetrics, no extra pass).  "
         "Same verdict rule as the tail probe: wall growth ≤ 1.25 × "
         "max(data, output, work) growth ⇒ the caps bound a SECOND "
-        "decade; above ⇒ the quadratic was deferred, not removed.",
+        "decade; above ⇒ the quadratic was deferred, not removed.  "
+        "Wall includes DataFrame construction (eager localCheckpoint "
+        "materializations count — ADVICE r9).",
         "",
         f"| query | ×{base} (s) | ×{k} (s) | wall ×{k}/×{base} | "
         f"out rows ×{base}→×{k} | work rows ×{base}→×{k} | verdict |",
@@ -435,12 +440,17 @@ def main() -> None:
 
         obs = Observation()
         wobs = Observation() if observed else None
+        # t0 BEFORE DataFrame construction (ADVICE r9): spark_fn bodies
+        # that eagerly localCheckpoint() intermediates (shingle/vocab/
+        # minhash-signature passes) run data-proportional Spark jobs
+        # DURING construction — timing only the final write would hide
+        # super-linear growth in exactly those checkpointed stages
+        t0 = time.time()
         df = (
             WORK_PROBES[name](spark, sf_dir, wobs)
             if observed
             else REGISTRY[name].spark_fn(spark, sf_dir)
         )
-        t0 = time.time()
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
             "noop"
         ).mode("overwrite").save()
@@ -479,6 +489,8 @@ def main() -> None:
         "key spaces (≈6M lineitem rows) and compares per-query runtimes.",
         "ratio ≈ K ⇒ scan/shuffle-bound (healthy: more executors absorb it);",
         "ratio ≫ K ⇒ super-linear fan-out or state — a 100 TB red flag.",
+        "Wall includes DataFrame construction (eager localCheckpoint",
+        "materializations count — ADVICE r9); min of 2 per cell.",
         "",
         "| query | sf0.1 (s) | ×%d (s) | ratio (ideal ≈%d) | out rows sf0.1→×%d |" % (k, k, k),
         "|---|---|---|---|---|",
