@@ -259,11 +259,15 @@ def test_mutation_fuzz_decoder_contract_all_formats():
     decode or raise ValueError/NotImplementedError — never IndexError/
     struct.error.  A 120k-iteration sweep of this generator ran clean
     at r8 HEAD (after it caught the truncated-WAV-fmt struct.error);
+    a 200k-iteration sweep with the r10 boundary-LZW seeds ran clean at
+    r10 HEAD (the decoder gained the old-width EOI tolerance, so the
+    permissive corner is deliberately in the seed mix now);
     a deterministic subset is pinned here."""
     import random
 
     import test_isobmff_headers as ib
     import test_media_headers as mh
+    from test_decoder_properties import _tiff_flush_next_code
     from test_png_decode import _gradient, encode_png
 
     from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
@@ -272,7 +276,8 @@ def test_mutation_fuzz_decoder_contract_all_formats():
     )
 
     seeds = []
-    for d in range(21):  # 3 full cycles of the 7-format mix
+    for d in range(28):  # 4 cycles of the 7-format mix — covers all
+        # three TIFF compression sub-variants (constant/LZW/PackBits)
         fn = decode_audio if d % 7 in (3, 4, 5) else decode_image
         seeds.append((synthesize_media(d), fn))
     seeds.append((encode_png(_gradient(12, 17, 3), 2, [0, 1, 2, 3, 4] * 3),
@@ -324,6 +329,19 @@ def test_mutation_fuzz_decoder_contract_all_formats():
         + b"TAG" + b"\x00" * 125,
         decode_audio,
     ))
+    # boundary-focused seed: a gray TIFF whose single strip's final LZW
+    # add lands exactly on 510, i.e. a payload that legitimately takes
+    # the r10 old-width-EOI tolerance path when mutated near its tail
+    brng = np.random.default_rng(99)
+    bbase = bytes(brng.integers(0, 256, 700).astype(np.uint8))
+    n510 = next(
+        k for k in range(220, 700)
+        if _tiff_flush_next_code(bbase[:k]) == 510
+    )
+    bpx = np.frombuffer(bbase[:n510], np.uint8).reshape(1, n510, 1)
+    seeds.append((tt._build_tiff(n510, 1, 1, bpx, compression=5),
+                  decode_image))
+
     rng = random.Random(8)
     for i in range(4000):
         src, fn = seeds[i % len(seeds)]

@@ -182,6 +182,28 @@ def test_vp8l_final_symbol_at_every_bit_offset(seed):
         )
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 3), st.integers(0, 2**32 - 1))
+def test_flac_final_partition_rice_boundary(porder, seed):
+    """Rice partition-order member of the family: sweep block sizes
+    across multiples of 2^porder so the LAST partition's final rice
+    code ends the residual section at varying offsets and partition
+    sizes (including the minimum legal psize)."""
+    rng = np.random.default_rng(seed)
+    nparts = 1 << porder
+    for mult in (1, 2, 5):
+        n = nparts * mult
+        s = [int(v) for v in rng.integers(-300, 300, n)]
+        d = decode_audio(
+            flac_file(
+                [(s, {"kind": "fixed", "order": 0, "porder": porder})],
+                n, 0, 1,
+            )
+        )
+        assert d["n_samples"] == n
+        assert d["rms"] == pytest.approx(rms_of([s]), abs=1e-12)
+
+
 def test_flac_final_rice_bit_at_every_offset():
     """Sweep block size 1..16 with all-zero FIXED(0) residuals (rice
     param 0 → exactly 1 bit per residual) so the residual section's
