@@ -20,6 +20,7 @@ from end_to_end_datapipeline_project_spark.llm_ops.multimodal import (
 )
 
 from test_flac_decode import flac_file, rms_of
+from test_jpeg_decode import encode_jpeg_gray
 from test_gif_decode import _lzw_encode as gif_lzw_encode, _make_gif
 from test_png_decode import encode_png_adam7, encode_png_palette
 from test_tiff_decode import (
@@ -180,6 +181,25 @@ def test_vp8l_final_symbol_at_every_bit_offset(seed):
         assert d["mean_level"] == pytest.approx(
             float(np.mean(vals)), abs=1e-9
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 4), st.integers(0, 2**32 - 1))
+def test_jpeg_final_mcu_at_restart_boundary(n_mcu, ri, seed):
+    """JPEG member of the final-symbol boundary family: sweep MCU count
+    against the restart interval so the FINAL MCU lands both exactly ON
+    and OFF a restart boundary — the encoder writes no trailing RST
+    after the last MCU, so a decoder that expects one desyncs exactly
+    when n_mcu % ri == 0 (the analog of the TIFF flush corner).
+    Block-constant pixels keep quantization error to the DC term."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, n_mcu)
+    px = np.repeat(np.repeat(blocks[None, :], 8, axis=0), 8, axis=1).astype(
+        np.uint8
+    )
+    meta = decode_image(encode_jpeg_gray(px, restart_interval=ri))
+    assert (meta["width"], meta["height"]) == (8 * n_mcu, 8)
+    assert abs(meta["mean_level"] - float(px.mean())) < 0.75
 
 
 @settings(max_examples=10, deadline=None)
