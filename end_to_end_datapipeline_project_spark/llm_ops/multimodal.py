@@ -409,7 +409,15 @@ def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
     therefore also accepts the old-width reading, but ONLY for EOI
     followed by nothing but zero byte-padding, or for Clear when the
     new-width reading is not a valid code — a data code is never
-    reinterpreted, so genuinely corrupt streams still raise."""
+    reinterpreted, so genuinely corrupt streams still raise.
+
+    The Clear tolerance is reachable only at the 510 boundary: there the
+    old-width Clear (256 at 9 bits) reads as 512/513 at 10 bits, which is
+    beyond the table and hence unambiguous.  At the 1022/2046 boundaries
+    the old-width Clear reads as valid data codes 512/513, so a
+    non-counting writer that emits Clear after a boundary-landing flush
+    still raises there rather than risking corruption (ADVICE r10 — this
+    limitation is deliberate and matches pre-tolerance behavior)."""
     clear, eoi = 256, 257
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -471,9 +479,22 @@ def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytearray:
             entry = prev + prev[:1]
             table.append(entry)
         else:
-            if was_bumped and code >> 1 == eoi:
-                # old-width EOI whose trailing byte-padding pushed the
-                # new-width reading beyond the table
+            if (
+                was_bumped
+                and code >> 1 == eoi
+                # mirror the top-of-loop tolerance (ADVICE r10): the
+                # old-width EOI is only valid when the stream is exhausted
+                # and everything after it — the over-read bit plus the
+                # bits still pending in the accumulator — is sub-byte zero
+                # padding.  Without this a corrupt stream whose first
+                # post-bump code happens to be 514/515 at the 510 boundary
+                # would silently return truncated output to non-TIFF
+                # callers of this primitive.
+                and pos == len(data)
+                and nbits + 1 < 8
+                and (code & 1) == 0
+                and acc == 0
+            ):
                 return out
             if was_bumped and code >> 1 == clear:
                 # old-width Clear from a non-counting writer: push the

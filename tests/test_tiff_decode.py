@@ -373,3 +373,61 @@ def test_synthesize_media_lzw_tiffs_cross_width_boundary():
         )
         checked += 1
     assert checked >= 8
+
+
+def _emit_codes(codes_and_widths):
+    """Pack (code, width) pairs MSB-first, zero-padding the final byte —
+    a raw bit emitter for crafting adversarial LZW streams directly."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_and_widths:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _boundary_prefix():
+    """clear + 253 zero literals at 9 bits: the decoder's lagged add lands
+    the table exactly on 510 after the 253rd data code, bumping the width
+    to 10 with just_bumped set — the r9/ADVICE-r10 tolerance window."""
+    return [(256, 9)] + [(0, 9)] * 253
+
+
+def test_lzw_old_width_eoi_primitive_still_accepted():
+    # non-counting writer: EOI at the OLD width right after the boundary
+    # bump, followed by sub-byte zero padding — must decode (TIFF6 §13
+    # literal writers depend on this).
+    stream = _emit_codes(_boundary_prefix() + [(257, 9)])
+    assert bytes(_tiff_lzw_decode(stream)) == b"\x00" * 253
+
+
+def test_lzw_post_bump_beyond_table_with_trailing_data_raises():
+    # ADVICE r10: code 514 at the new width (top 9 bits == EOI) but the
+    # stream is NOT exhausted — pre-fix this silently returned truncated
+    # output from the primitive; it must raise.
+    stream = _emit_codes(_boundary_prefix() + [(514, 10)]) + b"\xff"
+    with pytest.raises(ValueError):
+        _tiff_lzw_decode(stream)
+
+
+def test_lzw_post_bump_beyond_table_nonzero_padding_raises():
+    # ADVICE r10: code 515 (old-width EOI + a NON-zero over-read bit) at
+    # end of stream — the padding is not zero, so this is corruption, not
+    # a non-counting writer's EOI; it must raise.
+    stream = _emit_codes(_boundary_prefix() + [(515, 10)])
+    with pytest.raises(ValueError):
+        _tiff_lzw_decode(stream)
+
+
+def test_lzw_post_bump_beyond_table_aligned_eoi_accepted():
+    # the legitimate shape of the line-474 path: old-width EOI whose zero
+    # byte-padding pushes the new-width reading beyond the table (code
+    # 514, even over-read bit, exhausted stream, zero accumulator).
+    stream = _emit_codes(_boundary_prefix() + [(514, 10)])
+    assert bytes(_tiff_lzw_decode(stream)) == b"\x00" * 253
