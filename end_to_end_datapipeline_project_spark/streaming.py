@@ -26,13 +26,18 @@ from .cleanse import cleanse_filters, explode_envelope, typed_projection
 from .schemas import BRONZE_SCHEMA
 
 
-def read_bronze_stream(spark: SparkSession, bronze_dir: str) -> DataFrame:
+def read_bronze_stream(
+    spark: SparkSession, bronze_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
     """File-source stream over the raw JSON landing zone (declared schema —
-    streaming reads never infer)."""
+    streaming reads never infer).  ``bronze_dir`` may be a glob (e.g.
+    ``.../year=*/month=*/day=*/*.json`` for the reference's partitioned
+    landing zone); ``max_files_per_trigger`` sets the micro-batch size —
+    smaller values exercise more batch boundaries in parity tests."""
     return (
         spark.readStream.schema(BRONZE_SCHEMA)
         .option("multiline", "true")
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(bronze_dir)
     )
 
