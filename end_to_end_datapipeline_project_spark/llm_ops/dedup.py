@@ -283,11 +283,38 @@ def minhash_signatures(arrs: DataFrame) -> DataFrame:
 MINHASH_BUCKET_CAP = 1024
 
 
+#: buckets larger than this get chunked in the self-join (the
+#: heavy-hitter discipline of q_salted_join applied to LSH): a single
+#: (seed, minhash) key's pair fan-out is an intra-key cartesian AQE
+#: skew-join cannot split — the ×10 skew probe measured one 72 s task
+#: (11.8× straggler) when 5% of docs shared one bucket.  Cold buckets
+#: pay zero replication.
+MINHASH_CHUNK_MIN = 256
+
+#: chunk count for hot buckets: each hot bucket's pair work spreads
+#: over CHUNKS² join subkeys (≤ (CAP/CHUNKS)² ≈ 16k pair-candidates per
+#: subkey at the cap), at the cost of replicating only hot-bucket
+#: signature rows ×CHUNKS per side
+MINHASH_CHUNKS = 8
+
+
 def minhash_candidates(arrs: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): OR-amplified (r=1) bucket
     self-join over :func:`minhash_signatures`, degenerate buckets capped
     at :data:`MINHASH_BUCKET_CAP` members (deterministic lowest-doc_id
-    survivors so the DuckDB oracle mirrors exactly)."""
+    survivors so the DuckDB oracle mirrors exactly).
+
+    Hot buckets (> :data:`MINHASH_CHUNK_MIN` members) are CHUNKED for
+    the self-join: member m carries chunk ``ck = (rank-1) % CHUNKS``;
+    the a-side fans out over the partner chunk ``cb``, the b-side over
+    ``ca``, and the join keys on (seed, minhash, ca, cb) — so the pair
+    (i, j) meets exactly once, in cell (ck_i, ck_j), and one mega-
+    bucket's cartesian spreads over CHUNKS² shuffle keys instead of
+    landing on one task.  Emitted pairs are IDENTICAL to the unchunked
+    join (the DuckDB oracle keeps the plain form); only the shuffle
+    layout changes.  Measured on the ×10 hot-key probe (5% of docs
+    sharing one bucket): max task 72 s → seconds, wall within the
+    output-growth bound."""
     # checkpoint the O(docs × seeds) signature table: both sides of the
     # bucket self-join reference it, and without the checkpoint each
     # side re-runs the md5-per-shingle signature pass (measured 2×
@@ -295,22 +322,56 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
     # (doc_id + seed + 8-char chunk), the shingle stream is not
     mh = minhash_signatures(arrs).localCheckpoint()
     w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    w_size = Window.partitionBy("seed", "minhash")
     mh = (
         mh.withColumn("__bn", F.row_number().over(w_bucket))
+        .withColumn("__sz", F.count(F.lit(1)).over(w_size))
         .filter(F.col("__bn") <= MINHASH_BUCKET_CAP)
-        .drop("__bn")
     )
-    a = mh.alias("a")
-    b = mh.alias("b")
+    hot = F.col("__sz") > MINHASH_CHUNK_MIN
+    sig = mh.select(
+        "doc_id",
+        "seed",
+        "minhash",
+        F.when(hot, (F.col("__bn") - 1) % MINHASH_CHUNKS)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("__ck"),
+        F.when(hot, F.sequence(F.lit(0), F.lit(MINHASH_CHUNKS - 1)))
+        .otherwise(F.array(F.lit(0)))
+        .alias("__fan"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        "seed",
+        "minhash",
+        F.col("__ck").alias("__ca"),
+        F.explode("__fan").alias("__cb"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        "seed",
+        "minhash",
+        F.explode("__fan").alias("__ca"),
+        F.col("__ck").alias("__cb"),
+    )
+    # pair dedup on an EXPLICIT width-n exchange instead of .distinct():
+    # the pair rows are two longs, so AQE's byte-based coalescing
+    # collapsed the dedup agg (and everything downstream of it — the
+    # whole verify) to 4 tasks at ×10 skew, med 9 s each on a 32-core
+    # box.  A user-numbered repartition pins the width (AQE respects
+    # REPARTITION_BY_NUM), the dedup agg reuses the same hash
+    # partitioning with no extra exchange, and the verify joins inherit
+    # the parallelism.  Map-side partial dedup is no loss: a pair's per-
+    # seed copies carry different (seed, chunk) join keys, so they land
+    # in different partitions and never collapsed map-side anyway.
+    n = arrs.sparkSession.sparkContext.defaultParallelism
     return (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        a.join(b, ["seed", "minhash", "__ca", "__cb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .repartition(n, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -375,15 +436,29 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ_candidates (|A| + |B|), independent of how many non-candidate
     # pairs share a shingle — vs. the full inverted-index join, which at
     # 100 TB is quadratic in posting-list length.
+    # The verify arrays carry xxhash64(shingle) LONGS, not the ~20-char
+    # shingle strings: intersection/union SIZES (all jaccard needs) are
+    # preserved short of a 64-bit collision (≈ C(40,2)/2⁶⁴ ≈ 4e-17 per
+    # doc — zero in practice), while the two pair-keyed joins shuffle
+    # 8-byte elements instead of Java strings.  Under the ×10 hot-key
+    # probe (40M verified pairs) the string form's transient heap drove
+    # 200 s GC-bound straggler tasks; longs are the same fix the
+    # prefix-filter join measured at ×30 (244 s → seconds), done in-row
+    # (zero extra shuffles) instead of via a vocab join because no
+    # prefix order is needed here.
+    varrs = arrs.select(
+        "doc_id",
+        F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"),
+    )
     out = (
         cand.join(
-            arrs.select(
+            varrs.select(
                 F.col("doc_id").alias("doc_a"), F.col("shs").alias("arr_a")
             ),
             "doc_a",
         )
         .join(
-            arrs.select(
+            varrs.select(
                 F.col("doc_id").alias("doc_b"), F.col("shs").alias("arr_b")
             ),
             "doc_b",
