@@ -76,11 +76,17 @@ WORK_PROBES = {
     "q_prefix_filter_join": _pf_observed,
 }
 
-#: tables each work-probe query reads — lets `--decade` replicate only
-#: what its subset needs (a full ×100 build of all ten tables would
-#: write ~60M lineitem rows nobody scans)
+#: tables each decade-probe query reads — lets `--decade` replicate only
+#: what its subset needs (a full ×100 build of all ten tables writes
+#: tens of millions of rows the subset never scans)
 WORK_PROBE_TABLES = {
     "q_prefix_filter_join": ("documents",),
+    # the three remaining super-linear-suspect families (VERDICT r10
+    # task #5): edge-generation-bound graph iterations and the
+    # pair-volume-bound item-item cosine, all lineitem-derived
+    "q_pagerank": ("lineitem",),
+    "q_label_propagation": ("lineitem",),
+    "q_item_cosine": ("lineitem",),
 }
 
 PROBES = [
@@ -179,7 +185,7 @@ KEY_OFFSETS = {
 NOTES = {
     "q_prefix_filter_join": "(output-bound: replica k-cliques make QUALIFYING pairs grow ~x1000; PPJoin asymmetric probe/index prefixes + long-sid array-intersect verify - r8 cut x10 30.5s -> 11.8s and x30 182s -> 47s; remaining growth tracks output) ",
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
-    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; ratio rose 2.2x->3.9x when doc fan-out pinning + signature checkpointing cut the SMALL scale 4.5s->2.0s - absolute x10 wall also improved 10.0s->8.0s; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored) ",
+    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored; r11 skew-probe fixes - hot-bucket chunking, xxhash64 verify arrays, width-pinned pair dedup - cut x10 uniform 13.1s->5.2s and x10 hot-key 91.9s->14.6s) ",
     "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
     "q_pagerank": "(edge-gen bound: dedup-(part,supp)-then-equi-join pair emission [beat the collect_set form in the r5 ab_pagerank A/B, gap widening with scale]; r7 interleaved A/B [tools/ab_pr_forms.py, min of 4, one process] adjudicated the r6 suspicions: rounded-vs-BigDecimal message sum WITHIN NOISE [4.94s vs 5.07s sf0.1, 20.7s vs 21.3s x10] so the r6 batch delta was host noise, and broadcast-vs-shuffle-join rank distribution within noise at x10 for iters 3 and 10 [14.9/13.4s, 22.6/24.1s] - defaults stay rounded+broadcast, the join form is the beyond-broadcast-memory path behind pagerank(broadcast_ranks=False); iterations shuffle only partial-aggregated per-dst message sums, plan-gated in PLANS.md) ",
@@ -200,14 +206,43 @@ NOTES = {
 }
 
 
+def _replicated(spark, table: str, k: int):
+    """×k replica of one sf0.1 table with disjoint key spaces (the
+    uniform-key construction shared by every probe mode)."""
+    df = read_parquet_table(spark, BASE_SF, table)
+    if table in ("nation", "region"):
+        return df  # dimension lookups: keep identical
+    reps = []
+    for i in range(k):
+        r = df
+        for col, off in KEY_OFFSETS[table].items():
+            if off:
+                r = r.withColumn(col, F.col(col) + F.lit(i * off))
+        if table == "documents":
+            # vary text across replicas so near-dup structure
+            # stays ~constant per replica instead of creating
+            # k-cliques.  APPEND the marker: a prepended one
+            # gave every doc in a replica the same leading 8
+            # chars, collapsing all prefix-blocked queries
+            # into one giant block — probe artifact, not a
+            # property of the data distribution.  n_chars is
+            # refreshed to keep the length(text) == n_chars
+            # invariant the base data satisfies.
+            r = r.withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(f" replica{i}")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        reps.append(r)
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    return big
+
+
 def build(spark, k: int, tables: tuple | None = None) -> str:
     from end_to_end_datapipeline_project_spark.sources import claim_staged
 
-    subset = (
-        KEY_OFFSETS
-        if tables is None
-        else {t: KEY_OFFSETS[t] for t in tables}
-    )
+    subset = tuple(KEY_OFFSETS) if tables is None else tables
     # partial builds publish under their own suffix so a later FULL ×K
     # probe never claims a directory that holds only a table subset
     suffix = "" if tables is None else "_" + "-".join(sorted(subset))
@@ -215,36 +250,10 @@ def build(spark, k: int, tables: tuple | None = None) -> str:
 
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
-        for table, offsets in subset.items():
-            df = read_parquet_table(spark, BASE_SF, table)
-            if table in ("nation", "region"):
-                big = df  # dimension lookups: keep identical
-            else:
-                reps = []
-                for i in range(k):
-                    r = df
-                    for col, off in offsets.items():
-                        if off:
-                            r = r.withColumn(col, F.col(col) + F.lit(i * off))
-                    if table == "documents":
-                        # vary text across replicas so near-dup structure
-                        # stays ~constant per replica instead of creating
-                        # k-cliques.  APPEND the marker: a prepended one
-                        # gave every doc in a replica the same leading 8
-                        # chars, collapsing all prefix-blocked queries
-                        # into one giant block — probe artifact, not a
-                        # property of the data distribution.  n_chars is
-                        # refreshed to keep the length(text) == n_chars
-                        # invariant the base data satisfies.
-                        r = r.withColumn(
-                            "text",
-                            F.concat(F.col("text"), F.lit(f" replica{i}")),
-                        ).withColumn("n_chars", F.length("text").cast("long"))
-                    reps.append(r)
-                big = reps[0]
-                for r in reps[1:]:
-                    big = big.unionByName(r)
-            big.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
+        for table in subset:
+            _replicated(spark, table, k).write.mode("overwrite").parquet(
+                f"{tmp}/{table}.parquet"
+            )
 
     # atomic build-once publish (claim_staged): two concurrent probe /
     # bench processes must never overwrite each other mid-build
@@ -296,7 +305,7 @@ def _tail_probe(spark, run, k: int, big_dir: str, names: list) -> None:
     # the decade section (this tool's --decade mode) and the A/B
     # appendix (tools/ab_bench.py) both live after the tail table —
     # preserve whichever comes first
-    for m in (DECADE_MARKER, AB_MARKER):
+    for m in (DECADE_MARKER, SKEW_MARKER, AB_MARKER):
         if m in doc:
             appendix = doc[doc.index(m) :]
             doc = doc[: doc.index(m)]
@@ -348,26 +357,40 @@ def _growth_row(
     )
 
 
-def _decade_probe(spark, run, k: int) -> None:
+def _decade_probe(spark, run, k: int, subset: list | None = None) -> None:
     """`--decade`: one decade past the ×30 tail cell for the
-    emission-capped EXACT queries (WORK_PROBES) — ×30 vs ×K wall growth
-    judged against output AND pre-cap work growth, so the ×100 claim in
-    SCALING.md is regenerable in one command instead of a hand-built
-    one-off (VERDICT r8 task #4).  Replicates only the tables the
-    subset reads (a full ×100 build would write ~60M lineitem rows
-    nobody scans).  Rewrites the DECADE_MARKER section, preserving the
-    ratio/tail tables before it and the A/B appendix after it."""
+    super-linear-suspect queries (default: every WORK_PROBE_TABLES
+    entry) — ×30 vs ×K wall growth judged against output and, for
+    emission-capped EXACT queries, pre-cap work growth, so the ×100
+    claims in SCALING.md are regenerable in one command instead of
+    hand-built one-offs (VERDICT r8 task #4; r10 task #5 extended the
+    set with the edge-gen/pair-volume families).  Replicates only the
+    tables the subset reads (a full ×100 build would write tens of
+    millions of rows the subset never scans).  Rewrites matching rows
+    of the DECADE_MARKER section (a subset run updates its own rows
+    and keeps the others), preserving the ratio/tail tables before it
+    and the A/B appendix after it."""
     base = 30  # the tail probe's top scale — the decade is ×30 → ×K
-    names = list(WORK_PROBES)
+    names = [n for n in (subset or list(WORK_PROBE_TABLES))]
+    unknown = [n for n in names if n not in WORK_PROBE_TABLES]
+    if unknown:
+        raise SystemExit(
+            f"--decade needs a WORK_PROBE_TABLES entry for {unknown}"
+        )
     tables = tuple(
         sorted({t for n in names for t in WORK_PROBE_TABLES[n]})
     )
 
     def _dir_for(scale: int) -> str:
         # a FULL ×scale replica published by an earlier probe run is a
-        # superset of the subset build — reuse it instead of rewriting
+        # superset of the subset build — reuse it only when it actually
+        # carries every table this subset scans
         full = f"/tmp/spark_graft_scale_{os.getuid()}/x{scale}"
-        return full if os.path.exists(full) else build(spark, scale, tables)
+        if all(
+            os.path.exists(f"{full}/{t}.parquet/_SUCCESS") for t in tables
+        ):
+            return full
+        return build(spark, scale, tables)
 
     base_dir = _dir_for(base)
     big_dir = _dir_for(k)
@@ -388,19 +411,35 @@ def _decade_probe(spark, run, k: int) -> None:
         f"out rows ×{base}→×{k} | work rows ×{base}→×{k} | verdict |",
         "|---|---|---|---|---|---|---|",
     ]
+    fresh = {}
     for name in names:
         r_base = _measure(run, name, base_dir)
         r_big = _measure(run, name, big_dir)
-        rows_out.append(_growth_row(name, r_base, r_big, data_ratio))
-        print(rows_out[-1], flush=True)
+        fresh[name] = _growth_row(name, r_base, r_big, data_ratio)
+        print(fresh[name], flush=True)
     path = "/root/repo/SCALING.md"
     doc = open(path).read()
     appendix = ""
-    if AB_MARKER in doc:
-        appendix = doc[doc.index(AB_MARKER) :]
-        doc = doc[: doc.index(AB_MARKER)]
+    for m in (SKEW_MARKER, AB_MARKER):
+        if m in doc:
+            appendix = doc[doc.index(m) :]
+            doc = doc[: doc.index(m)]
+            break
+    # keep rows from a previous decade run for queries outside this
+    # subset (a q_pagerank-only re-probe must not drop the
+    # prefix-filter-join ×100 cell)
+    kept = {}
     if DECADE_MARKER in doc:
+        old = doc[doc.index(DECADE_MARKER) :]
         doc = doc[: doc.index(DECADE_MARKER)]
+        for line in old.splitlines():
+            if line.startswith("| q_"):
+                kept[line.split("|")[1].strip()] = line
+    for name in WORK_PROBE_TABLES:
+        if name in fresh:
+            rows_out.append(fresh[name])
+        elif name in kept:
+            rows_out.append(kept[name])
     with open(path, "w") as f:
         f.write(
             doc.rstrip()
@@ -412,11 +451,324 @@ def _decade_probe(spark, run, k: int) -> None:
     print(f"decade section written to {path}")
 
 
+# --- skewed-key probe (VERDICT r10 task #1) --------------------------------
+
+#: section owned by `scale_probe.py K --skew`: hot-key (Zipfian-ish)
+#: resilience of the window/join/LSH paths.  Sits between the decade
+#: cell and the A/B appendix.
+SKEW_MARKER = "## Skewed-key probe (hot keys, tool-generated)"
+
+#: registry queries probed under skew — the window / grouped-map / LSH /
+#: graph paths whose 100 TB skew story was documented but never
+#: measured (trajectory.py re-window note, text.py token sharding,
+#: dedup.py LSH occupancy caps, graph hub degrees)
+SKEW_PROBES = [
+    "q_lag_enrich",
+    "q_sessionize",
+    "q_window_rank",
+    "q_user_sequences",
+    "q_tfidf",
+    "q_minhash_lsh",
+    "q_pagerank",
+]
+
+#: 1/HOT_DENOM of fact rows land on ONE hot key (≈25% — VERDICT r10's
+#: prescribed severity: "25% of events on one user_id, 25% of tokens
+#: on one term")
+HOT_DENOM = 4
+
+#: 1/HOT_DOC_DENOM of documents get IDENTICAL text → one LSH mega-
+#: bucket per (seed, minhash); 5% of ×10 docs = 2,500 identical docs,
+#: comfortably past the 1,024 occupancy cap so the cap path executes
+HOT_DOC_DENOM = 20
+
+#: the identical text hot documents share (~300 chars ≈ the corpus mean
+#: n_chars, so per-doc shingle work stays representative)
+HOT_DOC_TEXT = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    "eiusmod tempor incididunt ut labore et dolore magna aliqua ut "
+    "enim ad minim veniam quis nostrud exercitation ullamco laboris "
+    "nisi ut aliquip ex ea commodo consequat duis aute irure dolor "
+    "in reprehenderit in voluptate velit esse cillum dolore"
+)
+
+
+def _skew_remap(table: str, df):
+    """Overlay hot keys on a uniform ×k replica.  Selection hashes the
+    row's unique id (deterministic across runs); values land on key 1,
+    which exists in every dimension key space, so joins stay total.
+
+    - events: 25% of rows → user_id 1 (hot window partition, hot
+      grouped-map group, hot join fact key)
+    - orders: 25% of rows → o_custkey 1 (hot ranking-window partition)
+    - lineitem: 25% of rows → l_suppkey 1 (hub node: co-supplies nearly
+      every part, so the graph gets one massive-degree vertex)
+    - documents: every 4th TOKEN of every doc becomes 'hottok' (25% of
+      corpus tokens on one term), and 5% of docs get IDENTICAL text
+      (one LSH bucket far past the occupancy cap)
+    """
+    hot = lambda *cols: F.pmod(F.hash(*cols), F.lit(HOT_DENOM)) == 0  # noqa: E731
+    if table == "events":
+        return df.withColumn(
+            "user_id",
+            F.when(hot("event_id"), F.lit(1)).otherwise(F.col("user_id")),
+        )
+    if table == "orders":
+        return df.withColumn(
+            "o_custkey",
+            F.when(hot("o_orderkey"), F.lit(1)).otherwise(F.col("o_custkey")),
+        )
+    if table == "lineitem":
+        return df.withColumn(
+            "l_suppkey",
+            F.when(
+                hot("l_orderkey", "l_linenumber", "l_partkey"), F.lit(1)
+            ).otherwise(F.col("l_suppkey")),
+        )
+    if table == "documents":
+        ident = F.pmod(F.hash("doc_id"), F.lit(HOT_DOC_DENOM)) == 0
+        hot_tok = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.when(i % 4 == 3, F.lit("hottok")).otherwise(x),
+            ),
+            " ",
+        )
+        return df.withColumn(
+            "text", F.when(ident, F.lit(HOT_DOC_TEXT)).otherwise(hot_tok)
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    return df
+
+
+SKEW_TABLES = ("events", "orders", "lineitem", "documents")
+
+
+def build_skew(spark, k: int) -> str:
+    """×k replica with the hot-key overlay — same row counts and file
+    layout as the uniform ×k build, only the key distribution differs,
+    so wall-ratio deltas are attributable to skew alone."""
+    from end_to_end_datapipeline_project_spark.sources import claim_staged
+
+    out = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}_skew"
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        for table in SKEW_TABLES:
+            _skew_remap(table, _replicated(spark, table, k)).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{table}.parquet")
+
+    claim_staged(out, _build)
+    return out
+
+
+class _TaskWatch:
+    """Max completed-task duration between mark() and max_task_ms(),
+    via the Spark UI REST API on the probe's own local session (the
+    straggler gauge: a hot key shows up as one task holding the stage
+    open long after its 31 siblings finish)."""
+
+    def __init__(self, spark):
+        self._base = (
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}"
+        )
+        self._last = -1
+
+    def _get(self, path: str):
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(self._base + path, timeout=15) as r:
+            return json.load(r)
+
+    def mark(self) -> None:
+        try:
+            self._last = max(
+                (s["stageId"] for s in self._get("/stages")), default=-1
+            )
+        except Exception:
+            self._last = -1
+
+    def max_task_ms(self) -> float | None:
+        try:
+            stages = self._get("/stages?status=complete")
+        except Exception:
+            return None
+        mx = 0.0
+        for s in stages:
+            if s["stageId"] <= self._last:
+                continue
+            try:
+                q = self._get(
+                    f"/stages/{s['stageId']}/{s['attemptId']}"
+                    "/taskSummary?quantiles=1.0"
+                )
+                mx = max(mx, float(q["duration"][0]))
+            except Exception:
+                pass  # skipped / zero-task stages 404 their summary
+        return mx or None
+
+
+def _unsalted_join(spark, sf_dir: str):
+    """q_salted_join's semantics WITHOUT the salting rewrite — the
+    form whose hot fact key lands 25% of the shuffle on one reducer.
+    Probed with autoBroadcastJoinThreshold=-1 (at 100 TB the dim side
+    is past broadcast size — that is the regime salting exists for);
+    AQE skew-join is the built-in mitigation being measured."""
+    ev = read_parquet_table(spark, sf_dir, "events")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    dim = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_custkey", "o_orderpriority")
+        .distinct()
+    )
+    joined = ev.join(dim, ev.user_id == dim.o_custkey)
+    return joined.groupBy("event_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def _skew_verdict(wall_ratio: float, out_ratio: float) -> str:
+    # VERDICT r10 rule: skewed wall > 3× the uniform wall ⇒ hot-key
+    # blow-up needing a fix; output-bound queries are judged against
+    # their own output growth (the tail-probe convention)
+    bound = max(3.0, 1.25 * max(out_ratio, 1.0))
+    return (
+        "handled"
+        if wall_ratio <= bound
+        else "HOT-KEY BLOW-UP — needs salting/re-window"
+    )
+
+
+def _skew_probe(spark, run, k: int) -> None:
+    """`--skew`: same-scale A/B — uniform ×k keys vs 25%-hot keys —
+    for the window/grouped-map/LSH/graph/join paths.  Reports wall and
+    max-task-duration ratios; rewrites the SKEW_MARKER section of
+    SCALING.md (preserving the tables before it and the A/B appendix
+    after it)."""
+    uniform_dir = build(spark, k)
+    skew_dir = build_skew(spark, k)
+    watch = _TaskWatch(spark)
+
+    def measure(name, sf_dir) -> tuple:
+        best = None  # (wall, rows, max_task_ms) from the min-wall run
+        for _ in range(2):
+            watch.mark()
+            t, rows, _ = run(name, sf_dir)
+            mt = watch.max_task_ms()
+            if best is None or t < best[0]:
+                best = (t, rows, mt)
+        return best
+
+    # warm both datasets' footers + codegen
+    run("q_pricing_summary", uniform_dir)
+
+    rows_out = [
+        SKEW_MARKER,
+        "",
+        f"`python tools/scale_probe.py {k} --skew` — uniform ×{k} keys vs "
+        f"the SAME data volume with hot keys: {100 // HOT_DENOM}% of "
+        "events on one user_id, of orders on one o_custkey, of lineitems "
+        f"on one l_suppkey, of corpus tokens on one term; "
+        f"{100 // HOT_DOC_DENOM}% of documents share identical text (one "
+        "LSH bucket past the 1,024 occupancy cap).  min of 2 per cell; "
+        "max-task = longest completed task in the min-wall run (UI REST "
+        "taskSummary) — the straggler gauge.  Verdict rule (VERDICT "
+        "r10): skewed wall ≤ max(3× uniform wall, 1.25× output growth) "
+        "⇒ handled; above ⇒ the documented salting/re-window path must "
+        "actually be wired in.  The FIRST run of this probe (r11) "
+        "measured q_minhash_lsh at 7.0× wall / 11.8× straggler (one "
+        "72 s task) and drove three fixes in `dedup.minhash_candidates`"
+        " — hot-bucket chunking, xxhash64 verify arrays, width-pinned "
+        "pair dedup; cells below are post-fix.",
+        "",
+        "| query | uniform (s) | skew (s) | wall ratio | max-task "
+        "uniform (s) | max-task skew (s) | straggler ratio | out rows "
+        "uniform→skew | verdict |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+
+    def emit(label, u, s):
+        t_u, n_u, mt_u = u
+        t_s, n_s, mt_s = s
+        wall = t_s / t_u if t_u > 0 else float("inf")
+        out_ratio = n_s / n_u if n_u else float("inf")
+        mt_cell_u = f"{mt_u / 1000:.2f}" if mt_u else "—"
+        mt_cell_s = f"{mt_s / 1000:.2f}" if mt_s else "—"
+        straggler = (
+            f"{mt_s / mt_u:.1f}×" if (mt_u and mt_s) else "—"
+        )
+        rows_out.append(
+            f"| {label} | {t_u:.2f} | {t_s:.2f} | {wall:.1f}× | "
+            f"{mt_cell_u} | {mt_cell_s} | {straggler} | "
+            f"{n_u}→{n_s} ({out_ratio:.1f}×) | "
+            f"{_skew_verdict(wall, out_ratio)} |"
+        )
+        print(rows_out[-1], flush=True)
+
+    for name in SKEW_PROBES:
+        emit(name, measure(name, uniform_dir), measure(name, skew_dir))
+
+    # salted-vs-unsalted A/B under the hot join key, broadcast disabled
+    # (the 100 TB regime where the dim no longer broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        emit(
+            "q_salted_join [nobcast]",
+            measure("q_salted_join", uniform_dir),
+            measure("q_salted_join", skew_dir),
+        )
+        emit(
+            "unsalted join [nobcast]",
+            measure(_unsalted_join, uniform_dir),
+            measure(_unsalted_join, skew_dir),
+        )
+        # AQE skew-join evidence for the unsalted form on skewed keys
+        df = _unsalted_join(spark, skew_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().toString()
+        aqe_skew = "skew=true" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    rows_out += [
+        "",
+        "Unsalted-form AQE adjudication: executed plan "
+        + (
+            "contains `skew=true` — AQE skew-join split the hot "
+            "partition at runtime (the built-in mitigation the salted "
+            "rewrite complements for aggregation-side skew)."
+            if aqe_skew
+            else "does NOT contain `skew=true` — AQE left the join "
+            "unsplit; the salted rewrite is the load-bearing "
+            "mitigation here."
+        ),
+    ]
+
+    path = "/root/repo/SCALING.md"
+    doc = open(path).read()
+    appendix = ""
+    if AB_MARKER in doc:
+        appendix = doc[doc.index(AB_MARKER) :]
+        doc = doc[: doc.index(AB_MARKER)]
+    if SKEW_MARKER in doc:
+        doc = doc[: doc.index(SKEW_MARKER)]
+    with open(path, "w") as f:
+        f.write(doc.rstrip() + "\n\n" + "\n".join(rows_out) + "\n\n" + appendix)
+    print(f"skew section written to {path}")
+
+
 def main() -> None:
     argv = sys.argv[1:]
     tail = "--tail" in argv  # subset run that WRITES the tail section
     decade = "--decade" in argv  # work-probe decade cell (×30 vs ×K)
-    argv = [a for a in argv if a not in ("--tail", "--decade")]
+    skew = "--skew" in argv  # hot-key probe (uniform ×K vs skewed ×K)
+    argv = [a for a in argv if a not in ("--tail", "--decade", "--skew")]
     if argv and argv[0].isdigit():
         k = int(argv[0])
         subset = argv[1:]  # subset run: print ratios, keep SCALING.md
@@ -428,7 +780,12 @@ def main() -> None:
         # than rewriting the tail section to an empty table (ADVICE r7)
         subset = list(TAIL_DEFAULT)
     _load()
-    spark = get_spark("scale-probe")
+    # the skew probe reads max task durations off the UI REST API, so
+    # its session (alone) re-enables the UI
+    spark = get_spark(
+        "scale-probe",
+        extra_conf={"spark.ui.enabled": "true"} if skew else None,
+    )
 
     def run(name: str, sf_dir: str, observed: bool = False) -> tuple:
         # Observation rides the same noop write — output-row counts cost
@@ -446,11 +803,11 @@ def main() -> None:
         # DURING construction — timing only the final write would hide
         # super-linear growth in exactly those checkpointed stages
         t0 = time.time()
-        df = (
-            WORK_PROBES[name](spark, sf_dir, wobs)
-            if observed
-            else REGISTRY[name].spark_fn(spark, sf_dir)
-        )
+        if observed:
+            df = WORK_PROBES[name](spark, sf_dir, wobs)
+        else:
+            fn = name if callable(name) else REGISTRY[name].spark_fn
+            df = fn(spark, sf_dir)
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
             "noop"
         ).mode("overwrite").save()
@@ -469,8 +826,12 @@ def main() -> None:
         spark._jvm.System.gc()
         return dt, rows, work
 
+    if skew:
+        _skew_probe(spark, run, k)
+        return
+
     if decade:
-        _decade_probe(spark, run, k)
+        _decade_probe(spark, run, k, subset or None)
         return
 
     big_dir = build(spark, k)
@@ -520,7 +881,7 @@ def main() -> None:
         old = open("/root/repo/SCALING.md").read()
         marks = [
             old.index(m)
-            for m in (TAIL_MARKER, DECADE_MARKER, AB_MARKER)
+            for m in (TAIL_MARKER, DECADE_MARKER, SKEW_MARKER, AB_MARKER)
             if m in old
         ]
         if marks:
