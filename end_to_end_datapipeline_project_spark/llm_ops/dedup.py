@@ -375,6 +375,62 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
     )
 
 
+def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs by per-doc
+    shingle-ARRAY intersection: two doc-keyed joins carrying one array
+    per row, shared = |array_intersect| map-side — the same verify
+    kernel as the prefix-filter join (measured 150× faster than the
+    exploded pair×shingle fan-out at the ×10 probe).  Cost is
+    Σ_candidates (|A| + |B|), independent of how many non-candidate
+    pairs share a shingle — vs. the full inverted-index join, which at
+    100 TB is quadratic in posting-list length.
+
+    The verify arrays carry xxhash64(shingle) LONGS, not the ~20-char
+    shingle strings: intersection/union SIZES (all jaccard needs) are
+    preserved short of a 64-bit collision (≈ C(40,2)/2⁶⁴ ≈ 4e-17 per
+    doc — zero in practice), while the two pair-keyed joins shuffle
+    8-byte elements instead of Java strings.  Under the ×10 hot-key
+    probe (40M verified pairs) the string form's transient heap drove
+    200 s GC-bound straggler tasks; longs are the same fix the
+    prefix-filter join measured at ×30 (244 s → seconds), done in-row
+    (zero extra shuffles) instead of via a vocab join because no
+    prefix order is needed here."""
+    varrs = arrs.select(
+        "doc_id",
+        F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"),
+    )
+    out = (
+        cand.join(
+            varrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("arr_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            varrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("arr_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
 @register(
     "q_minhash_lsh",
     f"""
@@ -428,58 +484,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = pin_parallelism(docs, "doc_id")
     arrs = shingle_arrays(docs).localCheckpoint()
     cand = minhash_candidates(arrs)
-    # Verify ONLY the LSH candidates (the point of LSH), by per-doc
-    # shingle-ARRAY intersection: two doc-keyed joins carrying one array
-    # per row, shared = |array_intersect| map-side — the same verify
-    # kernel as the prefix-filter join (measured 150× faster than the
-    # exploded pair×shingle fan-out at the ×10 probe).  Cost is
-    # Σ_candidates (|A| + |B|), independent of how many non-candidate
-    # pairs share a shingle — vs. the full inverted-index join, which at
-    # 100 TB is quadratic in posting-list length.
-    # The verify arrays carry xxhash64(shingle) LONGS, not the ~20-char
-    # shingle strings: intersection/union SIZES (all jaccard needs) are
-    # preserved short of a 64-bit collision (≈ C(40,2)/2⁶⁴ ≈ 4e-17 per
-    # doc — zero in practice), while the two pair-keyed joins shuffle
-    # 8-byte elements instead of Java strings.  Under the ×10 hot-key
-    # probe (40M verified pairs) the string form's transient heap drove
-    # 200 s GC-bound straggler tasks; longs are the same fix the
-    # prefix-filter join measured at ×30 (244 s → seconds), done in-row
-    # (zero extra shuffles) instead of via a vocab join because no
-    # prefix order is needed here.
-    varrs = arrs.select(
-        "doc_id",
-        F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"),
-    )
-    out = (
-        cand.join(
-            varrs.select(
-                F.col("doc_id").alias("doc_a"), F.col("shs").alias("arr_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            varrs.select(
-                F.col("doc_id").alias("doc_b"), F.col("shs").alias("arr_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
-            F.size("arr_a").alias("n_a"),
-            F.size("arr_b").alias("n_b"),
-        )
-    )
-    return out.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-            6,
-        ).alias("jaccard"),
-    )
+    # verify ONLY the LSH candidates (the point of LSH) — kernel shared
+    # with q_incremental_minhash, rationale on verify_candidates
+    return verify_candidates(arrs, cand)
 
 
 # --- SimHash --------------------------------------------------------------
@@ -1106,6 +1113,96 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_novel"),
         )
     )
+
+
+# --- incremental NEAR-dup: delta docs vs the corpus LSH index -------------
+
+
+@register(
+    "q_incremental_minhash",
+    f"""
+  WITH {SHINGLES_SQL},
+  __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
+  __mh AS (
+    SELECT doc_id, seed,
+           min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                      CAST(1 + 8 * (seed % 4) AS INTEGER), 8)) AS minhash
+    FROM __sh CROSS JOIN __seeds
+    GROUP BY doc_id, seed
+  ),
+  __mhc AS (
+    SELECT doc_id, seed, minhash FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY seed, minhash ORDER BY doc_id) AS bn
+      FROM __mh)
+    WHERE bn <= {MINHASH_BUCKET_CAP}
+  ),
+  __cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM __mhc a JOIN __mhc b
+      ON a.seed = b.seed AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
+  ),
+  {JACCARD_VERIFY_SQL}
+  SELECT c.doc_a, c.doc_b,
+         round(coalesce(j.jaccard, 0.0), 6) AS jaccard
+  FROM __cand c
+  LEFT JOIN __jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+""",
+    doc="Incremental MinHash-LSH near-dup: a simulated ingest delta "
+    "(doc_id % 10 = 7, ~10% of the corpus) is probed against the FULL "
+    "capped LSH signature index, emitting only near-dup pairs that "
+    "touch the delta — the daily-crawl discipline where candidate "
+    "volume scales with the increment, never with the corpus. The "
+    "Spark plan is probe-shaped (delta signatures joined against the "
+    "index), not self-join-then-filter: at 100 TB the signature index "
+    "is a stored table bucketed by (seed, minhash), so only the delta "
+    "side shuffles per ingest, and per-bucket work is bounded by "
+    "|delta ∩ bucket| × cap ≤ C(cap, 2) — re-pairing the corpus "
+    "against itself never happens. Verify (exact Jaccard on xxhash64 "
+    "shingle arrays) runs on delta-touching candidates only.",
+)
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs = pin_parallelism(docs, "doc_id")
+    arrs = shingle_arrays(docs).localCheckpoint()
+    # the capped signature index (identical construction to
+    # q_minhash_lsh / the oracle's __mhc): checkpointed because BOTH
+    # join sides below read it, and the md5-per-shingle signature pass
+    # must not run twice
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    idx = (
+        minhash_signatures(arrs)
+        .withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= MINHASH_BUCKET_CAP)
+        .drop("__bn")
+        .localCheckpoint()
+    )
+    delta = idx.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("d_id"), "seed", "minhash"
+    )
+    # probe join: a pair qualifies iff at least one endpoint is in the
+    # delta, and whichever endpoint that is finds the pair (both-delta
+    # pairs are found twice and collapsed by the keyed dedup).  The
+    # explicit width-n repartition is the q_minhash_lsh discipline: the
+    # pair rows are two longs, and AQE's byte-based coalescing would
+    # otherwise collapse the dedup + verify to a handful of tasks.
+    n = spark.sparkContext.defaultParallelism
+    cand = (
+        delta.join(
+            idx.select(F.col("doc_id").alias("i_id"), "seed", "minhash"),
+            ["seed", "minhash"],
+        )
+        .filter(F.col("i_id") != F.col("d_id"))
+        .select(
+            F.least("d_id", "i_id").alias("doc_a"),
+            F.greatest("d_id", "i_id").alias("doc_b"),
+        )
+        .repartition(n, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return verify_candidates(arrs, cand)
 
 
 # --- canonical selection per near-dup cluster -----------------------------

@@ -208,6 +208,33 @@ def test_real_media_decode_kernel(spark):
     assert fallback.format is None and fallback.width is not None
 
 
+def test_incremental_minhash_equals_filtered_full_lsh(spark, sf_dir):
+    """The probe-shaped incremental form (delta signatures joined
+    against the capped index) must emit EXACTLY the full LSH's pairs
+    restricted to delta-touching ones — same bucket cap, same verify —
+    or the incremental ingest path silently diverges from a periodic
+    full re-dedup."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_incremental_minhash,
+        q_minhash_lsh,
+    )
+
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_incremental_minhash(spark, sf_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_minhash_lsh(spark, sf_dir).collect()
+        if r.doc_a % 10 == 7 or r.doc_b % 10 == 7
+    }
+    assert inc, "delta produced no near-dup pairs — fixture too small"
+    assert inc == full
+    for (a, b) in inc:
+        assert a < b
+        assert a % 10 == 7 or b % 10 == 7
+
+
 def test_minhash_recall_monotone(spark, sf_dir):
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
         q_minhash_recall,

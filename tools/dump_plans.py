@@ -151,6 +151,11 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
     "q_duplicate_spans": [
         ("BroadcastHashJoin", "dup-gram digest set joins back adaptively (AQE picks broadcast at small scale, SMJ at 100 TB)"),
     ],
+    "q_incremental_minhash": [
+        ("!CartesianProduct", "delta probes the capped LSH index — candidates never come from an all-pairs product"),
+        ("REPARTITION_BY_NUM", "pair dedup + verify run on a pinned-width exchange (AQE's byte-based coalescing would collapse two-long rows to a handful of tasks)"),
+        ("xxhash64", "verify arrays carry 8-byte shingle hashes, not strings (the q_minhash_lsh GC fix)"),
+    ],
     "q_dynamic_partition_pruning": [
         ("dynamicpruning", "runtime dim values injected into the fact scan's partition filters"),
     ],
