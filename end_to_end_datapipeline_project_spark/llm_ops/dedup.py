@@ -1117,10 +1117,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental NEAR-dup: delta docs vs the corpus LSH index -------------
 
-
-@register(
-    "q_incremental_minhash",
-    f"""
+#: shared by q_incremental_minhash and its streaming twin
+#: (streaming_queries.q_stream_incremental_minhash): identical
+#: semantics, so identical oracle
+INCREMENTAL_MINHASH_SQL = f"""
   WITH {SHINGLES_SQL},
   __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
   __mh AS (
@@ -1149,7 +1149,28 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          round(coalesce(j.jaccard, 0.0), 6) AS jaccard
   FROM __cand c
   LEFT JOIN __jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-""",
+"""
+
+
+def minhash_index(arrs: DataFrame) -> DataFrame:
+    """The capped corpus LSH signature index (identical construction to
+    q_minhash_lsh / the oracle's __mhc): checkpointed because every
+    consumer joins it at least twice, and the md5-per-shingle signature
+    pass must not run twice.  At 100 TB this is the STORED table an
+    ingest tier maintains, bucketed by (seed, minhash)."""
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    return (
+        minhash_signatures(arrs)
+        .withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= MINHASH_BUCKET_CAP)
+        .drop("__bn")
+        .localCheckpoint()
+    )
+
+
+@register(
+    "q_incremental_minhash",
+    INCREMENTAL_MINHASH_SQL,
     doc="Incremental MinHash-LSH near-dup: a simulated ingest delta "
     "(doc_id % 10 = 7, ~10% of the corpus) is probed against the FULL "
     "capped LSH signature index, emitting only near-dup pairs that "
@@ -1167,18 +1188,7 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     docs = pin_parallelism(docs, "doc_id")
     arrs = shingle_arrays(docs).localCheckpoint()
-    # the capped signature index (identical construction to
-    # q_minhash_lsh / the oracle's __mhc): checkpointed because BOTH
-    # join sides below read it, and the md5-per-shingle signature pass
-    # must not run twice
-    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
-    idx = (
-        minhash_signatures(arrs)
-        .withColumn("__bn", F.row_number().over(w_bucket))
-        .filter(F.col("__bn") <= MINHASH_BUCKET_CAP)
-        .drop("__bn")
-        .localCheckpoint()
-    )
+    idx = minhash_index(arrs)
     delta = idx.filter(F.col("doc_id") % 10 == 7).select(
         F.col("doc_id").alias("d_id"), "seed", "minhash"
     )

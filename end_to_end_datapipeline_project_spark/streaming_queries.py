@@ -689,6 +689,91 @@ def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_minhash_sql():
+    from .llm_ops.dedup import INCREMENTAL_MINHASH_SQL
+
+    return INCREMENTAL_MINHASH_SQL
+
+
+def incremental_minhash_stream(
+    delta_stream: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """The streaming ingest near-dup pipeline: ``delta_stream`` is a
+    streaming (doc_id, text) DataFrame of arriving documents, ``docs``
+    the static corpus.  Returns the streaming (doc_a, doc_b, jaccard)
+    result — caller picks the sink.  Factored so tests can drive it
+    with an explicitly multi-file source (maxFilesPerTrigger=1) and pin
+    cross-micro-batch behavior."""
+    from .llm_ops.dedup import (
+        minhash_index,
+        minhash_signatures,
+        pin_parallelism,
+        shingle_arrays,
+        verify_candidates,
+    )
+
+    # static side: corpus shingle arrays + the capped signature index
+    docs = pin_parallelism(docs, "doc_id")
+    arrs = shingle_arrays(docs).localCheckpoint()
+    idx = minhash_index(arrs)
+
+    # stream side: in-batch signatures → cap semi-join → probe join
+    s_sig = minhash_signatures(shingle_arrays(delta_stream)).join(
+        idx, ["doc_id", "seed", "minhash"], "left_semi"
+    )
+    cand = (
+        s_sig.select(F.col("doc_id").alias("d_id"), "seed", "minhash")
+        .join(
+            idx.select(F.col("doc_id").alias("i_id"), "seed", "minhash"),
+            ["seed", "minhash"],
+        )
+        .filter(F.col("i_id") != F.col("d_id"))
+        .select(
+            F.least("d_id", "i_id").alias("doc_a"),
+            F.greatest("d_id", "i_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return verify_candidates(arrs, cand)
+
+
+@register(
+    "q_stream_incremental_minhash",
+    _incremental_minhash_sql(),
+    doc="Streaming ingest near-dup gate: delta documents (doc_id % 10 "
+    "= 7) arrive as a file-source stream, minhash signatures are "
+    "computed INSIDE each micro-batch (pure row-level expressions — no "
+    "state), the bucket-occupancy cap is enforced by a stream-static "
+    "LEFT SEMI join against the stored capped index, candidates come "
+    "from a stream-static probe join on (seed, minhash), cross-batch "
+    "pair dedup is the streaming dropDuplicates state store, and "
+    "exact-Jaccard verify joins the static shingle arrays — append "
+    "mode, availableNow. Output is pinned EXACTLY equal to batch "
+    "q_incremental_minhash (same oracle; pytest splits the corpus "
+    "across micro-batches to prove the dedup state carries). Scale "
+    "shape: per-ingest work scales with the delta, the index is a "
+    "broadcast-or-bucketed static table, and the only unbounded state "
+    "is the emitted-pair dedup — production would scope it with "
+    "dropDuplicatesWithinWatermark on ingest time.",
+)
+def q_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    stage, schema = _stage_table_dir(spark, sf_dir, "documents", "documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    out = incremental_minhash_stream(stream, docs)
+    return run_stream_to_memory(
+        spark,
+        out,
+        f"stream_incremental_minhash_{next(_MEM_SEQ)}",
+        complete=False,
+    )
+
+
 @register(
     "q_stream_compression_ratio",
     None,  # rows-only like its batch twin q_compression_ratio:

@@ -454,3 +454,48 @@ def test_stream_compression_ratio_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_incremental_minhash_across_micro_batches(spark, sf_dir, tmp_path):
+    """The streamed ingest near-dup gate must equal the batch
+    q_incremental_minhash EXACTLY when the delta arrives split across
+    micro-batches: cross-batch pair dedup is the streaming state store,
+    and a pair found in batch 1 (its partner indexed but not yet
+    arrived) must not re-emit when the partner's own probe finds it
+    again in batch 3."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_incremental_minhash,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+    from end_to_end_datapipeline_project_spark.streaming import (
+        run_stream_to_memory,
+    )
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        incremental_minhash_stream,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_chunks")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    import glob
+
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_files >= 3, "need >=3 part files to force >=3 micro-batches"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    out = incremental_minhash_stream(stream, docs)
+    emitted = run_stream_to_memory(
+        spark, out, "t_stream_inc_minhash", complete=False
+    )
+    got = sorted(map(tuple, emitted.collect()))
+    want = sorted(map(tuple, q_incremental_minhash(spark, sf_dir).collect()))
+    assert got == want
+    assert got, "fixture produced no delta near-dup pairs"
