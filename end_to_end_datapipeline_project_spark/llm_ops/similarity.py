@@ -961,6 +961,106 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental embedding near-dup: delta vectors vs the band index ------
+
+
+@register(
+    "q_incremental_embedding_neardup",
+    f"""
+  WITH {VECS_SQL},
+  __rhp AS (
+    SELECT * FROM __normed WHERE len(v) = {_RHP_DIM}
+  ),
+  __bands0 AS (
+    SELECT vec_id, u.band AS band, u.sig AS sig FROM (
+      SELECT vec_id, {_rhp_bands_sql()} AS u FROM __rhp)
+  ),
+  __bands AS (
+    SELECT vec_id, band, sig FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY band, sig ORDER BY vec_id) AS __bn
+      FROM __bands0) WHERE __bn <= {_RHP_BUCKET_CAP}
+  ),
+  __cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM __bands a JOIN __bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 7 OR b.vec_id % 10 = 7
+  )
+  SELECT c.vec_a, c.vec_b, round({COS_SQL}, 6) AS cosine
+  FROM __cand c
+  JOIN __rhp a ON a.vec_id = c.vec_a
+  JOIN __rhp b ON b.vec_id = c.vec_b
+  WHERE {COS_SQL} >= {_RHP_COS_T}
+""",
+    doc="Incremental embedding near-dup: a simulated ingest delta "
+    "(vec_id % 10 = 7) probes the FULL capped random-hyperplane band "
+    "index and emits only cosine near-dup pairs touching the delta — "
+    "the angle-space twin of q_incremental_minhash, completing the "
+    "dedupe-on-ingest family across both modalities. The Spark plan is "
+    "probe-shaped (delta band signatures joined against the stored "
+    "index, never self-join-then-filter); per-ingest candidate volume "
+    "scales with the delta, per-bucket work is bounded by "
+    f"|delta ∩ bucket| × {_RHP_BUCKET_CAP}, and exact-cosine verify "
+    "(the shared left-fold dot kernel) runs on delta-touching "
+    "candidates only.",
+)
+def q_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = vectors(spark, sf_dir).filter(F.size("v") == _RHP_DIM)
+    # the capped band index (identical construction to
+    # q_ann_hyperplane_lsh): checkpointed because both join sides below
+    # read it — at 100 TB this is the stored table an ingest tier
+    # maintains, bucketed by (band, sig)
+    w_bucket = Window.partitionBy("band", "sig").orderBy("vec_id")
+    idx = (
+        _rhp_band_rows(vecs)
+        .withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= _RHP_BUCKET_CAP)
+        .drop("__bn")
+        .localCheckpoint()
+    )
+    delta = idx.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("d_id"), "band", "sig"
+    )
+    # pinned-width pair exchange: the q_minhash_lsh discipline — pair
+    # rows are two longs, and AQE's byte-based coalescing would
+    # otherwise collapse the dedup + verify to a handful of tasks
+    n = spark.sparkContext.defaultParallelism
+    cand = (
+        delta.join(
+            idx.select(F.col("vec_id").alias("i_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("i_id") != F.col("d_id"))
+        .select(
+            F.least("d_id", "i_id").alias("vec_a"),
+            F.greatest("d_id", "i_id").alias("vec_b"),
+        )
+        .repartition(n, "vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = dot(F.col("v_a"), F.col("v_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _RHP_COS_T)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 # --- hard-negative mining --------------------------------------------------
 
 

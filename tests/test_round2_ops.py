@@ -74,6 +74,27 @@ def test_hyperplane_lsh_subset_of_bruteforce(spark, sf_dir):
         assert r.cosine >= _RHP_COS_T
 
 
+def test_incremental_embedding_neardup_delta_scoped(spark, sf_dir):
+    """The probe-shaped incremental form emits only delta-touching true
+    near-dup pairs, each value-identical to the brute-force baseline."""
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        q_incremental_embedding_neardup,
+    )
+
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_embedding_neardup(spark, sf_dir).collect()
+    }
+    inc = q_incremental_embedding_neardup(spark, sf_dir).collect()
+    assert inc, "delta produced no embedding near-dup pairs"
+    for r in inc:
+        assert r.vec_a < r.vec_b
+        assert r.vec_a % 10 == 7 or r.vec_b % 10 == 7
+        assert (r.vec_a, r.vec_b) in brute
+        assert abs(brute[(r.vec_a, r.vec_b)] - r.cosine) < 1e-9
+        assert r.cosine >= _RHP_COS_T
+
+
 def test_mixture_sample_downsamples_to_probability(spark, sf_dir):
     rows = q_mixture_sample(spark, sf_dir).collect()
     assert rows
