@@ -1215,6 +1215,63 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidates(arrs, cand)
 
 
+def lsh_index_upsert(base_idx: DataFrame, delta_sig: DataFrame) -> DataFrame:
+    """Merge delta signatures into a stored capped index and re-enforce
+    the occupancy cap — one (seed, minhash)-keyed window over
+    base-survivors + delta.  Equivalent to a full rebuild because the
+    cap's survivor rule (lowest doc_ids) is monotone; see
+    q_lsh_index_upsert."""
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    return (
+        base_idx.unionByName(delta_sig)
+        .withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= MINHASH_BUCKET_CAP)
+        .drop("__bn")
+    )
+
+
+@register(
+    "q_lsh_index_upsert",
+    f"""
+  WITH {SHINGLES_SQL},
+  __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
+  __mh AS (
+    SELECT doc_id, seed,
+           min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                      CAST(1 + 8 * (seed % 4) AS INTEGER), 8)) AS minhash
+    FROM __sh CROSS JOIN __seeds
+    GROUP BY doc_id, seed
+  )
+  SELECT doc_id, seed, minhash FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY seed, minhash ORDER BY doc_id) AS bn
+    FROM __mh)
+  WHERE bn <= {MINHASH_BUCKET_CAP}
+""",
+    doc="LSH index maintenance: the Spark side merges the delta's "
+    "signatures INTO the stored pre-ingest index (base-only capped "
+    "index ∪ delta signatures, then re-cap), while the ORACLE rebuilds "
+    "the capped index from the full corpus — so the oracle gate itself "
+    "proves incremental maintenance ≡ full rebuild. The equivalence is "
+    "exact because the occupancy cap keeps each bucket's LOWEST doc_ids "
+    "(a monotone survivor rule): any full-rebuild survivor drawn from "
+    "the base is necessarily among the base's own lowest-cap members, "
+    "so capping the base first loses nothing the re-cap would keep. At "
+    "100 TB this is the upsert an ingest tier runs per increment — one "
+    "(seed, minhash)-keyed window over base-survivors + delta, never a "
+    "signature pass over the historical corpus.",
+)
+def q_lsh_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs = pin_parallelism(docs, "doc_id")
+    arrs = shingle_arrays(docs).localCheckpoint()
+    # the stored pre-ingest index: built from the base corpus only (in
+    # production this is read back from storage, not recomputed)
+    base_idx = minhash_index(arrs.filter(F.col("doc_id") % 10 != 7))
+    delta_sig = minhash_signatures(arrs.filter(F.col("doc_id") % 10 == 7))
+    return lsh_index_upsert(base_idx, delta_sig)
+
+
 # --- canonical selection per near-dup cluster -----------------------------
 
 

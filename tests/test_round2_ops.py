@@ -256,6 +256,40 @@ def test_incremental_minhash_equals_filtered_full_lsh(spark, sf_dir):
         assert a % 10 == 7 or b % 10 == 7
 
 
+def test_lsh_index_upsert_when_cap_binds(spark):
+    """The monotone-merge equivalence (base-capped ∪ delta, re-capped
+    == full rebuild) in the regime the oracle corpus never reaches:
+    every bucket OVER the occupancy cap, with delta doc_ids interleaved
+    below surviving base ids.  1100 identical docs make every
+    (seed, minhash) bucket hold all 1100 members > cap 1024."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        MINHASH_BUCKET_CAP,
+        lsh_index_upsert,
+        minhash_index,
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    assert MINHASH_BUCKET_CAP == 1024
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(1100)],
+        "doc_id long, text string",
+    )
+    arrs = shingle_arrays(docs)
+    base_idx = minhash_index(arrs.filter(F.col("doc_id") % 10 != 7))
+    delta_sig = minhash_signatures(arrs.filter(F.col("doc_id") % 10 == 7))
+    merged = lsh_index_upsert(base_idx, delta_sig)
+    rebuilt = minhash_index(arrs)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got == want
+    # the cap actually bound: survivors are exactly the lowest 1024 ids
+    # (so delta ids < 1024 displaced base ids >= 1024 and the eviction
+    # agreed with the rebuild)
+    ids = sorted({t[0] for t in got})
+    assert ids == list(range(MINHASH_BUCKET_CAP))
+
+
 def test_minhash_recall_monotone(spark, sf_dir):
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
         q_minhash_recall,
