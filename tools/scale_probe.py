@@ -469,6 +469,7 @@ SKEW_PROBES = [
     "q_user_sequences",
     "q_tfidf",
     "q_minhash_lsh",
+    "q_incremental_minhash",
     "q_pagerank",
 ]
 
