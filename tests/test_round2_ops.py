@@ -290,6 +290,57 @@ def test_lsh_index_upsert_when_cap_binds(spark):
     assert ids == list(range(MINHASH_BUCKET_CAP))
 
 
+def test_incremental_clusters_delta_bridges_base_clusters(spark):
+    """The contract-and-expand corner the natural corpus may never hit:
+    two disjoint base clusters merged by ONE delta bridge doc must end
+    up under the global minimum label, exactly as a full rebuild."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        CLUSTER_JACCARD,
+        connected_components,
+        incremental_clusters,
+        jaccard_pairs,
+        shingles,
+    )
+
+    full = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3 w4"),       # base cluster A (with 2)
+            (1, "x1 x2 x3 x4"),       # base cluster B (with 4)
+            (2, "w1 w2 w3 w9"),       # near-dup of 0
+            (4, "x1 x2 x3 x9"),       # near-dup of 1
+            (5, "z1 z2 z3 z4"),       # isolated base doc
+            (7, "w1 w2 w3 x1 x2 x3"), # delta bridge: overlaps A and B
+            (17, "q1 q2 q3 q4"),      # isolated delta doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in incremental_clusters(full).collect()
+    }
+    # independent rebuild with the same building blocks on the full graph
+    edges = jaccard_pairs(shingles(full)).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    want = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in connected_components(
+            full.select("doc_id"),
+            edges.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert got == want
+    # and the merge actually happened: A, B, and the bridge share label 0
+    assert got[0] == (0, 1)
+    assert got[1][0] == 0 and got[2][0] == 0 and got[4][0] == 0
+    assert got[7][0] == 0
+    assert got[5] == (5, 1)
+    assert got[17] == (17, 1)
+
+
 def test_minhash_recall_monotone(spark, sf_dir):
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
         q_minhash_recall,
