@@ -143,6 +143,9 @@ PROBES = [
     "q_table_diff",
     "q_info_gain",
     "q_minhash_lsh",
+    "q_incremental_minhash",
+    "q_incremental_embedding_neardup",
+    "q_lsh_index_upsert",
     "q_bpe_merges",
     "q_tfidf",
     "q_script_mix",
@@ -187,6 +190,9 @@ NOTES = {
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
     "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored; r11 skew-probe fixes - hot-bucket chunking, xxhash64 verify arrays, width-pinned pair dedup - cut x10 uniform 13.1s->5.2s and x10 hot-key 91.9s->14.6s) ",
     "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
+    "q_incremental_minhash": "(output-bound like q_minhash_lsh: the delta's share of the replica k-clique pairs grows ~k^2; the probe join bounds per-bucket work at |delta members| x cap, no chunking needed - skew cell 1.1x) ",
+    "q_incremental_embedding_neardup": "(delta band signatures probe the capped index; candidate volume scales with the delta share of each bucket) ",
+    "q_lsh_index_upsert": "(linear by construction: one signature pass over base+delta and one (seed,minhash) window; output = 8 rows per shingled doc) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
     "q_pagerank": "(edge-gen bound: dedup-(part,supp)-then-equi-join pair emission [beat the collect_set form in the r5 ab_pagerank A/B, gap widening with scale]; r7 interleaved A/B [tools/ab_pr_forms.py, min of 4, one process] adjudicated the r6 suspicions: rounded-vs-BigDecimal message sum WITHIN NOISE [4.94s vs 5.07s sf0.1, 20.7s vs 21.3s x10] so the r6 batch delta was host noise, and broadcast-vs-shuffle-join rank distribution within noise at x10 for iters 3 and 10 [14.9/13.4s, 22.6/24.1s] - defaults stay rounded+broadcast, the join form is the beyond-broadcast-memory path behind pagerank(broadcast_ranks=False); iterations shuffle only partial-aggregated per-dst message sums, plan-gated in PLANS.md) ",
     "q_label_propagation": "(same edge-gen profile as q_pagerank on the co-order graph; iteration shuffles are the reduced label histogram, winner via partial-agg max_by) ",
