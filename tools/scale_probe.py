@@ -87,6 +87,12 @@ WORK_PROBE_TABLES = {
     "q_pagerank": ("lineitem",),
     "q_label_propagation": ("lineitem",),
     "q_item_cosine": ("lineitem",),
+    # the headline dedup operator and its incremental twin: output is
+    # quadratic in replica count by construction (k-cliques), so the
+    # decade cell checks the wall tracks OUTPUT, not a deferred
+    # all-pairs
+    "q_minhash_lsh": ("documents",),
+    "q_incremental_minhash": ("documents",),
 }
 
 PROBES = [
