@@ -459,3 +459,63 @@ def test_tokenizer_agrees_on_vertical_tab(spark):
         f"SELECT {TOKENS_SQL} FROM (SELECT '{txt}' AS text)"
     ).fetchone()[0]
     assert spark_toks == duck_toks == ["alpha", "beta", "gamma"]
+
+
+def test_incremental_tfidf_reprices_old_docs(spark, sf_dir):
+    """The incremental TF-IDF (oracle-proven equal to the rebuild) must
+    actually SHIFT old docs' scores relative to base-only scoring —
+    idf moves with the merged N/df — or the stat merge is dead code and
+    the query silently degrades to scoring two corpora separately."""
+    from pyspark.sql import Window as W
+
+    from end_to_end_datapipeline_project_spark.llm_ops.text import (
+        TFIDF_TOP_K,
+        q_incremental_tfidf,
+        tokens_col,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+
+    inc_base = {
+        (r.doc_id, r.term): r.tfidf
+        for r in q_incremental_tfidf(spark, sf_dir).collect()
+        if r.doc_id % 10 != 7
+    }
+    assert inc_base
+    # base-only scoring: same pipeline restricted to the pre-ingest corpus
+    docs = read_parquet_table(spark, sf_dir, "documents").filter(
+        "doc_id % 10 != 7"
+    )
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tfidf", 6)), F.asc("term")
+    )
+    pre = {
+        (r.doc_id, r.term): r.tfidf
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+        .collect()
+    }
+    shifted = sum(
+        1
+        for k, v in inc_base.items()
+        if k in pre and abs(pre[k] - v) > 1e-9
+    )
+    assert shifted > 0, "ingest moved no old-doc score — df merge is dead"
