@@ -154,6 +154,7 @@ PROBES = [
     "q_lsh_index_upsert",
     "q_bpe_merges",
     "q_tfidf",
+    "q_incremental_tfidf",
     "q_script_mix",
     "q_winsorized_stats",
     "q_bigram_logprob",
