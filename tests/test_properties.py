@@ -319,3 +319,82 @@ def test_dsum_fast_bit_identical_to_decimal_sum(spark_prop, vals, grouped):
         a = df.agg(spark_dsum(F.col("x")).alias("s")).collect()
         b = df.agg(spark_dsum_fast(F.col("x"), 4).alias("s")).collect()
     assert a == b
+
+
+# --- incremental-maintenance equivalence properties ------------------------
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+_doc_texts = st.lists(
+    st.lists(_words, min_size=3, max_size=8).map(" ".join),
+    min_size=4,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_texts)
+def test_prop_incremental_clusters_equals_rebuild(spark_prop, texts):
+    """Contract-and-expand cluster maintenance == full rebuild on ANY
+    corpus: random small-vocab texts force rich near-dup structure
+    (shared shingles everywhere), and the doc_id % 10 == 7 delta split
+    lands on arbitrary cluster members, so base-cluster merges through
+    delta bridges arise organically."""
+    spark = spark_prop
+
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        CLUSTER_JACCARD,
+        connected_components,
+        incremental_clusters,
+        jaccard_pairs,
+        shingles,
+    )
+
+    full = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, incremental_clusters(full).collect())
+    )
+    edges = jaccard_pairs(shingles(full)).filter(
+        F.col("jaccard") >= CLUSTER_JACCARD
+    )
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                full.select("doc_id"),
+                edges.select(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                "doc_id",
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_texts)
+def test_prop_lsh_index_upsert_equals_rebuild(spark_prop, texts):
+    """Cap-enforced index merge == full rebuild on ANY corpus/delta
+    split (the monotone lowest-doc_id survivor argument, generalized)."""
+    spark = spark_prop
+
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        lsh_index_upsert,
+        minhash_index,
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    full = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    arrs = shingle_arrays(full)
+    base_idx = minhash_index(arrs.filter(F.col("doc_id") % 10 != 7))
+    delta_sig = minhash_signatures(arrs.filter(F.col("doc_id") % 10 == 7))
+    got = sorted(map(tuple, lsh_index_upsert(base_idx, delta_sig).collect()))
+    want = sorted(map(tuple, minhash_index(arrs).collect()))
+    assert got == want
