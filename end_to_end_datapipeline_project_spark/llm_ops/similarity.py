@@ -51,11 +51,16 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_parquet_table(spark, sf_dir, "embeddings")
+def normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, v: double[], norm) from a raw embeddings frame —
+    pure row-level expressions, so it applies to streams too."""
     v = F.transform("embedding", lambda x: x.cast("double")).alias("v")
     vecs = emb.select("vec_id", "label", v)
     return vecs.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+
+
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_embeddings(read_parquet_table(spark, sf_dir, "embeddings"))
 
 
 def _cos(prefix_a: str = "a", prefix_b: str = "b") -> Column:
@@ -964,9 +969,25 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental embedding near-dup: delta vectors vs the band index ------
 
 
-@register(
-    "q_incremental_embedding_neardup",
-    f"""
+def rhp_band_index(vecs: DataFrame) -> DataFrame:
+    """The capped random-hyperplane band index (identical construction
+    to q_ann_hyperplane_lsh): checkpointed because every consumer joins
+    it at least twice — at 100 TB this is the stored table an ingest
+    tier maintains, bucketed by (band, sig)."""
+    w_bucket = Window.partitionBy("band", "sig").orderBy("vec_id")
+    return (
+        _rhp_band_rows(vecs)
+        .withColumn("__bn", F.row_number().over(w_bucket))
+        .filter(F.col("__bn") <= _RHP_BUCKET_CAP)
+        .drop("__bn")
+        .localCheckpoint()
+    )
+
+
+#: shared by q_incremental_embedding_neardup and its streaming twin
+#: (streaming_queries.q_stream_incremental_embedding_neardup):
+#: identical semantics, so identical oracle
+INCREMENTAL_EMBEDDING_SQL = f"""
   WITH {VECS_SQL},
   __rhp AS (
     SELECT * FROM __normed WHERE len(v) = {_RHP_DIM}
@@ -992,7 +1013,12 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
   JOIN __rhp a ON a.vec_id = c.vec_a
   JOIN __rhp b ON b.vec_id = c.vec_b
   WHERE {COS_SQL} >= {_RHP_COS_T}
-""",
+"""
+
+
+@register(
+    "q_incremental_embedding_neardup",
+    INCREMENTAL_EMBEDDING_SQL,
     doc="Incremental embedding near-dup: a simulated ingest delta "
     "(vec_id % 10 = 7) probes the FULL capped random-hyperplane band "
     "index and emits only cosine near-dup pairs touching the delta — "
@@ -1007,18 +1033,7 @@ def q_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = vectors(spark, sf_dir).filter(F.size("v") == _RHP_DIM)
-    # the capped band index (identical construction to
-    # q_ann_hyperplane_lsh): checkpointed because both join sides below
-    # read it — at 100 TB this is the stored table an ingest tier
-    # maintains, bucketed by (band, sig)
-    w_bucket = Window.partitionBy("band", "sig").orderBy("vec_id")
-    idx = (
-        _rhp_band_rows(vecs)
-        .withColumn("__bn", F.row_number().over(w_bucket))
-        .filter(F.col("__bn") <= _RHP_BUCKET_CAP)
-        .drop("__bn")
-        .localCheckpoint()
-    )
+    idx = rhp_band_index(vecs)
     delta = idx.filter(F.col("vec_id") % 10 == 7).select(
         F.col("vec_id").alias("d_id"), "band", "sig"
     )
@@ -1039,6 +1054,15 @@ def q_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFra
         .repartition(n, "vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    return verify_cosine_pairs(vecs, cand)
+
+
+def verify_cosine_pairs(vecs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-cosine verify of candidate (vec_a, vec_b) pairs against the
+    ≥ :data:`_RHP_COS_T` threshold — two vec-keyed joins carrying the
+    shared left-fold dot kernel; shared by the batch and streaming
+    incremental embedding near-dup forms (cand may be a streaming
+    DataFrame — the vector sides are static)."""
     va = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("v_a"),

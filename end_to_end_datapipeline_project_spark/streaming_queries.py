@@ -695,6 +695,47 @@ def _incremental_minhash_sql():
     return INCREMENTAL_MINHASH_SQL
 
 
+def incremental_embedding_stream(
+    delta_stream: DataFrame, vecs: DataFrame
+) -> DataFrame:
+    """The streaming embedding ingest near-dup pipeline: ``delta_stream``
+    is a streaming raw-embeddings DataFrame of arriving vectors, ``vecs``
+    the static normalized corpus.  Returns the streaming
+    (vec_a, vec_b, cosine) result — caller picks the sink.  Mirrors
+    :func:`incremental_minhash_stream` in angle space."""
+    from .llm_ops.similarity import (
+        _RHP_DIM,
+        _rhp_band_rows,
+        normalize_embeddings,
+        rhp_band_index,
+        verify_cosine_pairs,
+    )
+
+    idx = rhp_band_index(vecs)
+    sv = normalize_embeddings(delta_stream).filter(
+        F.size("v") == _RHP_DIM
+    )
+    # in-batch band signatures (row-level projection), then the cap
+    # semi-join against the stored index
+    s_bands = _rhp_band_rows(sv).join(
+        idx, ["vec_id", "band", "sig"], "left_semi"
+    )
+    cand = (
+        s_bands.select(F.col("vec_id").alias("d_id"), "band", "sig")
+        .join(
+            idx.select(F.col("vec_id").alias("i_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("i_id") != F.col("d_id"))
+        .select(
+            F.least("d_id", "i_id").alias("vec_a"),
+            F.greatest("d_id", "i_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return verify_cosine_pairs(vecs, cand)
+
+
 def incremental_minhash_stream(
     delta_stream: DataFrame, docs: DataFrame
 ) -> DataFrame:
@@ -770,6 +811,51 @@ def q_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         out,
         f"stream_incremental_minhash_{next(_MEM_SEQ)}",
+        complete=False,
+    )
+
+
+def _incremental_embedding_sql() -> str:
+    from .llm_ops.similarity import INCREMENTAL_EMBEDDING_SQL
+
+    return INCREMENTAL_EMBEDDING_SQL
+
+
+@register(
+    "q_stream_incremental_embedding_neardup",
+    _incremental_embedding_sql(),
+    doc="Streaming embedding ingest near-dup gate: delta vectors arrive "
+    "as a file-source stream, band signatures are computed inside each "
+    "micro-batch (one row-level projection — no state), the bucket cap "
+    "is enforced by a stream-static LEFT SEMI join against the stored "
+    "band index, candidates come from a stream-static probe join on "
+    "(band, sig), cross-batch pair dedup is the streaming "
+    "dropDuplicates state store, and exact-cosine verify joins the "
+    "static vectors — append mode, availableNow. Pinned EXACTLY equal "
+    "to batch q_incremental_embedding_neardup (same oracle; pytest "
+    "splits the vectors across micro-batches). The angle-space twin of "
+    "q_stream_incremental_minhash, completing streaming coverage of "
+    "the dedupe-on-ingest family across both modalities.",
+)
+def q_stream_incremental_embedding_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .llm_ops.similarity import vectors
+
+    vecs = vectors(spark, sf_dir)
+    stage, schema = _stage_table_dir(
+        spark, sf_dir, "embeddings", "embeddings"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("vec_id") % 10 == 7)
+    )
+    out = incremental_embedding_stream(stream, vecs)
+    return run_stream_to_memory(
+        spark,
+        out,
+        f"stream_incremental_embedding_{next(_MEM_SEQ)}",
         complete=False,
     )
 

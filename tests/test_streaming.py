@@ -499,3 +499,50 @@ def test_stream_incremental_minhash_across_micro_batches(spark, sf_dir, tmp_path
     want = sorted(map(tuple, q_incremental_minhash(spark, sf_dir).collect()))
     assert got == want
     assert got, "fixture produced no delta near-dup pairs"
+
+
+def test_stream_incremental_embedding_across_micro_batches(spark, sf_dir, tmp_path):
+    """The streamed embedding ingest gate must equal batch
+    q_incremental_embedding_neardup EXACTLY when the delta arrives split
+    across micro-batches (cross-batch pair dedup in the state store) —
+    the angle-space twin of the minhash stream pin."""
+    import glob
+
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        q_incremental_embedding_neardup,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+    from end_to_end_datapipeline_project_spark.streaming import (
+        run_stream_to_memory,
+    )
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        incremental_embedding_stream,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_chunks")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 3
+
+    from end_to_end_datapipeline_project_spark.llm_ops.similarity import (
+        vectors,
+    )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("vec_id") % 10 == 7)
+    )
+    out = incremental_embedding_stream(stream, vectors(spark, sf_dir))
+    emitted = run_stream_to_memory(
+        spark, out, "t_stream_inc_emb", complete=False
+    )
+    got = sorted(map(tuple, emitted.collect()))
+    want = sorted(
+        map(tuple, q_incremental_embedding_neardup(spark, sf_dir).collect())
+    )
+    assert got == want
+    assert got, "fixture produced no delta embedding near-dup pairs"
