@@ -483,6 +483,8 @@ SKEW_PROBES = [
     "q_tfidf",
     "q_minhash_lsh",
     "q_incremental_minhash",
+    "q_ann_hyperplane_lsh",
+    "q_incremental_embedding_neardup",
     "q_pagerank",
 ]
 
@@ -551,10 +553,25 @@ def _skew_remap(table: str, df):
         return df.withColumn(
             "text", F.when(ident, F.lit(HOT_DOC_TEXT)).otherwise(hot_tok)
         ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        # 5% of vectors become IDENTICAL (constant 0.5 in every dim):
+        # one (band, sig) bucket per band collects all of them — far
+        # past the RHP occupancy cap 128 — exercising the cap and the
+        # delta-probe bound of the embedding LSH family
+        ident = F.pmod(F.hash("vec_id"), F.lit(HOT_DOC_DENOM)) == 0
+        return df.withColumn(
+            "embedding",
+            F.when(
+                ident,
+                F.transform(
+                    "embedding", lambda x: F.lit(0.5).cast("float")
+                ),
+            ).otherwise(F.col("embedding")),
+        )
     return df
 
 
-SKEW_TABLES = ("events", "orders", "lineitem", "documents")
+SKEW_TABLES = ("events", "orders", "lineitem", "documents", "embeddings")
 
 
 def build_skew(spark, k: int) -> str:
@@ -563,7 +580,12 @@ def build_skew(spark, k: int) -> str:
     so wall-ratio deltas are attributable to skew alone."""
     from end_to_end_datapipeline_project_spark.sources import claim_staged
 
-    out = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}_skew"
+    # key the staged dir by the overlay table set: claim_staged reuses a
+    # published dir as-is, so a SKEW_TABLES change must land elsewhere
+    out = (
+        f"/tmp/spark_graft_scale_{os.getuid()}/x{k}_skew_"
+        + "-".join(t[:2] for t in sorted(SKEW_TABLES))
+    )
 
     def _build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -745,7 +767,10 @@ def _skew_probe(spark, run, k: int) -> None:
         "events on one user_id, of orders on one o_custkey, of lineitems "
         f"on one l_suppkey, of corpus tokens on one term; "
         f"{100 // HOT_DOC_DENOM}% of documents share identical text (one "
-        "LSH bucket past the 1,024 occupancy cap); [part-hub] cells use "
+        "LSH bucket past the 1,024 occupancy cap) and "
+        f"{100 // HOT_DOC_DENOM}% of embeddings become one identical "
+        "vector (one (band, sig) bucket per band past the RHP cap 128); "
+        "[part-hub] cells use "
         f"a separate lineitem overlay with {100 // HOT_DENOM}% of rows "
         "on l_partkey 1 — a massive-degree vertex in the part co-order "
         "graph the main overlay never touches.  min of 2 per cell; "
