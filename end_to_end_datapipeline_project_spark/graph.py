@@ -71,9 +71,11 @@ def _pr_iter_sql(prev: str, out: str) -> str:
   )"""
 
 
-@register(
-    "q_pagerank",
-    f"""
+#: full 3-iteration rebuild on the whole lineitem table — the oracle for
+#: BOTH q_pagerank and q_incremental_pagerank (the incremental path's
+#: gate is literally "maintenance ≡ rebuild", the r11 pattern from
+#: q_incremental_minhash / q_lsh_index_upsert)
+PAGERANK_SQL = f"""
   WITH __edges AS (
     SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
     FROM lineitem a JOIN lineitem b
@@ -89,7 +91,12 @@ def _pr_iter_sql(prev: str, out: str) -> str:
   {_pr_iter_sql("__r1", "__r2")},
   {_pr_iter_sql("__r2", "__r3")}
   SELECT id AS supp_id, round(pr, 6) AS pagerank FROM __r3
-""",
+"""
+
+
+@register(
+    "q_pagerank",
+    PAGERANK_SQL,
     doc=f"PageRank ({PR_ITERS} synchronous iterations, damping {PR_DAMP}) "
     "over the supplier co-supply graph. Spark runs the classic "
     "message-passing loop — contributions pr/outdeg shuffled on dst, one "
@@ -107,6 +114,40 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
     return pagerank(li)
+
+
+def _co_supply_half(li: DataFrame) -> DataFrame:
+    """Checkpointed HALF edge list (src < dst) of the supplier co-supply
+    graph.  Dedup (l_partkey, l_suppkey) FIRST — the 2-column projection
+    shuffles once and shrinks ~3x (repeat lineitems per part+supplier
+    collapse) — then an equi-join on l_partkey emits each ordered pair
+    inside the join stage (measured faster than collect_set + array
+    explode at this ~30-supplier fan-out; tools/ab_pagerank.py, round
+    4).  Checkpointing the HALF list keeps the materialized footprint 4x
+    smaller than the annotated directed list: both directions and the
+    outdeg annotation derive from it with a union + broadcast join.
+    Pairs dedup on ONE packed long (src << 32 | dst) instead of a
+    two-long struct: ~40% less shuffle payload through the dedup
+    exchange (valid while supplier keys < 2^31, which holds at any
+    TPC-H scale factor; partkey-sized graphs keep the struct form)."""
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.expr("a.l_suppkey * 4294967296 + b.l_suppkey").alias("e")
+        )
+        .distinct()
+        .select(
+            F.expr("e DIV 4294967296").alias("src"),
+            F.expr("e % 4294967296").alias("dst"),
+        )
+        .localCheckpoint()
+    )
 
 
 def pagerank(
@@ -154,48 +195,18 @@ def pagerank(
     (never slower, and it wins outright on wide groups —
     registry.py micro-bench).
     """
-    # edge generation: dedup (l_partkey, l_suppkey) FIRST — the 2-column
-    # projection shuffles once and shrinks ~3x (repeat lineitems per
-    # part+supplier collapse) — then an equi-join on l_partkey emits
-    # each ordered (src < dst) co-supply pair inside the join stage.
-    # Measured against the round-3 collect_set + nested-array-explode
-    # form with tools/ab_pagerank.py (FULL-query interleaved A/B,
-    # min of 4 alternating runs in one process): 3.76 s vs 4.05 s at
-    # sf0.1, 11.5 s vs 18.7 s at ×10 (0.61×) — the join kernel beats
-    # per-row array allocation at the ~30-supplier-per-part fan-out
-    # this table has, and the gap WIDENS with scale (the per-ORDER
-    # co-order graph below keeps the collect_set form: its sets are ~4
-    # elements, below the crossover).  This is also literally the
-    # oracle's formulation.  (Round 4's docstring claimed 2.3 s vs
-    # 3.9 s from an edge-gen-only A/B on warm data; the full-query
-    # numbers above supersede it.)
+    # edge generation factored as _co_supply_half (shared with the
+    # incremental path): join-kernel form measured against the round-3
+    # collect_set + nested-array-explode form with tools/ab_pagerank.py
+    # (FULL-query interleaved A/B, min of 4 alternating runs in one
+    # process): 3.76 s vs 4.05 s at sf0.1, 11.5 s vs 18.7 s at ×10
+    # (0.61×) — the join kernel beats per-row array allocation at the
+    # ~30-supplier-per-part fan-out this table has, and the gap WIDENS
+    # with scale (the per-ORDER co-order graph below keeps the
+    # collect_set form: its sets are ~4 elements, below the crossover).
+    # This is also literally the oracle's formulation.
     msg_sum = spark_dsum_rounded if rounded_msg_sum else spark_dsum
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    # checkpoint the HALF edge list (src < dst): both directions and the
-    # outdeg annotation derive from it with a union + broadcast join —
-    # zero extra shuffles — so the materialized footprint is 4x smaller
-    # than checkpointing the annotated directed list
-    # pairs distinct on ONE packed long (src << 32 | dst) instead of a
-    # two-long struct: ~40% less shuffle payload through the dedup
-    # exchange (valid while supplier keys < 2^31, which holds at any
-    # TPC-H scale factor; partkey-sized graphs keep the struct form)
-    half = (
-        ps.alias("a")
-        .join(
-            ps.alias("b"),
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.expr("a.l_suppkey * 4294967296 + b.l_suppkey").alias("e")
-        )
-        .distinct()
-        .select(
-            F.expr("e DIV 4294967296").alias("src"),
-            F.expr("e % 4294967296").alias("dst"),
-        )
-        .localCheckpoint()
-    )
+    half = _co_supply_half(li)
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -259,6 +270,159 @@ def pagerank(
         F.col("id").alias("supp_id"),
         F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank"),
     )
+
+
+def incremental_pagerank(
+    li: DataFrame, delta_cond, *, iters: int = PR_ITERS
+) -> DataFrame:
+    """Delta-edge PageRank maintenance: re-rank only the ingest's blast
+    radius, reuse stored per-iteration ranks everywhere else — EXACTLY
+    equal to a full rebuild on the merged graph (the oracle gate).
+
+    The exactness argument (why a bounded restart is not an
+    approximation for a fixed-iteration rank): after k synchronous
+    iterations a node's rank is a function of its k-hop in-
+    neighborhood's degrees and the uniform prior.  An ingest only ADDS
+    edges, and r_k(n) can change only if n is within k hops of a node
+    whose degree changed — i.e. of a new edge's endpoints (the seed
+    set).  So patching S_k = expand^k(seeds) with messages drawn from
+    the PREVIOUS level's patched-or-stored values reproduces the full
+    rebuild bit-for-bit: unaffected nodes keep stored doubles that the
+    rebuild would recompute from identical inputs through the same
+    decimal-quantized message kernel, and patched nodes aggregate over
+    ALL their in-edges with that same kernel.
+
+    100 TB shape: the ingest tier stores ``iters`` O(|V|) rank vectors
+    (~24 B × V × 3) plus the half edge list — state it already keeps
+    for the rebuild it replaces.  Per-ingest work is O(edges incident
+    to the blast radius) per level, never O(E): frontier expansion is
+    |frontier| broadcast-ish joins against the checkpointed edge list,
+    and each patch aggregates only in-edges of the frontier.  On a
+    sparse production graph (bounded degree) the blast radius stays
+    proportional to the delta; on THIS deliberately dense test graph
+    (~60 co-suppliers per node) a 3-hop ball saturates, which the
+    SCALING.md probe cell reports honestly — the bound is structural,
+    |delta blast|, not corpus size.
+    """
+    msg_sum = spark_dsum_rounded
+
+    def directed(half: DataFrame) -> DataFrame:
+        return half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("double").alias("outdeg")
+        )
+
+    base_li = li.filter(~delta_cond)
+    # --- STORED pre-ingest state (in production read back from storage,
+    # not recomputed): half edge list + per-ITERATION unrounded rank
+    # vectors.  Storing intermediates, not just the final rank, is what
+    # makes the restart exact — level k's patch draws boundary values
+    # from level k-1.
+    base_half = _co_supply_half(base_li)
+    base_levels: list[DataFrame] = []
+    contrib = directed(base_half).join(
+        F.broadcast(degrees(directed(base_half))), "src"
+    )
+    pr = None
+    for _ in range(iters):
+        sender = (
+            contrib.withColumn("pr", F.lit(1.0))
+            if pr is None
+            else contrib.join(
+                F.broadcast(pr.withColumnRenamed("id", "src")), "src"
+            )
+        )
+        pr = (
+            sender.groupBy("dst")
+            .agg(msg_sum(F.col("pr") / F.col("outdeg")).alias("m"))
+            .select(
+                F.col("dst").alias("id"),
+                (0.15 + PR_DAMP * F.col("m")).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        base_levels.append(pr)
+
+    # --- the ingest: merged graph, new-edge seeds, 3-hop blast radius
+    half = _co_supply_half(li)
+    edges = directed(half)
+    outdeg = degrees(edges)
+    new_half = half.join(base_half, ["src", "dst"], "left_anti")
+    frontier = (
+        new_half.select(F.col("src").alias("id"))
+        .unionAll(new_half.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    r_prev_full = None
+    for k in range(iters):
+        # S_k = S_{k-1} ∪ N(S_{k-1}): level-k ranks change only there
+        frontier = (
+            frontier.unionAll(
+                edges.join(
+                    frontier.withColumnRenamed("id", "src"), "src"
+                ).select(F.col("dst").alias("id"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        in_e = edges.join(frontier.withColumnRenamed("id", "dst"), "dst")
+        sender = (
+            in_e.withColumn("pr", F.lit(1.0))
+            if r_prev_full is None
+            else in_e.join(
+                F.broadcast(r_prev_full.withColumnRenamed("id", "src")),
+                "src",
+            )
+        )
+        patched = (
+            sender.join(F.broadcast(outdeg), "src")
+            .groupBy("dst")
+            .agg(msg_sum(F.col("pr") / F.col("outdeg")).alias("m"))
+            .select(
+                F.col("dst").alias("id"),
+                (0.15 + PR_DAMP * F.col("m")).alias("pr"),
+            )
+        )
+        # level-k vector = stored base values outside the blast radius,
+        # patched values inside it
+        r_prev_full = (
+            base_levels[k]
+            .join(frontier, "id", "left_anti")
+            .unionAll(patched)
+            .localCheckpoint()
+        )
+
+    nodes = li.select(F.col("l_suppkey").alias("id")).distinct()
+    return nodes.join(r_prev_full, "id", "left").select(
+        F.col("id").alias("supp_id"),
+        F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank"),
+    )
+
+
+@register(
+    "q_incremental_pagerank",
+    PAGERANK_SQL,
+    doc="Incremental PageRank maintenance: a simulated ingest delta "
+    "(l_orderkey % 10 = 7, ~10% of lineitem) adds co-supply edges; "
+    "only the delta's 3-hop blast radius is re-ranked, every other "
+    "node keeps its stored per-iteration rank — and the ORACLE is the "
+    "full 3-iteration rebuild on the merged graph, so the gate itself "
+    "proves maintenance ≡ rebuild (bit-for-bit, via the same "
+    "decimal-quantized message kernel). Extends the r11 "
+    "incremental-ingest pattern (q_incremental_minhash, "
+    "q_lsh_index_upsert, q_incremental_tfidf) to the costliest query "
+    "family in the suite. Exactness + 100 TB analysis on "
+    "incremental_pagerank.",
+)
+def q_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return incremental_pagerank(li, F.col("l_orderkey") % 10 == 7)
 
 
 # part co-order graph: parts are linked when they appear together in >= 2

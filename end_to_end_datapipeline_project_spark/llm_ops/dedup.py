@@ -31,10 +31,16 @@ from .text import TOKENS_SQL, tokens_col
 
 # --- shingles -------------------------------------------------------------
 
-#: DuckDB: distinct 3-gram word shingles per doc (1-based list indexing)
-SHINGLES_SQL = f"""
+
+def shingles_sql(table: str = "documents") -> str:
+    """DuckDB CTE body: distinct 3-gram word shingles per doc (1-based
+    list indexing) over ``table`` — parameterized so oracles that
+    pre-filter the corpus (e.g. the exact-duplicate collapse in
+    q_minhash_lsh) can shingle a derived CTE instead of the raw
+    ``documents`` view."""
+    return f"""
   __toks AS (
-    SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    SELECT doc_id, {TOKENS_SQL} AS toks FROM {table}
   ),
   __sh AS (
     SELECT DISTINCT doc_id, shingle FROM (
@@ -48,6 +54,10 @@ SHINGLES_SQL = f"""
     SELECT doc_id, count(*) AS n_shingles FROM __sh GROUP BY doc_id
   )
 """
+
+
+#: DuckDB: distinct 3-gram word shingles per doc over the raw corpus
+SHINGLES_SQL = shingles_sql()
 
 
 def shingles(df: DataFrame) -> DataFrame:
@@ -102,19 +112,33 @@ def shingle_arrays(df: DataFrame) -> DataFrame:
 
 # --- exact dedup ----------------------------------------------------------
 
+#: DuckDB twin of :func:`fingerprint_col` — the normalized-content md5
+#: every exact-dedup consumer keys on (q_dedup_exact, the q_minhash_lsh
+#: pre-collapse, q_minhash_clusters reattachment)
+FINGERPRINT_SQL = (
+    "md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
+)
+
+
+def fingerprint_col() -> "F.Column":
+    """Exact-content fingerprint: md5 of whitespace-normalized,
+    case-folded text.  Bit-identical in Spark and DuckDB, so every
+    pipeline stage keyed on it stays oracle-checkable."""
+    return F.md5(
+        F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")
+    )
+
 
 @register(
     "q_dedup_exact",
-    """
+    f"""
   WITH __all AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text FROM documents
   ),
   __fp AS (
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
-             AS fingerprint
+    SELECT doc_id, {FINGERPRINT_SQL} AS fingerprint
     FROM __all
   )
   SELECT fingerprint,
@@ -132,12 +156,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = docs.unionAll(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    fp = doubled.select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " ")).alias(
-            "fingerprint"
-        ),
-    )
+    fp = doubled.select("doc_id", fingerprint_col().alias("fingerprint"))
     return fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -431,10 +450,77 @@ def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+# --- exact-duplicate pre-collapse (the r11 skew-probe fix) ---------------
+
+
+def collapse_exact_dups(docs: DataFrame) -> DataFrame:
+    """Restrict a ``documents`` frame to one representative (the min
+    doc_id) per exact-content fingerprint group, BEFORE any pairwise
+    near-dup machinery runs.
+
+    Identical texts can never be *near* duplicates of each other — they
+    are exact duplicates, already handled by the q_dedup_exact hash-agg
+    — so feeding them into LSH only makes every member of a k-copy
+    group collide into the same (seed, minhash) buckets and emit
+    C(k, 2) verified pairs.  The r11 skew probe measured exactly that:
+    a 5%-identical overlay (2,500 copies of one text) drove
+    q_minhash_lsh to 7.1× wall / 10.4× straggler and 40.2 M pairs; at
+    the 100 TB target a 10⁶-copy boilerplate group would emit 5·10¹¹
+    pairs no chunking can absorb.  Collapsing first makes the pair
+    stream a function of DISTINCT texts only; members reattach
+    downstream through the fingerprint map (q_minhash_clusters).
+
+    Plan shape: one digest-only shuffle (doc_id + 16-byte md5, ~24 B a
+    row — never the text) to agree on group minima, then a doc_id-keyed
+    left-semi join that AQE broadcasts at test scale; at warehouse
+    scale both sides are doc_id-bucketed so the join is co-located.
+    """
+    reps = (
+        docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(reps, "doc_id", "left_semi")
+
+
+def exact_rep_map(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep_id) for EVERY doc: rep_id = min doc_id of the doc's
+    exact-fingerprint group (a doc is its own rep iff doc_id == rep_id).
+    The reattachment side of :func:`collapse_exact_dups` — one
+    digest-keyed window shuffle, ~40 B a row, never the text."""
+    fp = docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+    return fp.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy("fingerprint"))
+        .alias("rep_id"),
+    )
+
+
+def collapse_sql(src: str = "documents") -> str:
+    """DuckDB CTEs mirroring :func:`collapse_exact_dups`: ``__repdocs``
+    is ``src`` restricted to per-fingerprint min-doc_id representatives,
+    and ``__repmap`` carries every doc's (doc_id, rep_id) for
+    reattachment."""
+    return f"""__fpx AS (
+    SELECT doc_id, {FINGERPRINT_SQL} AS fingerprint FROM {src}
+  ),
+  __repmap AS (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id
+    FROM __fpx
+  ),
+  __repdocs AS (
+    SELECT * FROM {src} WHERE doc_id IN (SELECT rep_id FROM __repmap)
+  )"""
+
+
 @register(
     "q_minhash_lsh",
     f"""
-  WITH {SHINGLES_SQL},
+  WITH {collapse_sql()},
+  {shingles_sql("__repdocs")},
   __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
   __mh AS (
     SELECT doc_id, seed,
@@ -465,7 +551,12 @@ def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     doc=f"MinHash-LSH near-dup: {N_SEEDS} min-hashes per doc (the 32-bit "
     "hex chunks of 2 seeded md5s — 4× less hashing than one md5 per "
     "seed), OR-amplified banding (r=1) for candidates, exact-Jaccard "
-    "verify. md5 parity makes the full LSH pipeline oracle-checkable.",
+    "verify. md5 parity makes the full LSH pipeline oracle-checkable. "
+    "Exact-duplicate texts collapse to one min-doc_id representative "
+    "BEFORE signatures (collapse_exact_dups, oracle-mirrored): a k-copy "
+    "group contributes one signature row instead of C(k,2) pairs — the "
+    "fix for the r11 skew probe's hot-bucket blow-up; members reattach "
+    "via the fingerprint map in q_minhash_clusters.",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
@@ -482,6 +573,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-heavy signature stage otherwise runs on 2 of 32 cores (the
     # text shuffle is trivial next to 8 md5 evaluations per shingle)
     docs = pin_parallelism(docs, "doc_id")
+    # exact-duplicate pre-collapse: identical texts are exact dups, not
+    # near dups — one representative per fingerprint group enters the
+    # pairwise stage (rationale + 100 TB analysis on collapse_exact_dups)
+    docs = collapse_exact_dups(docs)
     arrs = shingle_arrays(docs).localCheckpoint()
     cand = minhash_candidates(arrs)
     # verify ONLY the LSH candidates (the point of LSH) — kernel shared
@@ -715,6 +810,106 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, "documents")
+
+
+#: minimum verified Jaccard for a MinHash cluster edge — the usual
+#: near-dup regime (vs CLUSTER_JACCARD's deliberately-low 0.02, which
+#: exists so the sparse test corpus forms multi-doc components)
+MINHASH_CLUSTER_JACCARD = 0.5
+
+
+@register(
+    "q_minhash_clusters",
+    f"""
+  WITH RECURSIVE {collapse_sql()},
+  {shingles_sql("__repdocs")},
+  __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
+  __mh AS (
+    SELECT doc_id, seed,
+           min(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || shingle),
+                      CAST(1 + 8 * (seed % 4) AS INTEGER), 8)) AS minhash
+    FROM __sh CROSS JOIN __seeds
+    GROUP BY doc_id, seed
+  ),
+  __mhc AS (
+    SELECT doc_id, seed, minhash FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY seed, minhash ORDER BY doc_id) AS bn
+      FROM __mh)
+    WHERE bn <= {MINHASH_BUCKET_CAP}
+  ),
+  __cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM __mhc a JOIN __mhc b
+      ON a.seed = b.seed AND a.minhash = b.minhash
+         AND a.doc_id < b.doc_id
+  ),
+  {JACCARD_VERIFY_SQL},
+  __edges1 AS (
+    SELECT j.doc_a AS src, j.doc_b AS dst
+    FROM __cand c
+    JOIN __jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= {MINHASH_CLUSTER_JACCARD}
+  ),
+  __edges AS (
+    SELECT src, dst FROM __edges1
+    UNION ALL SELECT dst, src FROM __edges1
+  ),
+  __reach (doc_id, r) AS (
+    SELECT DISTINCT rep_id AS doc_id, rep_id AS r FROM __repmap
+    UNION
+    SELECT q.doc_id, e.dst FROM __reach q JOIN __edges e ON e.src = q.r
+  ),
+  __repcl AS (
+    SELECT doc_id AS rep_id, min(r) AS cluster_id FROM __reach
+    GROUP BY doc_id
+  )
+  SELECT m.doc_id, c.cluster_id,
+         CAST(m.doc_id = c.cluster_id AS INTEGER) AS is_canonical
+  FROM __repmap m JOIN __repcl c ON m.rep_id = c.rep_id
+""",
+    doc="Collapse-then-cluster near-dup assignment, the downstream half "
+    "of q_minhash_lsh's exact-duplicate pre-collapse: LSH + verified "
+    f"Jaccard ≥ {MINHASH_CLUSTER_JACCARD} edges over exact-distinct "
+    "representatives only, connected components over that (small) rep "
+    "graph, then every doc REATTACHES through the fingerprint map — so "
+    "a 10⁶-copy boilerplate group costs one signature row and one "
+    "map-join row per member, never C(n,2) pairs. cluster_id is the "
+    "min doc_id over all members (each rep is already its group's "
+    "min), canonical = the cluster min itself. The oracle mirrors "
+    "collapse, LSH, a recursive-CTE transitive closure, and the "
+    "reattachment join.",
+)
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = pin_parallelism(
+        read_parquet_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    # (doc_id, rep_id) fingerprint map: checkpointed because it feeds
+    # the rep filter, the CC node list, AND the reattachment join — the
+    # md5 window must not run three times
+    rep_map = exact_rep_map(docs).localCheckpoint()
+    reps = docs.join(
+        rep_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    arrs = shingle_arrays(reps).localCheckpoint()
+    pairs = verify_candidates(arrs, minhash_candidates(arrs))
+    edges1 = pairs.filter(
+        F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rep_nodes = rep_map.select(F.col("rep_id").alias("doc_id")).distinct()
+    cc = connected_components(rep_nodes, edges1, "doc_id")
+    out = rep_map.join(
+        cc.select(F.col("doc_id").alias("rep_id"), "cluster_id"), "rep_id"
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )
 
 
 def jaccard_pairs_delta(sh_all: DataFrame, is_delta) -> DataFrame:
@@ -1361,16 +1556,51 @@ def minhash_index(arrs: DataFrame) -> DataFrame:
     "is a stored table bucketed by (seed, minhash), so only the delta "
     "side shuffles per ingest, and per-bucket work is bounded by "
     "|delta ∩ bucket| × cap ≤ C(cap, 2) — re-pairing the corpus "
-    "against itself never happens. Verify (exact Jaccard on xxhash64 "
-    "shingle arrays) runs on delta-touching candidates only.",
+    "against itself never happens; hot buckets additionally spread "
+    "that work over partner chunks (index member keeps its chunk, "
+    "probe row fans out) so no single reduce task carries a "
+    "mega-bucket. Verify (exact Jaccard on xxhash64 shingle arrays) "
+    "runs on delta-touching candidates only.",
 )
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     docs = pin_parallelism(docs, "doc_id")
     arrs = shingle_arrays(docs).localCheckpoint()
     idx = minhash_index(arrs)
-    delta = idx.filter(F.col("doc_id") % 10 == 7).select(
-        F.col("doc_id").alias("d_id"), "seed", "minhash"
+    # hot-bucket partner-chunk fan-out (the c212285 batch fix applied to
+    # the PROBE join — r11's skew probe showed one task carrying 4.4 s
+    # of the cell's 12.3 s wall): index members of a hot (seed, minhash)
+    # bucket carry chunk ck = (rank-1) % CHUNKS; the delta probe side
+    # fans out over ALL chunks, so a pair (d, i) meets exactly once —
+    # in i's chunk — and one mega-bucket's |delta ∩ bucket| × cap work
+    # spreads over CHUNKS shuffle subkeys instead of one task.  Only
+    # hot-bucket PROBE rows replicate ×CHUNKS; the index side never
+    # does.  Emitted pairs are identical to the unchunked join (the
+    # oracle keeps the plain form).
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    w_size = Window.partitionBy("seed", "minhash")
+    hot = F.col("__sz") > MINHASH_CHUNK_MIN
+    sig = (
+        idx.withColumn("__bn", F.row_number().over(w_bucket))
+        .withColumn("__sz", F.count(F.lit(1)).over(w_size))
+        .select(
+            "doc_id",
+            "seed",
+            "minhash",
+            F.when(hot, (F.col("__bn") - 1) % MINHASH_CHUNKS)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("__ck"),
+            F.when(hot, F.sequence(F.lit(0), F.lit(MINHASH_CHUNKS - 1)))
+            .otherwise(F.array(F.lit(0)))
+            .alias("__fan"),
+        )
+    )
+    delta = sig.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("d_id"),
+        "seed",
+        "minhash",
+        F.explode("__fan").alias("__ck"),
     )
     # probe join: a pair qualifies iff at least one endpoint is in the
     # delta, and whichever endpoint that is finds the pair (both-delta
@@ -1381,8 +1611,10 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     cand = (
         delta.join(
-            idx.select(F.col("doc_id").alias("i_id"), "seed", "minhash"),
-            ["seed", "minhash"],
+            sig.select(
+                F.col("doc_id").alias("i_id"), "seed", "minhash", "__ck"
+            ),
+            ["seed", "minhash", "__ck"],
         )
         .filter(F.col("i_id") != F.col("d_id"))
         .select(

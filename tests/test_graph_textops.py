@@ -250,6 +250,55 @@ def test_degree_orientation_bounds_wedges_under_skew(spark):
     assert undirected == {tuple(sorted(e)) for e in hub_edges}
 
 
+def test_incremental_pagerank_equals_rebuild(spark):
+    """Maintenance ≡ rebuild, bit-for-bit, on the real table (sf0.001)
+    AND on a hand graph where the delta bridges two components and
+    introduces a brand-new node — the corners where a wrong blast
+    radius or a stale stored rank would diverge."""
+    from end_to_end_datapipeline_project_spark.graph import (
+        incremental_pagerank,
+        pagerank,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, SF, "lineitem")
+    inc = sorted(
+        map(
+            tuple,
+            incremental_pagerank(
+                li, F.col("l_orderkey") % 10 == 7
+            ).collect(),
+        )
+    )
+    assert inc == sorted(map(tuple, pagerank(li).collect()))
+
+    # two base components {1,2} (part 100) and {3,4} (part 200); delta
+    # order 17 makes supplier 2 co-supply part 200 (bridging both) and
+    # adds brand-new supplier 9 on part 300 with supplier 4
+    rows = [
+        (1, 100, 1), (1, 100, 2),          # base: 1—2
+        (2, 200, 3), (2, 200, 4),          # base: 3—4
+        (17, 200, 2),                      # delta: 2—3, 2—4
+        (17, 300, 9), (3, 300, 4),         # delta: new node 9—4
+    ]
+    mini = spark.createDataFrame(
+        [(ok, pk, sk, 1) for ok, pk, sk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int",
+    )
+    got = sorted(
+        map(
+            tuple,
+            incremental_pagerank(
+                mini, F.col("l_orderkey") % 10 == 7
+            ).collect(),
+        )
+    )
+    assert got == sorted(map(tuple, pagerank(mini).collect()))
+    assert {t[0] for t in got} == {1, 2, 3, 4, 9}
+
+
 def test_pagerank_strategy_variants_are_bit_identical(spark):
     """Both rank-distribution strategies (broadcast vs src-partitioned
     shuffle join) and both message-sum kernels (rounded primitive-long

@@ -234,7 +234,11 @@ def test_incremental_minhash_equals_filtered_full_lsh(spark, sf_dir):
     against the capped index) must emit EXACTLY the full LSH's pairs
     restricted to delta-touching ones — same bucket cap, same verify —
     or the incremental ingest path silently diverges from a periodic
-    full re-dedup."""
+    full re-dedup.  (q_minhash_lsh's exact-duplicate pre-collapse is a
+    no-op on this fixture — sf0.001 has 500 distinct fingerprints — so
+    the equality is exact here; on corpora WITH exact dups the full
+    form is rep-level while the incremental probe's per-bucket work
+    stays bounded by |delta ∩ bucket| × cap either way.)"""
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
         q_incremental_minhash,
         q_minhash_lsh,
@@ -288,6 +292,49 @@ def test_lsh_index_upsert_when_cap_binds(spark):
     # agreed with the rebuild)
     ids = sorted({t[0] for t in got})
     assert ids == list(range(MINHASH_BUCKET_CAP))
+
+
+def test_minhash_collapses_exact_duplicate_group(spark, tmp_path):
+    """The r11 skew-probe scale-killer, pinned: a 100-copy identical
+    group must contribute ONE representative to the pairwise stage —
+    zero intra-group pairs, non-reps absent from the pair stream — and
+    q_minhash_clusters must reattach every copy to the right cluster.
+    Without the collapse this corpus emits C(100,2)=4,950 intra-group
+    pairs; at a 10⁶-copy boilerplate group that's 5·10¹¹."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_minhash_clusters,
+        q_minhash_lsh,
+    )
+
+    base = " ".join(f"word{i}" for i in range(20))
+    rows = [(5, base + " extraword")]  # near-dup of the group text
+    rows += [(10 + i, base) for i in range(100)]  # identical hot group
+    rows.append((200, "completely unrelated content about other things"))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    group = set(range(10, 110))
+    assert not any(a in group and b in group for a, b in pairs)
+    assert not any(  # non-representatives never enter the pair stream
+        a in group - {10} or b in group - {10} for a, b in pairs
+    )
+    assert (5, 10) in pairs and pairs[(5, 10)] >= 0.5
+
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in q_minhash_clusters(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 102  # every doc reattached, including non-reps
+    assert got[5] == (5, 1)
+    assert all(got[d] == (5, 0) for d in group)
+    assert got[200] == (200, 1)
 
 
 def test_incremental_clusters_delta_bridges_base_clusters(spark):
