@@ -490,28 +490,25 @@ TFIDF_SQL = f"""
 """
 
 
-@register(
-    "q_tfidf",
-    TFIDF_SQL,
-    doc="TF-IDF top-3 terms per document: term frequency × ln(N/df), "
-    "document frequency via a shared token explode, top-k by ranking "
-    "window with a term tiebreak. The df table is small → broadcast; "
-    "N arrives as a broadcast scalar, not a driver collect.",
-)
-def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df = rows-per-term OVER tf, not count_distinct over tok: the tf
-    # group already is one row per (doc, term), so this is the same df
-    # while replacing the two-phase distinct aggregate with a plain
-    # count whose map-side partial collapses to per-partition term
-    # counts.  (Exchange reuse between the branches still does not
-    # fire — column pruning gives them different exchange schemas — so
-    # the explode runs twice; at 0.9 s / 1.2x-at-x10 the alternative,
-    # materializing the full tf matrix, would cost more than it saves.)
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+def tf_rows(d: DataFrame) -> DataFrame:
+    """Per-doc term frequencies (doc_id, term, tf) — the immutable
+    per-document state every TF-IDF variant (full, incremental batch,
+    streaming ingest) builds from exactly one tokenize pass."""
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    return tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def tfidf_scored(tf: DataFrame, df: DataFrame, n: DataFrame) -> DataFrame:
+    """tf × ln(N/df) with the top-k ranking window — the shared re-score
+    kernel: ``df`` (term, df) and ``n`` (1-row n_docs) broadcast onto
+    the tf rows.  Rank on the ROUNDED score (both engines): ln() is
+    libm-derived, so two mathematically-equal scores (e.g. 2*ln(4) vs
+    ln(16)) can differ by an ulp differently per engine and flip the
+    unrounded order — rounding first makes the rank tie-break on
+    ``term`` fire identically (round-before-rank, the repo
+    convention)."""
+    from pyspark.sql import Window as W
+
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))
@@ -524,13 +521,6 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window as W
-
-    # rank on the ROUNDED score (both engines): ln() is libm-derived,
-    # so two mathematically-equal scores (e.g. 2*ln(4) vs ln(16)) can
-    # differ by an ulp differently per engine and flip the unrounded
-    # order — rounding first makes the rank tie-break on `term` fire
-    # identically (round-before-rank, the repo convention)
     w = W.partitionBy("doc_id").orderBy(
         F.desc(F.round("tfidf", 6)), F.asc("term")
     )
@@ -539,6 +529,30 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+@register(
+    "q_tfidf",
+    TFIDF_SQL,
+    doc="TF-IDF top-3 terms per document: term frequency × ln(N/df), "
+    "document frequency via a shared token explode, top-k by ranking "
+    "window with a term tiebreak. The df table is small → broadcast; "
+    "N arrives as a broadcast scalar, not a driver collect.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tf = tf_rows(docs)
+    # df = rows-per-term OVER tf, not count_distinct over tok: the tf
+    # group already is one row per (doc, term), so this is the same df
+    # while replacing the two-phase distinct aggregate with a plain
+    # count whose map-side partial collapses to per-partition term
+    # counts.  (Exchange reuse between the branches still does not
+    # fire — column pruning gives them different exchange schemas — so
+    # the explode runs twice; at 0.9 s / 1.2x-at-x10 the alternative,
+    # materializing the full tf matrix, would cost more than it saves.)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tfidf_scored(tf, df, n)
 
 
 @register(
@@ -564,25 +578,30 @@ def q_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(~is_delta)
     delta = docs.filter(is_delta)
 
-    def _tf(d: DataFrame) -> DataFrame:
-        tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
-        return tok.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-
     # the stored pre-ingest state (production reads these back): the
     # base per-doc tf matrix and its derived df / doc-count stats
-    tf_base = _tf(base).localCheckpoint()
+    tf_base = tf_rows(base).localCheckpoint()
+    # the delta-only tokenize pass
+    tf_delta = tf_rows(delta).localCheckpoint()
+    n_delta = delta.agg(F.count(F.lit(1)).alias("n_d"))
+    return merge_and_rescore_tfidf(base, tf_base, tf_delta, n_delta)
+
+
+def merge_and_rescore_tfidf(
+    base: DataFrame,
+    tf_base: DataFrame,
+    tf_delta: DataFrame,
+    n_delta: DataFrame,
+) -> DataFrame:
+    """Additive stat merge + broadcast re-score shared by the batch and
+    streaming ingest paths: disjoint doc sets partition every
+    (doc, term) row, so df_full = df_base + df_delta exactly, and N
+    adds.  ``n_delta`` is a 1-row (n_d) frame — supplied separately
+    from ``tf_delta`` because zero-token docs count toward N without
+    producing tf rows."""
     df_base = tf_base.groupBy("term").agg(F.count(F.lit(1)).alias("df_b"))
     n_base = base.agg(F.count(F.lit(1)).alias("n_b"))
-
-    # the delta-only tokenize pass
-    tf_delta = _tf(delta).localCheckpoint()
     df_delta = tf_delta.groupBy("term").agg(F.count(F.lit(1)).alias("df_d"))
-    n_delta = delta.agg(F.count(F.lit(1)).alias("n_d"))
-
-    # additive stat merge: disjoint doc sets partition every (doc, term)
-    # row, so df_full = df_base + df_delta exactly, and N adds
     df = (
         df_base.join(df_delta, "term", "full")
         .select(
@@ -595,30 +614,7 @@ def q_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = n_base.crossJoin(n_delta).select(
         (F.col("n_b") + F.col("n_d")).alias("n_docs")
     )
-    tf = tf_base.unionByName(tf_delta)
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("tfidf"),
-        )
-    )
-    from pyspark.sql import Window as W
-
-    # round-before-rank, same as q_tfidf (the repo convention)
-    w = W.partitionBy("doc_id").orderBy(
-        F.desc(F.round("tfidf", 6)), F.asc("term")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TFIDF_TOP_K)
-        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
-    )
+    return tfidf_scored(tf_base.unionByName(tf_delta), df, n)
 
 
 @register(

@@ -860,6 +860,106 @@ def q_stream_incremental_embedding_neardup(
     )
 
 
+def incremental_tfidf_stream(
+    spark: SparkSession, delta_stream: DataFrame, base: DataFrame
+) -> DataFrame:
+    """The streaming TF-IDF ingest pipeline: ``delta_stream`` is a
+    streaming (doc_id, text) DataFrame of arriving documents, ``base``
+    the static pre-ingest corpus.  foreachBatch tokenizes ONLY each
+    micro-batch and upserts its immutable per-doc tf rows (plus the
+    delta doc-id roster, which carries zero-token docs' contribution to
+    N) into keyed parquet state — replay-idempotent like
+    q_stream_upsert's CDC merge, since a doc's tf rows are a pure
+    function of its text.  After the stream drains, one additive stat
+    merge + broadcast re-score (merge_and_rescore_tfidf, the exact
+    batch kernel) prices the WHOLE corpus under the moved idf.  At
+    100 TB the state tables are doc-partitioned appends (a replayed
+    batch overwrites only its own partition — the keyed-overwrite here
+    is the single-node stand-in) and the re-score is the read-side
+    view, so per-ingest work is the delta tokenize + an O(vocab)
+    merge, never a corpus re-tokenize."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.text import merge_and_rescore_tfidf, tf_rows
+
+    tf_base = tf_rows(base).localCheckpoint()
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_tfidf_")
+    tf_target = f"{root}/tf_delta"
+    id_target = f"{root}/delta_ids"
+
+    def _upsert(path: str, new: DataFrame, keys: list[str]) -> None:
+        if os.path.exists(path):
+            cur = new.sparkSession.read.parquet(path)
+            new = cur.unionByName(new).dropDuplicates(keys)
+        # pin the merge result before overwriting its own input
+        new.localCheckpoint().write.mode("overwrite").parquet(path)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        _upsert(tf_target, tf_rows(batch_df), ["doc_id", "term"])
+        _upsert(id_target, batch_df.select("doc_id"), ["doc_id"])
+
+    q = (
+        delta_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if os.path.exists(tf_target):
+        tf_delta = spark.read.parquet(tf_target)
+        n_delta = spark.read.parquet(id_target).agg(
+            F.count(F.lit(1)).alias("n_d")
+        )
+    else:  # empty delta: no micro-batch ever fired
+        tf_delta = spark.createDataFrame(
+            [], "doc_id long, term string, tf long"
+        )
+        n_delta = spark.range(1).select(F.lit(0).cast("long").alias("n_d"))
+    result = merge_and_rescore_tfidf(
+        base, tf_base, tf_delta, n_delta
+    ).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def _tfidf_sql() -> str:
+    from .llm_ops.text import TFIDF_SQL
+
+    return TFIDF_SQL
+
+
+@register(
+    "q_stream_incremental_tfidf",
+    _tfidf_sql(),
+    doc="Streaming TF-IDF ingest gate: delta documents (doc_id % 10 = "
+    "7) arrive as a file-source stream; each micro-batch tokenizes "
+    "only itself and upserts immutable per-doc tf rows + the delta "
+    "doc roster into keyed parquet state (foreachBatch, availableNow, "
+    "replay-idempotent), then one additive df/N merge + broadcast "
+    "re-score — the exact batch q_incremental_tfidf kernel — prices "
+    "the whole corpus under the moved idf. ORACLE is the full TF-IDF "
+    "rebuild, so the gate proves streamed maintenance ≡ rebuild; "
+    "pytest splits the delta across ≥3 micro-batches to prove the "
+    "accumulated state carries. Completes the r11 pattern that every "
+    "incremental batch path has a streaming twin "
+    "(q_stream_incremental_minhash / _embedding_neardup).",
+)
+def q_stream_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    base = docs.filter(~(F.col("doc_id") % 10 == 7))
+    stage, schema = _stage_table_dir(spark, sf_dir, "documents", "documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    return incremental_tfidf_stream(spark, stream, base)
+
+
 @register(
     "q_stream_compression_ratio",
     None,  # rows-only like its batch twin q_compression_ratio:

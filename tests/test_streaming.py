@@ -501,6 +501,46 @@ def test_stream_incremental_minhash_across_micro_batches(spark, sf_dir, tmp_path
     assert got, "fixture produced no delta near-dup pairs"
 
 
+def test_stream_incremental_tfidf_across_micro_batches(spark, sf_dir, tmp_path):
+    """The streamed TF-IDF ingest gate must equal batch
+    q_incremental_tfidf EXACTLY when the delta arrives split across
+    micro-batches: the accumulated tf/roster state must carry between
+    batches, and every OLD doc's score must re-price under the final
+    merged df/N — a per-batch re-score would freeze idf too early."""
+    import glob
+
+    from end_to_end_datapipeline_project_spark.llm_ops.text import (
+        q_incremental_tfidf,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        incremental_tfidf_stream,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_chunks")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_files >= 3, "need >=3 part files to force >=3 micro-batches"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    base = docs.filter(~(F.col("doc_id") % 10 == 7))
+    got = sorted(
+        map(tuple, incremental_tfidf_stream(spark, stream, base).collect())
+    )
+    want = sorted(map(tuple, q_incremental_tfidf(spark, sf_dir).collect()))
+    assert got == want
+    assert got, "fixture produced no tf-idf rows"
+
+
 def test_stream_incremental_embedding_across_micro_batches(spark, sf_dir, tmp_path):
     """The streamed embedding ingest gate must equal batch
     q_incremental_embedding_neardup EXACTLY when the delta arrives split

@@ -93,6 +93,14 @@ WORK_PROBE_TABLES = {
     # all-pairs
     "q_minhash_lsh": ("documents",),
     "q_incremental_minhash": ("documents",),
+    # the r11/r12 incremental-maintenance family: index upsert, cluster
+    # maintenance, TF-IDF stat merge, and the delta-edge PageRank
+    # restart — the ops a 100 TB ingest tier runs EVERY batch, so each
+    # needs its own second-decade cell (VERDICT r11 tasks #3/#5)
+    "q_incremental_clusters": ("documents",),
+    "q_lsh_index_upsert": ("documents",),
+    "q_incremental_tfidf": ("documents",),
+    "q_incremental_pagerank": ("lineitem",),
 }
 
 PROBES = [
@@ -119,6 +127,7 @@ PROBES = [
     "q_hash_sample",
     "q_kmeans_step",
     "q_pagerank",
+    "q_incremental_pagerank",
     "q_chunk_dedup",
     "q_bm25",
     "q_concurrency",
@@ -149,7 +158,9 @@ PROBES = [
     "q_table_diff",
     "q_info_gain",
     "q_minhash_lsh",
+    "q_minhash_clusters",
     "q_incremental_minhash",
+    "q_incremental_clusters",
     "q_incremental_embedding_neardup",
     "q_lsh_index_upsert",
     "q_bpe_merges",
@@ -195,9 +206,11 @@ KEY_OFFSETS = {
 NOTES = {
     "q_prefix_filter_join": "(output-bound: replica k-cliques make QUALIFYING pairs grow ~x1000; PPJoin asymmetric probe/index prefixes + long-sid array-intersect verify - r8 cut x10 30.5s -> 11.8s and x30 182s -> 47s; remaining growth tracks output) ",
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
-    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored; r11 skew-probe fixes - hot-bucket chunking, xxhash64 verify arrays, width-pinned pair dedup - cut x10 uniform 13.1s->5.2s and x10 hot-key 91.9s->14.6s) ",
+    "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored; r11 skew-probe fixes - hot-bucket chunking, xxhash64 verify arrays, width-pinned pair dedup - cut x10 uniform 13.1s->5.2s and x10 hot-key 91.9s->14.6s; r12 exact-duplicate pre-collapse removes the remaining quadratic: identical texts sign once, so an n-copy group emits 0 pairs instead of C(n,2)) ",
+    "q_minhash_clusters": "(collapse-then-cluster: LSH pairs + CC over exact-distinct reps only, members reattach via the fingerprint map - per-member cost is one digest-shuffle row + one map-join row) ",
     "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
-    "q_incremental_minhash": "(output-bound like q_minhash_lsh: the delta's share of the replica k-clique pairs grows ~k^2; the probe join bounds per-bucket work at |delta members| x cap, no chunking needed - skew cell 1.1x) ",
+    "q_incremental_minhash": "(output-bound like q_minhash_lsh: the delta's share of the replica k-clique pairs grows ~k^2; the probe join bounds per-bucket work at |delta members| x cap, r12 partner-chunk fan-out spreads a hot bucket's probe work over CHUNKS subkeys) ",
+    "q_incremental_pagerank": "(delta-edge restart: stored per-iteration ranks + 3-hop blast-radius patch, oracle = full rebuild; on this deliberately dense co-supply graph [~60 nbrs/node] the 3-hop ball saturates, so wall ~ rebuild + frontier overhead - the bound is |blast radius| edges per level, which is what shrinks on sparse production graphs) ",
     "q_incremental_embedding_neardup": "(delta band signatures probe the capped index; candidate volume scales with the delta share of each bucket) ",
     "q_lsh_index_upsert": "(linear by construction: one signature pass over base+delta and one (seed,minhash) window; output = 8 rows per shingled doc) ",
     "q_script_mix": "(translate() char-map counts; the 4-regex-pass form measured 4.1x) ",
@@ -482,10 +495,12 @@ SKEW_PROBES = [
     "q_user_sequences",
     "q_tfidf",
     "q_minhash_lsh",
+    "q_minhash_clusters",
     "q_incremental_minhash",
     "q_ann_hyperplane_lsh",
     "q_incremental_embedding_neardup",
     "q_pagerank",
+    "q_incremental_pagerank",
 ]
 
 #: 1/HOT_DENOM of fact rows land on ONE hot key (≈25% — VERDICT r10's
