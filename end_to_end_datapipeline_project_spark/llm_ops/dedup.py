@@ -572,11 +572,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes: the sf0.1 documents parquet reads as 2 splits, so the
     # md5-heavy signature stage otherwise runs on 2 of 32 cores (the
     # text shuffle is trivial next to 8 md5 evaluations per shingle)
-    docs = pin_parallelism(docs, "doc_id")
     # exact-duplicate pre-collapse: identical texts are exact dups, not
     # near dups — one representative per fingerprint group enters the
     # pairwise stage (rationale + 100 TB analysis on collapse_exact_dups)
     docs = collapse_exact_dups(docs)
+    # pin AFTER the collapse: the semi-join's output is a few MB of
+    # text, so AQE coalesces it to 1-4 partitions by bytes and the
+    # md5-per-shingle signature stage would serialize on those cores
+    # (measured 6.5 s → 32 s at the ×10 probe when the pin sat before
+    # the collapse)
+    docs = pin_parallelism(docs, "doc_id")
     arrs = shingle_arrays(docs).localCheckpoint()
     cand = minhash_candidates(arrs)
     # verify ONLY the LSH candidates (the point of LSH) — kernel shared
@@ -881,9 +886,7 @@ MINHASH_CLUSTER_JACCARD = 0.5
     "reattachment join.",
 )
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = pin_parallelism(
-        read_parquet_table(spark, sf_dir, "documents"), "doc_id"
-    )
+    docs = read_parquet_table(spark, sf_dir, "documents")
     # (doc_id, rep_id) fingerprint map: checkpointed because it feeds
     # the rep filter, the CC node list, AND the reattachment join — the
     # md5 window must not run three times
@@ -893,6 +896,9 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     )
+    # pin AFTER the rep semi-join (q_minhash_lsh rationale: AQE would
+    # coalesce the few-MB join output and serialize the signature md5s)
+    reps = pin_parallelism(reps, "doc_id")
     arrs = shingle_arrays(reps).localCheckpoint()
     pairs = verify_candidates(arrs, minhash_candidates(arrs))
     edges1 = pairs.filter(
