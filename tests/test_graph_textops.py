@@ -299,6 +299,84 @@ def test_incremental_pagerank_equals_rebuild(spark):
     assert {t[0] for t in got} == {1, 2, 3, 4, 9}
 
 
+def test_incremental_label_propagation_equals_rebuild(spark):
+    """Maintenance ≡ rebuild on the real table AND on a hand graph
+    where the delta pushes a weight-1 pair over the ≥2 co-order floor
+    (the monotone-threshold corner) and introduces brand-new nodes."""
+    from end_to_end_datapipeline_project_spark.graph import (
+        incremental_label_propagation,
+    )
+    from end_to_end_datapipeline_project_spark.registry import REGISTRY, _load
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+
+    _load()
+    full_lpa = REGISTRY["q_label_propagation"].spark_fn
+
+    li = read_parquet_table(spark, SF, "lineitem")
+    cond = F.col("l_orderkey") % 10 == 7
+    inc = sorted(
+        map(tuple, incremental_label_propagation(li, cond).collect())
+    )
+    assert inc == sorted(map(tuple, full_lpa(spark, SF).collect()))
+
+    # base: 10—20 at weight 2; (20,30) at weight 1 (below the floor);
+    # delta order 17 lifts (20,30) to weight 2, and delta orders 27/37
+    # create a brand-new weight-2 edge 40—50
+    rows = [
+        (1, 10), (1, 20), (2, 10), (2, 20),
+        (3, 20), (3, 30),
+        (17, 20), (17, 30),
+        (27, 40), (27, 50), (37, 40), (37, 50),
+    ]
+    mini = spark.createDataFrame(
+        [(ok, pk, 1, 1) for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int",
+    )
+    def rebuild(frame):
+        # inline 2-iteration rebuild through the same public pieces the
+        # registered query uses (no sf_dir for an in-memory frame)
+        from end_to_end_datapipeline_project_spark.graph import (
+            _co_order_half_edges,
+        )
+
+        half = _co_order_half_edges(frame)
+        edges = half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint()
+        l1 = edges.groupBy(F.col("dst").alias("id")).agg(
+            F.min("src").alias("label")
+        )
+        l2 = (
+            edges.join(F.broadcast(l1.withColumnRenamed("id", "src")), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), -F.col("label"))
+                ).alias("label")
+            )
+        )
+        nodes = frame.select(F.col("l_partkey").alias("id")).distinct()
+        return nodes.join(l2, "id", "left").select(
+            F.col("id").alias("part_id"),
+            F.coalesce("label", "id").alias("community"),
+        )
+
+    got = sorted(
+        map(tuple, incremental_label_propagation(mini, cond).collect())
+    )
+    want = sorted(map(tuple, rebuild(mini).collect()))
+    assert got == want
+    assert {t[0] for t in got} == {10, 20, 30, 40, 50}
+    by_id = dict(got)
+    # the threshold-crossing edge made 30 vote: its only neighbor 20
+    # carries l1=10, so 30 lands in 10's community, not its own
+    assert by_id[30] == 10
+
+
 def test_pagerank_strategy_variants_are_bit_identical(spark):
     """Both rank-distribution strategies (broadcast vs src-partitioned
     shuffle join) and both message-sum kernels (rounded primitive-long
