@@ -316,6 +316,19 @@ MINHASH_CHUNK_MIN = 256
 #: signature rows ×CHUNKS per side
 MINHASH_CHUNKS = 8
 
+#: the PROBE join's chunk threshold (q_incremental_minhash) sits at
+#: cap/2, far above the batch self-join's MINHASH_CHUNK_MIN: probe
+#: work is |delta ∩ bucket| × |bucket| — linear in occupancy, not
+#: C(n,2) — so spreading pays only when a bucket rides near the cap
+#: (the exact-duplicate overlay), while chunking the mid-size buckets
+#: an ×100 replica corpus produces everywhere fattens the probe side
+#: past AQE's broadcast threshold and demotes the probe join to a
+#: sort-merge over the whole index (measured: the 256 threshold read
+#: 131 s at the ×100 decade cell vs 62 s unchunked; cap/2 restores
+#: the broadcast for every non-degenerate bucket and keeps the skew
+#: overlay's capped 1024-bucket spread intact)
+INCREMENTAL_CHUNK_MIN = MINHASH_BUCKET_CAP // 2
+
 
 def minhash_candidates(arrs: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): OR-amplified (r=1) bucket
@@ -1585,7 +1598,7 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle keeps the plain form).
     w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
     w_size = Window.partitionBy("seed", "minhash")
-    hot = F.col("__sz") > MINHASH_CHUNK_MIN
+    hot = F.col("__sz") > INCREMENTAL_CHUNK_MIN
     sig = (
         idx.withColumn("__bn", F.row_number().over(w_bucket))
         .withColumn("__sz", F.count(F.lit(1)).over(w_size))

@@ -754,12 +754,34 @@ def _skew_verdict(wall_ratio: float, out_ratio: float) -> str:
     )
 
 
-def _skew_probe(spark, run, k: int) -> None:
+def _skew_row(label, u, s) -> str:
+    """One markdown row of the skew table from (wall, rows, max_task_ms)
+    uniform/skew measurements — shared by the full rewrite and the
+    kept-row subset update."""
+    t_u, n_u, mt_u = u
+    t_s, n_s, mt_s = s
+    wall = t_s / t_u if t_u > 0 else float("inf")
+    out_ratio = n_s / n_u if n_u else float("inf")
+    mt_cell_u = f"{mt_u / 1000:.2f}" if mt_u else "—"
+    mt_cell_s = f"{mt_s / 1000:.2f}" if mt_s else "—"
+    straggler = f"{mt_s / mt_u:.1f}×" if (mt_u and mt_s) else "—"
+    return (
+        f"| {label} | {t_u:.2f} | {t_s:.2f} | {wall:.1f}× | "
+        f"{mt_cell_u} | {mt_cell_s} | {straggler} | "
+        f"{n_u}→{n_s} ({out_ratio:.1f}×) | "
+        f"{_skew_verdict(wall, out_ratio)} |"
+    )
+
+
+def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
     """`--skew`: same-scale A/B — uniform ×k keys vs 25%-hot keys —
     for the window/grouped-map/LSH/graph/join paths.  Reports wall and
     max-task-duration ratios; rewrites the SKEW_MARKER section of
     SCALING.md (preserving the tables before it and the A/B appendix
-    after it)."""
+    after it).  With a SUBSET, re-measures only the named rows and
+    splices them into the existing section in place (the decade probe's
+    kept-row convention) — narrative, special rows, and adjudication
+    paragraphs stay byte-identical."""
     uniform_dir = build(spark, k)
     skew_dir = build_skew(spark, k)
     watch = _TaskWatch(spark)
@@ -776,6 +798,30 @@ def _skew_probe(spark, run, k: int) -> None:
 
     # warm both datasets' footers + codegen
     run("q_pricing_summary", uniform_dir)
+
+    if subset:
+        path = "/root/repo/SCALING.md"
+        doc = open(path).read()
+        for name in subset:
+            row = _skew_row(
+                name, measure(name, uniform_dir), measure(name, skew_dir)
+            )
+            print(row, flush=True)
+            lines = doc.splitlines()
+            for i, line in enumerate(lines):
+                if line.startswith(f"| {name} |"):
+                    lines[i] = row
+                    break
+            else:
+                raise SystemExit(
+                    f"no existing skew row for {name!r} — run the full "
+                    "--skew probe to add new rows"
+                )
+            doc = "\n".join(lines) + ("\n" if doc.endswith("\n") else "")
+        with open(path, "w") as f:
+            f.write(doc)
+        print(f"skew rows {subset} updated in {path}")
+        return
 
     rows_out = [
         SKEW_MARKER,
@@ -809,21 +855,7 @@ def _skew_probe(spark, run, k: int) -> None:
     ]
 
     def emit(label, u, s):
-        t_u, n_u, mt_u = u
-        t_s, n_s, mt_s = s
-        wall = t_s / t_u if t_u > 0 else float("inf")
-        out_ratio = n_s / n_u if n_u else float("inf")
-        mt_cell_u = f"{mt_u / 1000:.2f}" if mt_u else "—"
-        mt_cell_s = f"{mt_s / 1000:.2f}" if mt_s else "—"
-        straggler = (
-            f"{mt_s / mt_u:.1f}×" if (mt_u and mt_s) else "—"
-        )
-        rows_out.append(
-            f"| {label} | {t_u:.2f} | {t_s:.2f} | {wall:.1f}× | "
-            f"{mt_cell_u} | {mt_cell_s} | {straggler} | "
-            f"{n_u}→{n_s} ({out_ratio:.1f}×) | "
-            f"{_skew_verdict(wall, out_ratio)} |"
-        )
+        rows_out.append(_skew_row(label, u, s))
         print(rows_out[-1], flush=True)
 
     for name in SKEW_PROBES:
@@ -986,7 +1018,7 @@ def main() -> None:
         return dt, rows, work
 
     if skew:
-        _skew_probe(spark, run, k)
+        _skew_probe(spark, run, k, subset or None)
         return
 
     if decade:
