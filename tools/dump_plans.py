@@ -222,6 +222,9 @@ def canonicalize(plan: str) -> str:
     plan = re.sub(r", \[plan_id=\d+\]", "", plan)
     # nondeterministic Catalyst expression IDs (#123 -> #N)
     plan = re.sub(r"#\d+", "#N", plan)
+    # literal array constants render as the JVM object's identity hash
+    # (UnsafeArrayData@7a50b5f7) — different every run
+    plan = re.sub(r"(UnsafeArrayData)@[0-9a-f]+", r"\1@N", plan)
     # AQE stage numbers and whole-stage-codegen span ids are
     # execution-order-dependent (vary run to run even at one HEAD)
     plan = re.sub(r"QueryStage \d+", "QueryStage N", plan)
