@@ -802,12 +802,18 @@ def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
     if subset:
         path = "/root/repo/SCALING.md"
         doc = open(path).read()
+        # scope the in-place replacement to the skew SECTION: the same
+        # query has rows in the ×10/decade tables too, and a whole-doc
+        # first-match replace clobbers those (observed: the ×10 row)
+        start = doc.index(SKEW_MARKER)
+        end = doc.index(AB_MARKER) if AB_MARKER in doc else len(doc)
+        head, sect, tail = doc[:start], doc[start:end], doc[end:]
         for name in subset:
             row = _skew_row(
                 name, measure(name, uniform_dir), measure(name, skew_dir)
             )
             print(row, flush=True)
-            lines = doc.splitlines()
+            lines = sect.splitlines()
             for i, line in enumerate(lines):
                 if line.startswith(f"| {name} |"):
                     lines[i] = row
@@ -817,9 +823,9 @@ def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
                     f"no existing skew row for {name!r} — run the full "
                     "--skew probe to add new rows"
                 )
-            doc = "\n".join(lines) + ("\n" if doc.endswith("\n") else "")
+            sect = "\n".join(lines) + ("\n" if sect.endswith("\n") else "")
         with open(path, "w") as f:
-            f.write(doc)
+            f.write(head + sect + tail)
         print(f"skew rows {subset} updated in {path}")
         return
 
