@@ -836,9 +836,11 @@ def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_CLUSTER_JACCARD = 0.5
 
 
-@register(
-    "q_minhash_clusters",
-    f"""
+#: full collapse → LSH → CC → reattach rebuild — the oracle for BOTH
+#: q_minhash_clusters and q_incremental_minhash_clusters (the
+#: incremental gate is "maintenance ≡ rebuild", exact on the fast path
+#: and via the occupancy-guard fallback otherwise)
+MINHASH_CLUSTERS_SQL = f"""
   WITH RECURSIVE {collapse_sql()},
   {shingles_sql("__repdocs")},
   __seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
@@ -885,7 +887,12 @@ MINHASH_CLUSTER_JACCARD = 0.5
   SELECT m.doc_id, c.cluster_id,
          CAST(m.doc_id = c.cluster_id AS INTEGER) AS is_canonical
   FROM __repmap m JOIN __repcl c ON m.rep_id = c.rep_id
-""",
+"""
+
+
+@register(
+    "q_minhash_clusters",
+    MINHASH_CLUSTERS_SQL,
     doc="Collapse-then-cluster near-dup assignment, the downstream half "
     "of q_minhash_lsh's exact-duplicate pre-collapse: LSH + verified "
     f"Jaccard ≥ {MINHASH_CLUSTER_JACCARD} edges over exact-distinct "
@@ -899,7 +906,16 @@ MINHASH_CLUSTER_JACCARD = 0.5
     "reattachment join.",
 )
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_parquet_table(spark, sf_dir, "documents")
+    return minhash_cluster_assignments(
+        read_parquet_table(spark, sf_dir, "documents")
+    )
+
+
+def minhash_cluster_assignments(docs: DataFrame) -> DataFrame:
+    """The full collapse → LSH → CC → reattach rebuild over any
+    (doc_id, text) corpus — q_minhash_clusters' body, factored so the
+    incremental path's occupancy-guard fallback and synthetic-corpus
+    tests can run it directly."""
     # (doc_id, rep_id) fingerprint map: checkpointed because it feeds
     # the rep filter, the CC node list, AND the reattachment join — the
     # md5 window must not run three times
@@ -1701,6 +1717,225 @@ def q_lsh_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_idx = minhash_index(arrs.filter(F.col("doc_id") % 10 != 7))
     delta_sig = minhash_signatures(arrs.filter(F.col("doc_id") % 10 == 7))
     return lsh_index_upsert(base_idx, delta_sig)
+
+
+def _max_bucket_occupancy(idx: DataFrame) -> int:
+    """Largest (seed, minhash) bucket of a signature index — the
+    incremental-cluster fast path's exactness guard (one O(1) driver
+    scalar off a partial-aggregated count)."""
+    row = (
+        idx.groupBy("seed", "minhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    return int(row.mx or 0)
+
+
+@register(
+    "q_incremental_minhash_clusters",
+    MINHASH_CLUSTERS_SQL,
+    doc="Incremental collapse+LSH cluster maintenance — the scale-safe "
+    "successor to q_incremental_clusters' n-gram pair source (whose "
+    "posting lists grow with the corpus). Per ingest: delta "
+    "fingerprints probe the stored rep map (rep relabels are pure "
+    "label substitutions — signatures are text-keyed, so a group "
+    "whose min doc_id moves costs zero signature work); only NOVEL "
+    "texts are signed and probe the maintained capped index "
+    "(q_lsh_index_upsert's monotone merge); verified Jaccard≥0.5 "
+    "edges touching novel reps feed contract-and-expand CC over the "
+    "stored base clustering; members reattach through the fingerprint "
+    "map. ORACLE = the full rebuild (q_minhash_clusters' SQL). "
+    "Exactness: on the fast path — no merged (seed, minhash) bucket at "
+    "the occupancy cap, one aggregate to check — no eviction can occur, "
+    "so the merged index's pair set is exactly (relabeled base pairs ∪ "
+    "novel-touching pairs) and contract-and-expand is the r11-proven "
+    "min-label argument; a cap-binding ingest (degenerate after the "
+    "exact-duplicate collapse: identical texts never pile into one "
+    "bucket anymore) takes the exact full-recluster fallback, which "
+    "production would scope to the affected buckets' components.",
+)
+def q_incremental_minhash_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return incremental_minhash_clusters(docs)
+
+
+def incremental_minhash_clusters(docs: DataFrame) -> DataFrame:
+    """See q_incremental_minhash_clusters.  Factored so tests can pin
+    the rep-churn / bridge / cap-binding corners on synthetic corpora.
+    The delta is doc_id % 10 == 7 (the repo's simulated-ingest split)."""
+    is_delta = F.col("doc_id") % 10 == 7
+    base_docs = docs.filter(~is_delta)
+
+    # --- STORED pre-ingest state (read back from storage in production)
+    # fingerprint → rep maps: merged and base.  Fingerprinting the
+    # whole corpus here stands in for the stored digest table a real
+    # ingest tier probes with only the delta's digests.
+    rep_map = exact_rep_map(docs).localCheckpoint()
+    base_rep_map = exact_rep_map(base_docs).localCheckpoint()
+    base_reps = base_docs.join(
+        base_rep_map.filter(F.col("doc_id") == F.col("rep_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    base_arrs = shingle_arrays(
+        pin_parallelism(base_reps, "doc_id")
+    ).localCheckpoint()
+    base_idx = minhash_index(base_arrs)
+    base_edges = (
+        verify_candidates(base_arrs, minhash_candidates(base_arrs))
+        .filter(F.col("jaccard") >= MINHASH_CLUSTER_JACCARD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    base_lab = connected_components(
+        base_rep_map.select(F.col("rep_id").alias("doc_id")).distinct(),
+        base_edges,
+        "doc_id",
+    ).select("doc_id", F.col("cluster_id").alias("base_label"))
+
+    # --- the ingest: rep relabels, novel texts, maintained index
+    # relabel map: fingerprint groups whose min doc_id moved to a delta
+    # id (old base rep → merged rep); O(|delta ∩ existing groups|) rows
+    relabel = (
+        base_rep_map.select("doc_id", F.col("rep_id").alias("old"))
+        .join(rep_map, "doc_id")
+        .select("old", F.col("rep_id").alias("new"))
+        .distinct()
+        .filter(F.col("old") != F.col("new"))
+        .localCheckpoint()
+    )
+    # novel reps: merged reps of fingerprint groups with NO base member
+    old_groups = (
+        rep_map.join(base_docs.select("doc_id"), "doc_id", "left_semi")
+        .select("rep_id")
+        .distinct()
+    )
+    novel = (
+        rep_map.select("rep_id")
+        .distinct()
+        .join(old_groups, "rep_id", "left_anti")
+        .select(F.col("rep_id").alias("doc_id"))
+        .localCheckpoint()
+    )
+    # merged rep shingle arrays (verify side + novel signatures)
+    reps = docs.join(
+        rep_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    arrs = shingle_arrays(pin_parallelism(reps, "doc_id")).localCheckpoint()
+    # maintained index: relabel the stored rows (broadcast map — zero
+    # signature work) + sign ONLY the novel texts + monotone re-cap
+    idx_relabeled = (
+        base_idx.join(
+            F.broadcast(relabel), base_idx.doc_id == relabel.old, "left"
+        )
+        .select(
+            F.coalesce("new", "doc_id").alias("doc_id"), "seed", "minhash"
+        )
+    )
+    novel_sig = minhash_signatures(arrs.join(novel, "doc_id", "left_semi"))
+    idx = lsh_index_upsert(idx_relabeled, novel_sig).localCheckpoint()
+
+    # exactness guard: a bucket AT the cap may have evicted a stored
+    # pair's only meeting place — take the exact full-recluster fallback
+    # (production scopes it to the affected buckets' components)
+    if _max_bucket_occupancy(idx) >= MINHASH_BUCKET_CAP:
+        return minhash_cluster_assignments(docs)
+
+    # delta-touching candidates: novel reps probe the maintained index
+    # (the q_incremental_minhash kernel; width-pinned pair dedup)
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    probe = idx.join(novel, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("d_id"), "seed", "minhash"
+    )
+    cand = (
+        probe.join(
+            idx.select(F.col("doc_id").alias("i_id"), "seed", "minhash"),
+            ["seed", "minhash"],
+        )
+        .filter(F.col("i_id") != F.col("d_id"))
+        .select(
+            F.least("d_id", "i_id").alias("doc_a"),
+            F.greatest("d_id", "i_id").alias("doc_b"),
+        )
+        .repartition(n, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    new_edges = verify_candidates(arrs, cand).filter(
+        F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
+    )
+
+    # contract-and-expand in MERGED rep id space: relabel stored member
+    # ids, re-min each cluster's label (a relabeled member can undercut
+    # the old min), contract new edges through the cluster labels, CC on
+    # the touched part only, expand, reattach every doc via the map
+    bl = (
+        base_lab.join(
+            F.broadcast(relabel), base_lab.doc_id == relabel.old, "left"
+        )
+        .select(F.coalesce("new", "doc_id").alias("rid"), "base_label")
+    )
+    nlab = bl.groupBy("base_label").agg(F.min("rid").alias("label"))
+    old_lab = bl.join(nlab, "base_label").select("rid", "label")
+
+    lab_a = old_lab.select(
+        F.col("rid").alias("doc_a"), F.col("label").alias("la")
+    )
+    lab_b = old_lab.select(
+        F.col("rid").alias("doc_b"), F.col("label").alias("lb")
+    )
+    contracted = (
+        new_edges.join(lab_a, "doc_a", "left")
+        .join(lab_b, "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("u"),
+            F.coalesce("lb", F.col("doc_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cnodes = (
+        contracted.select(F.col("src").alias("id"))
+        .unionAll(contracted.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc2 = connected_components(cnodes, contracted, "id").select(
+        F.col("id"), F.col("cluster_id").alias("merged")
+    )
+    rep_final = (
+        old_lab.join(cc2.withColumnRenamed("id", "label"), "label", "left")
+        .select(
+            F.col("rid").alias("rep_id"),
+            F.coalesce("merged", "label").alias("cluster_id"),
+        )
+        .unionByName(
+            novel.join(
+                cc2.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+            ).select(
+                F.col("doc_id").alias("rep_id"),
+                F.coalesce("merged", "doc_id").alias("cluster_id"),
+            )
+        )
+    )
+    return (
+        rep_map.join(rep_final, "rep_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )
 
 
 # --- canonical selection per near-dup cluster -----------------------------

@@ -337,6 +337,78 @@ def test_minhash_collapses_exact_duplicate_group(spark, tmp_path):
     assert got[200] == (200, 1)
 
 
+def test_incremental_minhash_clusters_churn_bridge_and_fallback(
+    spark, monkeypatch
+):
+    """The LSH-based cluster-maintenance corners: a delta doc IDENTICAL
+    to a base doc with a lower id moves the group's representative (rep
+    churn — zero signature work, labels re-min), a novel delta text
+    bridges two base clusters, an untouched base cluster keeps its
+    label, and a cap-binding index takes the exact full-recluster
+    fallback."""
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    w = [f"w{i}" for i in range(1, 19)]
+    a_text = " ".join(w[0:12])       # w1..w12
+    b_text = " ".join(w[6:18])       # w7..w18 — J(A,B) = 0.25, separate
+    rows = [
+        (10, a_text),                      # base cluster A
+        (12, a_text + " extra"),           # near-dup of 10
+        (20, b_text),                      # base cluster B
+        (22, b_text + " extra"),           # near-dup of 20
+        (30, "p1 p2 p3 p4 p5 p6 p7 p8"),   # untouched base cluster C
+        (32, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+        (7, a_text),                       # delta: EXACT copy → rep churn
+        (17, " ".join(w[3:15])),           # delta: bridges A and B (J≈0.54)
+        (27, "totally unrelated content here alone"),  # delta singleton
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.incremental_minhash_clusters(docs).collect()
+    }
+    want = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.minhash_cluster_assignments(docs).collect()
+    }
+    assert got == want
+    assert len(got) == 9
+    # churn + bridge: the A∪B component's minimum is the delta copy 7
+    assert got[7] == (7, 1)
+    assert got[10] == (7, 0) and got[12] == (7, 0)
+    assert got[20] == (7, 0) and got[22] == (7, 0)
+    assert got[17] == (7, 0)
+    # untouched base cluster keeps its label; novel singleton is its own
+    assert got[30] == (30, 1) and got[32] == (30, 0)
+    assert got[27] == (27, 1)
+
+    # cap-binding ingest → the exact fallback must actually execute
+    called = {}
+    orig = dedup.minhash_cluster_assignments
+
+    def spy(d):
+        called["fallback"] = True
+        return orig(d)
+
+    monkeypatch.setattr(dedup, "minhash_cluster_assignments", spy)
+    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 1)
+    got_fb = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.incremental_minhash_clusters(docs).collect()
+    }
+    assert called.get("fallback"), "occupancy guard did not trigger"
+    # equality still holds — the fallback IS the rebuild (cap 1 shrinks
+    # the candidate set identically on both sides)
+    want_fb = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in orig(docs).collect()
+    }
+    assert got_fb == want_fb
+
+
 def test_incremental_clusters_delta_bridges_base_clusters(spark):
     """The contract-and-expand corner the natural corpus may never hit:
     two disjoint base clusters merged by ONE delta bridge doc must end
