@@ -98,6 +98,7 @@ WORK_PROBE_TABLES = {
     # restart — the ops a 100 TB ingest tier runs EVERY batch, so each
     # needs its own second-decade cell (VERDICT r11 tasks #3/#5)
     "q_incremental_clusters": ("documents",),
+    "q_incremental_minhash_clusters": ("documents",),
     "q_lsh_index_upsert": ("documents",),
     "q_incremental_tfidf": ("documents",),
     "q_incremental_pagerank": ("lineitem",),
