@@ -720,23 +720,62 @@ def connected_components(
     """Min-label propagation connected components.
 
     ``nodes``: one column ``id_col``; ``edges1``: columns (src, dst), one
-    row per undirected edge.  Each iteration does an edge-neighbor min
-    step AND a pointer-jumping step (label := label of the label
-    holder), so convergence takes O(log diameter) rounds instead of
-    O(diameter) — a path graph of length 2^20 converges in ~20 rounds,
-    which is what makes fixed iteration budgets safe at 100 TB (plain
-    one-hop propagation was observed to hit the cap on sparse sf0.001
-    chains and emit un-merged clusters).  Labels are non-increasing, so
-    the global label sum strictly decreases on any change and sum
-    stability is an exact convergence test.  localCheckpoint per
-    iteration cuts lineage (O(1) plan depth).
+    row per undirected edge with BOTH endpoints present in ``nodes``
+    (every in-repo caller builds edges from the node set).  Each
+    iteration does an edge-neighbor min step AND a pointer-jumping step
+    (label := label of the label holder), so convergence takes
+    O(log diameter) rounds instead of O(diameter) — a path graph of
+    length 2^20 converges in ~20 rounds, which is what makes fixed
+    iteration budgets safe at 100 TB (plain one-hop propagation was
+    observed to hit the cap on sparse sf0.001 chains and emit un-merged
+    clusters).  Labels are non-increasing, so the global label sum
+    strictly decreases on any change and sum stability is an exact
+    convergence test.  localCheckpoint per iteration cuts lineage (O(1)
+    plan depth).
+
+    One STAR-CONTRACTION round runs before the loop: every node is
+    mapped to m(v) = min(v, min neighbor), edges are rewritten through
+    the map, self-loops dropped, duplicates collapsed.  Exactness: v and
+    m(v) share an edge (or are equal), so contraction preserves
+    components; the component's global minimum g has all-larger
+    neighbors, so m(g) = g — g survives as a contracted node and stays
+    the component's min label; expansion is label(v) = label(m(v)).
+    This is what makes near-dup CLIQUE walls affordable: a k-clique's
+    C(k,2) edges all map to (min, min) self-loops and vanish before the
+    propagation loop ever shuffles them (the ×100 replica corpus is
+    5,000 disjoint ~100-cliques — ~25M pair edges contract to ~0; the
+    r12 attempt without contraction spent 47 min shuffling them every
+    iteration and was killed).
     Returns (id_col, cluster_id, is_canonical).
     """
     edges = edges1.unionAll(
         edges1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    labels = nodes.select(
+    # --- star contraction: m(v) = min(v, min neighbor) ---------------
+    nbr_min = edges.groupBy("src").agg(F.min("dst").alias("__nm"))
+    cmap = (
+        nodes.join(nbr_min, nodes[id_col] == nbr_min.src, "left")
+        .select(
+            F.col(id_col),
+            # least() skips nulls: an isolated node maps to itself
+            F.least(F.col(id_col), F.col("__nm")).alias("__m"),
+        )
+        .localCheckpoint()
+    )
+    mm_src = cmap.select(F.col(id_col).alias("src"), F.col("__m").alias("__ms"))
+    mm_dst = cmap.select(F.col(id_col).alias("dst"), F.col("__m").alias("__md"))
+    edges = (
+        edges.join(mm_src, "src")
+        .join(mm_dst, "dst")
+        .select(F.col("__ms").alias("src"), F.col("__md").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()  # already doubled: distinct keeps both orientations
+        .localCheckpoint()
+    )
+    cnodes = cmap.select(F.col("__m").alias(id_col)).distinct()
+
+    labels = cnodes.select(
         F.col(id_col), F.col(id_col).alias("label")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -776,10 +815,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(
-        id_col,
-        F.col("label").alias("cluster_id"),
-        (F.col(id_col) == F.col("label")).cast("int").alias("is_canonical"),
+    # expand the contraction: label(v) = label(m(v))
+    return (
+        cmap.join(labels.withColumnRenamed(id_col, "__m"), "__m")
+        .select(
+            id_col,
+            F.col("label").alias("cluster_id"),
+            (F.col(id_col) == F.col("label"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
     )
 
 
@@ -947,184 +992,14 @@ def minhash_cluster_assignments(docs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs_delta(sh_all: DataFrame, is_delta) -> DataFrame:
-    """Probe-shaped exact-Jaccard pairs TOUCHING the delta: delta-side
-    shingle postings join the full inverted index, so pair work scales
-    with the delta's posting lists, never the corpus self-join.  Each
-    qualifying pair is counted exactly once: a base partner joins only
-    from the delta probe side, and a both-delta pair only in its
-    (a < b) orientation."""
-    sizes = sh_all.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    a = sh_all.filter(is_delta(F.col("doc_id"))).alias("a")
-    b = sh_all.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (
-                ~is_delta(F.col("b.doc_id"))
-                | (F.col("a.doc_id") < F.col("b.doc_id"))
-            ),
-        )
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-            ).alias("jaccard"),
-        )
-    )
-
-
-@register(
-    "q_incremental_clusters",
-    f"""
-  WITH RECURSIVE {SHINGLES_SQL},
-  {JACCARD_VERIFY_SQL},
-  __edges1 AS (
-    SELECT doc_a AS src, doc_b AS dst FROM __jac
-    WHERE jaccard >= {CLUSTER_JACCARD}
-  ),
-  __edges AS (
-    SELECT src, dst FROM __edges1
-    UNION ALL SELECT dst, src FROM __edges1
-  ),
-  __reach (doc_id, r) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT q.doc_id, e.dst FROM __reach q JOIN __edges e ON e.src = q.r
-  )
-  SELECT doc_id,
-         min(r) AS cluster_id,
-         CAST(doc_id = min(r) AS INTEGER) AS is_canonical
-  FROM __reach GROUP BY doc_id
-""",
-    doc="Incremental near-dup cluster maintenance by CONTRACT-AND-"
-    "EXPAND: the stored base clustering (docs with doc_id % 10 != 7) "
-    "is contracted to supernodes — each base cluster collapses to its "
-    "label, which by the min-label rule IS the cluster's minimum "
-    "doc_id — delta-touching Jaccard edges (computed probe-shaped "
-    "against the inverted index, never a corpus self-join) are mapped "
-    "through the contraction, and connected components run only on the "
-    "delta-touched contracted graph. Expansion is two left joins with "
-    "coalesce. The result provably equals the full rebuild (the "
-    "ORACLE): a merged component's minimum doc_id is the minimum over "
-    "its base-cluster minima and its delta ids — exactly the contracted "
-    "graph's min label. At 100 TB the per-ingest cost is the delta's "
-    "posting-list joins plus CC on a graph whose size is the delta's "
-    "blast radius, while the historical corpus contributes only its "
-    "O(#clusters) label table.",
-)
-def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return incremental_clusters(docs_with_text(spark, sf_dir))
-
-
-def incremental_clusters(full: DataFrame) -> DataFrame:
-    """Contract-and-expand cluster maintenance over any (doc_id, text)
-    corpus — see q_incremental_clusters.  Factored so tests can pin the
-    merge corners (two base clusters bridged by one delta doc) on
-    synthetic corpora."""
-    is_delta = lambda c: c % 10 == 7  # noqa: E731
-    base_docs = full.filter(~is_delta(F.col("doc_id"))).select("doc_id")
-    delta_docs = full.filter(is_delta(F.col("doc_id"))).select("doc_id")
-
-    # the stored pre-ingest state: base-internal clustering (production
-    # reads this back; base-base edges cannot change when docs are
-    # immutable, so it never needs recomputing per ingest)
-    base_sh = shingles(full.filter(~is_delta(F.col("doc_id"))))
-    base_edges = jaccard_pairs(base_sh).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
-    )
-    base_lab = connected_components(
-        base_docs,
-        base_edges.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ),
-        "doc_id",
-    ).select("doc_id", F.col("cluster_id").alias("base_label"))
-
-    # delta-touching edges, probe-shaped, then contracted: base
-    # endpoints map to their base cluster label, delta endpoints stay
-    sh_all = shingles(full)
-    delta_edges = jaccard_pairs_delta(sh_all, is_delta).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
-    )
-    lab_src = base_lab.select(
-        F.col("doc_id").alias("doc_a"), F.col("base_label").alias("la")
-    )
-    lab_dst = base_lab.select(
-        F.col("doc_id").alias("doc_b"), F.col("base_label").alias("lb")
-    )
-    contracted = (
-        delta_edges.join(lab_src, "doc_a", "left")
-        .join(lab_dst, "doc_b", "left")
-        .select(
-            F.coalesce("la", F.col("doc_a")).alias("u"),
-            F.coalesce("lb", F.col("doc_b")).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    cnodes = (
-        contracted.select(F.col("src").alias("id"))
-        .unionAll(contracted.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    cc2 = connected_components(cnodes, contracted, "id").select(
-        F.col("id"), F.col("cluster_id").alias("merged")
-    )
-
-    # expand: untouched base clusters and isolated delta docs keep
-    # their old label / own id via the left-join coalesce
-    base_final = (
-        base_lab.join(
-            cc2.withColumnRenamed("id", "base_label"), "base_label", "left"
-        )
-        .select(
-            "doc_id",
-            F.coalesce("merged", F.col("base_label")).alias("cluster_id"),
-        )
-    )
-    delta_final = (
-        delta_docs.join(
-            cc2.withColumnRenamed("id", "doc_id"), "doc_id", "left"
-        )
-        .select(
-            "doc_id",
-            F.coalesce("merged", F.col("doc_id")).alias("cluster_id"),
-        )
-    )
-    return base_final.unionByName(delta_final).select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias(
-            "is_canonical"
-        ),
-    )
+# NOTE (r13): q_incremental_clusters and its n-gram inverted-index
+# pair source (jaccard_pairs_delta) were RETIRED per VERDICT r12
+# task #3: posting lists grow with the corpus, so the probe join's
+# work was O(corpus), not O(delta) — the measured scale-killer that
+# aborted the x100 attempt.  The scale-safe successor is
+# q_incremental_minhash_clusters (collapse + LSH pair source, scoped
+# cap fallback); its pytest corners and the hypothesis equivalence
+# property were folded into the successor's tests.
 
 
 # --- fuzzy matching (record linkage) --------------------------------------
@@ -1719,24 +1594,11 @@ def q_lsh_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_upsert(base_idx, delta_sig)
 
 
-def _max_bucket_occupancy(idx: DataFrame) -> int:
-    """Largest (seed, minhash) bucket of a signature index — the
-    incremental-cluster fast path's exactness guard (one O(1) driver
-    scalar off a partial-aggregated count)."""
-    row = (
-        idx.groupBy("seed", "minhash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"))
-        .first()
-    )
-    return int(row.mx or 0)
-
-
 @register(
     "q_incremental_minhash_clusters",
     MINHASH_CLUSTERS_SQL,
     doc="Incremental collapse+LSH cluster maintenance — the scale-safe "
-    "successor to q_incremental_clusters' n-gram pair source (whose "
+    "successor to the retired q_incremental_clusters' n-gram pair source (whose "
     "posting lists grow with the corpus). Per ingest: delta "
     "fingerprints probe the stored rep map (rep relabels are pure "
     "label substitutions — signatures are text-keyed, so a group "
@@ -1746,14 +1608,16 @@ def _max_bucket_occupancy(idx: DataFrame) -> int:
     "edges touching novel reps feed contract-and-expand CC over the "
     "stored base clustering; members reattach through the fingerprint "
     "map. ORACLE = the full rebuild (q_minhash_clusters' SQL). "
-    "Exactness: on the fast path — no merged (seed, minhash) bucket at "
-    "the occupancy cap, one aggregate to check — no eviction can occur, "
-    "so the merged index's pair set is exactly (relabeled base pairs ∪ "
-    "novel-touching pairs) and contract-and-expand is the r11-proven "
-    "min-label argument; a cap-binding ingest (degenerate after the "
-    "exact-duplicate collapse: identical texts never pile into one "
-    "bucket anymore) takes the exact full-recluster fallback, which "
-    "production would scope to the affected buckets' components.",
+    "Exactness: when the re-cap evicts no BASE row, the merged index's "
+    "pair set is exactly (relabeled base pairs ∪ novel-touching pairs) "
+    "and contract-and-expand is the r11-proven min-label argument; a "
+    "cap-binding ingest (degenerate after the exact-duplicate collapse: "
+    "identical texts never pile into one bucket anymore) takes the "
+    "SCOPED recluster — only the fast-path components containing an "
+    "evicted doc are re-derived from the capped index's own candidate "
+    "pairs (rebuild edges are a subset of fast-path edges, so no "
+    "rebuild component crosses that boundary), every other cluster "
+    "keeps its label unrecomputed.",
 )
 def q_incremental_minhash_clusters(
     spark: SparkSession, sf_dir: str
@@ -1762,10 +1626,34 @@ def q_incremental_minhash_clusters(
     return incremental_minhash_clusters(docs)
 
 
-def incremental_minhash_clusters(docs: DataFrame) -> DataFrame:
+def incremental_minhash_clusters(docs: DataFrame, obs: dict | None = None) -> DataFrame:
     """See q_incremental_minhash_clusters.  Factored so tests can pin
     the rep-churn / bridge / cap-binding corners on synthetic corpora.
-    The delta is doc_id % 10 == 7 (the repo's simulated-ingest split)."""
+    The delta is doc_id % 10 == 7 (the repo's simulated-ingest split).
+
+    ``obs``: optional dict; when a cap-binding ingest takes the SCOPED
+    recluster path, receives ``n_evicted`` / ``n_scope_reps`` /
+    ``n_total_reps`` row counts so tests can prove untouched clusters'
+    labels were never recomputed (n_scope_reps < n_total_reps while the
+    output still equals the full rebuild).  It also always receives
+    ``n_pairs_scored`` — the number of candidate pairs the exact
+    Jaccard verify must score (stored-state construction + delta probe
+    + any scoped recluster): the decade probe's intrinsic-WORK gauge,
+    since the cluster-assignment OUTPUT is one row per doc while the
+    replica corpus's k-cliques grow the pair workload ~k² by
+    construction (candidate streams are checkpointed in this mode so
+    the counts ride the same run)."""
+    track = obs is not None
+    if track:
+        obs["n_pairs_scored"] = 0
+
+    def _counted(cand: DataFrame) -> DataFrame:
+        if not track:
+            return cand
+        cand = cand.localCheckpoint()
+        obs["n_pairs_scored"] += cand.count()
+        return cand
+
     is_delta = F.col("doc_id") % 10 == 7
     base_docs = docs.filter(~is_delta)
 
@@ -1787,7 +1675,7 @@ def incremental_minhash_clusters(docs: DataFrame) -> DataFrame:
     ).localCheckpoint()
     base_idx = minhash_index(base_arrs)
     base_edges = (
-        verify_candidates(base_arrs, minhash_candidates(base_arrs))
+        verify_candidates(base_arrs, _counted(minhash_candidates(base_arrs)))
         .filter(F.col("jaccard") >= MINHASH_CLUSTER_JACCARD)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1839,13 +1727,31 @@ def incremental_minhash_clusters(docs: DataFrame) -> DataFrame:
         )
     )
     novel_sig = minhash_signatures(arrs.join(novel, "doc_id", "left_semi"))
-    idx = lsh_index_upsert(idx_relabeled, novel_sig).localCheckpoint()
-
-    # exactness guard: a bucket AT the cap may have evicted a stored
-    # pair's only meeting place — take the exact full-recluster fallback
-    # (production scopes it to the affected buckets' components)
-    if _max_bucket_occupancy(idx) >= MINHASH_BUCKET_CAP:
-        return minhash_cluster_assignments(docs)
+    # rank base-survivors + delta once so the SAME pass yields both the
+    # monotone re-capped index (q_lsh_index_upsert semantics) and the
+    # EVICTED base rows — the exactness guard's blast radius.  Only a
+    # BASE eviction can desynchronize the fast path from the rebuild: a
+    # stored base-base edge loses its bucket support iff every bucket
+    # where both endpoints met had one of them evicted here, while
+    # novel-touching pairs are identical by construction (the probe and
+    # the rebuild read the same capped index, so a novel eviction hides
+    # the same pairs from both sides).
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    ranked = (
+        idx_relabeled.withColumn("__novel", F.lit(False))
+        .unionByName(novel_sig.withColumn("__novel", F.lit(True)))
+        .withColumn("__bn", F.row_number().over(w_bucket))
+        .localCheckpoint()
+    )
+    idx = ranked.filter(F.col("__bn") <= MINHASH_BUCKET_CAP).drop(
+        "__bn", "__novel"
+    )
+    evicted = (
+        ranked.filter((F.col("__bn") > MINHASH_BUCKET_CAP) & ~F.col("__novel"))
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
 
     # delta-touching candidates: novel reps probe the maintained index
     # (the q_incremental_minhash kernel; width-pinned pair dedup)
@@ -1866,7 +1772,7 @@ def incremental_minhash_clusters(docs: DataFrame) -> DataFrame:
         .repartition(n, "doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    new_edges = verify_candidates(arrs, cand).filter(
+    new_edges = verify_candidates(arrs, _counted(cand)).filter(
         F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
     )
 
@@ -1926,6 +1832,67 @@ def incremental_minhash_clusters(docs: DataFrame) -> DataFrame:
             )
         )
     )
+
+    # SCOPED exactness fallback (VERDICT r12 task #2): base evictions
+    # can only DROP stored base-base edges vs the rebuild, so the
+    # rebuild's edge set is a SUBSET of the fast path's — every rebuild
+    # component lies wholly inside one fast-path component, and a
+    # fast-path component with no evicted member has an identical edge
+    # set (any dropped edge touches an evicted doc, which would be in
+    # the component).  So: recluster ONLY the fast-path components that
+    # contain an evicted doc, regenerating their candidate pairs from
+    # the capped index itself (exactly what the rebuild scores there —
+    # no rebuild edge crosses the scope boundary, since its endpoints
+    # share a fast-path component); every other cluster keeps its
+    # fast-path label without any recomputation.  One degenerate bucket
+    # now costs a recluster of its components' docs, not the corpus.
+    if evicted.limit(1).count():
+        rep_final = rep_final.localCheckpoint()
+        scope_cids = (
+            rep_final.join(
+                evicted.withColumnRenamed("doc_id", "rep_id"),
+                "rep_id",
+                "left_semi",
+            )
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint()
+        )
+        scope_reps = (
+            rep_final.join(scope_cids, "cluster_id", "left_semi")
+            .select(F.col("rep_id").alias("doc_id"))
+            .localCheckpoint()
+        )
+        scope_idx = idx.join(scope_reps, "doc_id", "left_semi")
+        scope_cand = (
+            scope_idx.select(F.col("doc_id").alias("d_a"), "seed", "minhash")
+            .join(
+                scope_idx.select(
+                    F.col("doc_id").alias("d_b"), "seed", "minhash"
+                ),
+                ["seed", "minhash"],
+            )
+            .filter(F.col("d_a") < F.col("d_b"))
+            .select(F.col("d_a").alias("doc_a"), F.col("d_b").alias("doc_b"))
+            .repartition(n, "doc_a", "doc_b")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        scope_edges = verify_candidates(arrs, _counted(scope_cand)).filter(
+            F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
+        ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        scope_cc = connected_components(
+            scope_reps, scope_edges, "doc_id"
+        ).select(F.col("doc_id").alias("rep_id"), "cluster_id")
+        if obs is not None:
+            obs["n_evicted"] = evicted.count()
+            obs["n_scope_reps"] = scope_reps.count()
+            obs["n_total_reps"] = rep_final.count()
+        rep_final = (
+            rep_final.join(scope_cids, "cluster_id", "left_anti")
+            .select("rep_id", "cluster_id")
+            .unionByName(scope_cc)
+        )
+
     return (
         rep_map.join(rep_final, "rep_id")
         .select(

@@ -335,43 +335,56 @@ _doc_texts = st.lists(
 
 @settings(max_examples=6, deadline=None)
 @given(_doc_texts)
-def test_prop_incremental_clusters_equals_rebuild(spark_prop, texts):
-    """Contract-and-expand cluster maintenance == full rebuild on ANY
-    corpus: random small-vocab texts force rich near-dup structure
-    (shared shingles everywhere), and the doc_id % 10 == 7 delta split
-    lands on arbitrary cluster members, so base-cluster merges through
-    delta bridges arise organically."""
+def test_prop_incremental_minhash_clusters_equals_rebuild(spark_prop, texts):
+    """LSH-sourced cluster maintenance == full rebuild on ANY corpus:
+    random small-vocab texts force rich near-dup structure (shared
+    shingles everywhere, frequent IDENTICAL texts exercising the
+    exact-duplicate collapse and rep churn), and the doc_id % 10 == 7
+    delta split lands on arbitrary cluster members, so base-cluster
+    merges through delta bridges arise organically.  (Inherited from
+    the retired n-gram incremental_clusters property — VERDICT r12
+    task #3 folded its corners into this successor.)"""
     spark = spark_prop
 
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
-        CLUSTER_JACCARD,
-        connected_components,
-        incremental_clusters,
-        jaccard_pairs,
-        shingles,
+        incremental_minhash_clusters,
+        minhash_cluster_assignments,
     )
 
     full = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = sorted(
-        map(tuple, incremental_clusters(full).collect())
+    got = sorted(map(tuple, incremental_minhash_clusters(full).collect()))
+    want = sorted(map(tuple, minhash_cluster_assignments(full).collect()))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_texts)
+def test_prop_scoped_cap_fallback_equals_rebuild(spark_prop, texts):
+    """The SCOPED cap-binding recluster == full rebuild on ANY corpus:
+    with the occupancy cap forced to 2, the small-vocab corpora pile
+    identical shingle SETS into shared (seed, minhash) buckets, so base
+    evictions — and therefore the scoped recluster path — arise in most
+    examples, not just the hand-built pytest corner."""
+    spark = spark_prop
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    full = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    edges = jaccard_pairs(shingles(full)).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
-    )
-    want = sorted(
-        map(
-            tuple,
-            connected_components(
-                full.select("doc_id"),
-                edges.select(
-                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                ),
-                "doc_id",
-            ).collect(),
+    orig_cap = dedup.MINHASH_BUCKET_CAP
+    dedup.MINHASH_BUCKET_CAP = 2
+    try:
+        got = sorted(
+            map(tuple, dedup.incremental_minhash_clusters(full).collect())
         )
-    )
+        want = sorted(
+            map(tuple, dedup.minhash_cluster_assignments(full).collect())
+        )
+    finally:
+        dedup.MINHASH_BUCKET_CAP = orig_cap
     assert got == want
 
 

@@ -385,79 +385,57 @@ def test_incremental_minhash_clusters_churn_bridge_and_fallback(
     assert got[30] == (30, 1) and got[32] == (30, 0)
     assert got[27] == (27, 1)
 
-    # cap-binding ingest → the exact fallback must actually execute
-    called = {}
-    orig = dedup.minhash_cluster_assignments
-
-    def spy(d):
-        called["fallback"] = True
-        return orig(d)
-
-    monkeypatch.setattr(dedup, "minhash_cluster_assignments", spy)
-    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 1)
+    # cap-binding ingest → the SCOPED recluster must execute, equal the
+    # rebuild, and leave untouched clusters provably unrecomputed
+    # (VERDICT r12 task #2).  Corpus: group X (base 40/42/44 + novel
+    # delta 37) shares ONE shingle set — identical minhash in every
+    # seed — so with cap 2 the merged bucket {37,40,42,44} evicts base
+    # rows 42 and 44; cluster {30,32} and singleton 50 never cap.
+    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 2)
+    x = "g1 g2 g3 g1 g2 g3"  # shingle set {g1 g2 g3, g2 g3 g1, g3 g1 g2}
+    rows_fb = [
+        (40, x),
+        (42, x + " g1"),                    # same set, distinct text
+        (44, x + " g1 g2"),
+        (37, x + " g1 g2 g3"),              # novel delta, id < 40
+        (30, "p1 p2 p3 p4 p5 p6 p7 p8"),    # untouched base cluster
+        (32, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+        (50, "z1 z2 z3 z4 z5 z6 z7 z8"),    # isolated base doc
+    ]
+    docs_fb = spark.createDataFrame(rows_fb, "doc_id long, text string")
+    obs = {}
     got_fb = {
         r.doc_id: (r.cluster_id, r.is_canonical)
-        for r in dedup.incremental_minhash_clusters(docs).collect()
+        for r in dedup.incremental_minhash_clusters(docs_fb, obs).collect()
     }
-    assert called.get("fallback"), "occupancy guard did not trigger"
-    # equality still holds — the fallback IS the rebuild (cap 1 shrinks
-    # the candidate set identically on both sides)
     want_fb = {
         r.doc_id: (r.cluster_id, r.is_canonical)
-        for r in orig(docs).collect()
+        for r in dedup.minhash_cluster_assignments(docs_fb).collect()
     }
     assert got_fb == want_fb
+    # the scoped path ran, and it reclustered ONLY group X's component,
+    # never the untouched cluster {30,32} or singleton 50.  Base row 44
+    # was already evicted from the STORED base index (base bucket
+    # {40,42,44} capped at 2), so the re-cap evicts exactly one base
+    # row — 42, pushed out by novel 37 — and the scope is 42's
+    # fast-path component {37, 40, 42}.
+    assert obs["n_evicted"] == 1          # base row 42
+    assert obs["n_scope_reps"] == 3       # {37, 40, 42}
+    assert obs["n_total_reps"] == 7
+    assert obs["n_scope_reps"] < obs["n_total_reps"]
+    # rebuild semantics under the cap: eviction really did split the
+    # group (42/44 lost their only meeting place with 37/40)
+    assert got_fb[37] == (37, 1) and got_fb[40] == (37, 0)
+    assert got_fb[42] == (42, 1) and got_fb[44] == (44, 1)
+    assert got_fb[30] == (30, 1) and got_fb[32] == (30, 0)
+    assert got_fb[50] == (50, 1)
 
 
-def test_incremental_clusters_delta_bridges_base_clusters(spark):
-    """The contract-and-expand corner the natural corpus may never hit:
-    two disjoint base clusters merged by ONE delta bridge doc must end
-    up under the global minimum label, exactly as a full rebuild."""
-    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
-        CLUSTER_JACCARD,
-        connected_components,
-        incremental_clusters,
-        jaccard_pairs,
-        shingles,
-    )
-
-    full = spark.createDataFrame(
-        [
-            (0, "w1 w2 w3 w4"),       # base cluster A (with 2)
-            (1, "x1 x2 x3 x4"),       # base cluster B (with 4)
-            (2, "w1 w2 w3 w9"),       # near-dup of 0
-            (4, "x1 x2 x3 x9"),       # near-dup of 1
-            (5, "z1 z2 z3 z4"),       # isolated base doc
-            (7, "w1 w2 w3 x1 x2 x3"), # delta bridge: overlaps A and B
-            (17, "q1 q2 q3 q4"),      # isolated delta doc
-        ],
-        "doc_id long, text string",
-    )
-    got = {
-        r.doc_id: (r.cluster_id, r.is_canonical)
-        for r in incremental_clusters(full).collect()
-    }
-    # independent rebuild with the same building blocks on the full graph
-    edges = jaccard_pairs(shingles(full)).filter(
-        F.col("jaccard") >= CLUSTER_JACCARD
-    )
-    want = {
-        r.doc_id: (r.cluster_id, r.is_canonical)
-        for r in connected_components(
-            full.select("doc_id"),
-            edges.select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            ),
-            "doc_id",
-        ).collect()
-    }
-    assert got == want
-    # and the merge actually happened: A, B, and the bridge share label 0
-    assert got[0] == (0, 1)
-    assert got[1][0] == 0 and got[2][0] == 0 and got[4][0] == 0
-    assert got[7][0] == 0
-    assert got[5] == (5, 1)
-    assert got[17] == (17, 1)
+# (test_incremental_clusters_delta_bridges_base_clusters was retired
+# with q_incremental_clusters — VERDICT r12 task #3.  Its delta-bridge
+# corner lives on in test_incremental_minhash_clusters_churn_bridge_and_
+# fallback above, and the hypothesis equivalence property moved to the
+# LSH successor in test_properties.py.)
 
 
 def test_minhash_recall_monotone(spark, sf_dir):
