@@ -272,85 +272,44 @@ def pagerank(
     )
 
 
-def incremental_pagerank(
-    li: DataFrame, delta_cond, *, iters: int = PR_ITERS
-) -> DataFrame:
-    """Delta-edge PageRank maintenance: re-rank only the ingest's blast
-    radius, reuse stored per-iteration ranks everywhere else — EXACTLY
-    equal to a full rebuild on the merged graph (the oracle gate).
-
-    The exactness argument (why a bounded restart is not an
-    approximation for a fixed-iteration rank): after k synchronous
-    iterations a node's rank is a function of its k-hop in-
-    neighborhood's degrees and the uniform prior.  An ingest only ADDS
-    edges, and r_k(n) can change only if n is within k hops of a node
-    whose degree changed — i.e. of a new edge's endpoints (the seed
-    set).  So patching S_k = expand^k(seeds) with messages drawn from
-    the PREVIOUS level's patched-or-stored values reproduces the full
-    rebuild bit-for-bit: unaffected nodes keep stored doubles that the
-    rebuild would recompute from identical inputs through the same
-    decimal-quantized message kernel, and patched nodes aggregate over
-    ALL their in-edges with that same kernel.
-
-    100 TB shape: the ingest tier stores ``iters`` O(|V|) rank vectors
-    (~24 B × V × 3) plus the half edge list — state it already keeps
-    for the rebuild it replaces.  Per-ingest work is O(edges incident
-    to the blast radius) per level, never O(E): frontier expansion is
-    |frontier| broadcast-ish joins against the checkpointed edge list,
-    and each patch aggregates only in-edges of the frontier.  On a
-    sparse production graph (bounded degree) the blast radius stays
-    proportional to the delta; on THIS deliberately dense test graph
-    (~60 co-suppliers per node) a 3-hop ball saturates, which the
-    SCALING.md probe cell reports honestly — the bound is structural,
-    |delta blast|, not corpus size.
-    """
-    msg_sum = spark_dsum_rounded
-
-    def directed(half: DataFrame) -> DataFrame:
-        return half.unionAll(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-
-    def degrees(edges: DataFrame) -> DataFrame:
-        return edges.groupBy("src").agg(
-            F.count(F.lit(1)).cast("double").alias("outdeg")
-        )
-
-    base_li = li.filter(~delta_cond)
-    # --- STORED pre-ingest state (in production read back from storage,
-    # not recomputed): half edge list + per-ITERATION unrounded rank
-    # vectors.  Storing intermediates, not just the final rank, is what
-    # makes the restart exact — level k's patch draws boundary values
-    # from level k-1.
-    base_half = _co_supply_half(base_li)
-    base_levels: list[DataFrame] = []
-    contrib = directed(base_half).join(
-        F.broadcast(degrees(directed(base_half))), "src"
+def _directed_half(half: DataFrame) -> DataFrame:
+    """Both orientations of a half edge list."""
+    return half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = None
-    for _ in range(iters):
-        sender = (
-            contrib.withColumn("pr", F.lit(1.0))
-            if pr is None
-            else contrib.join(
-                F.broadcast(pr.withColumnRenamed("id", "src")), "src"
-            )
-        )
-        pr = (
-            sender.groupBy("dst")
-            .agg(msg_sum(F.col("pr") / F.col("outdeg")).alias("m"))
-            .select(
-                F.col("dst").alias("id"),
-                (0.15 + PR_DAMP * F.col("m")).alias("pr"),
-            )
-            .localCheckpoint()
-        )
-        base_levels.append(pr)
 
-    # --- the ingest: merged graph, new-edge seeds, 3-hop blast radius
-    half = _co_supply_half(li)
-    edges = directed(half)
-    outdeg = degrees(edges)
+
+def _out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+
+
+def pagerank_patch_levels(
+    base_half: DataFrame,
+    base_levels: list,
+    half: DataFrame,
+    *,
+    iters: int = PR_ITERS,
+    obs: dict | None = None,
+) -> tuple:
+    """The incremental-PageRank PATCH kernel, factored from
+    :func:`incremental_pagerank` so the streaming twin can apply it once
+    per micro-batch against parquet-backed stored state: given the
+    STORED pre-ingest state (``base_half`` edge list + per-iteration
+    rank vectors ``base_levels``) and the MERGED half edge list
+    ``half``, re-rank only the new edges' k-hop blast radius, keep
+    stored doubles everywhere else.  Exactness argument on
+    :func:`incremental_pagerank`; it composes across repeated ingests by
+    induction (each patch reproduces the rebuild on its merged graph,
+    which becomes the next ingest's stored state).  With EMPTY stored
+    state this degenerates to the plain full computation (the frontier
+    saturates to all nodes), which is how the streaming twin seeds its
+    state from the base corpus through the same decimal message kernel.
+    Returns (new_half, patched_levels)."""
+    msg_sum = spark_dsum_rounded
+    edges = _directed_half(half)
+    outdeg = _out_degrees(edges)
     new_half = half.join(base_half, ["src", "dst"], "left_anti")
     frontier = (
         new_half.select(F.col("src").alias("id"))
@@ -358,7 +317,7 @@ def incremental_pagerank(
         .distinct()
         .localCheckpoint()
     )
-
+    levels = []
     r_prev_full = None
     for k in range(iters):
         # S_k = S_{k-1} ∪ N(S_{k-1}): level-k ranks change only there
@@ -397,9 +356,91 @@ def incremental_pagerank(
             .unionAll(patched)
             .localCheckpoint()
         )
+        levels.append(r_prev_full)
+    if obs is not None:
+        # blast-radius gauges for the delta-scaling probe: how many
+        # nodes were actually re-ranked vs kept from stored state
+        obs["n_new_edges"] = new_half.count()
+        obs["n_patched"] = frontier.count()
+    return new_half, levels
+
+
+def incremental_pagerank(
+    li: DataFrame, delta_cond, *, iters: int = PR_ITERS
+) -> DataFrame:
+    """Delta-edge PageRank maintenance: re-rank only the ingest's blast
+    radius, reuse stored per-iteration ranks everywhere else — EXACTLY
+    equal to a full rebuild on the merged graph (the oracle gate).
+
+    The exactness argument (why a bounded restart is not an
+    approximation for a fixed-iteration rank): after k synchronous
+    iterations a node's rank is a function of its k-hop in-
+    neighborhood's degrees and the uniform prior.  An ingest only ADDS
+    edges, and r_k(n) can change only if n is within k hops of a node
+    whose degree changed — i.e. of a new edge's endpoints (the seed
+    set).  So patching S_k = expand^k(seeds) with messages drawn from
+    the PREVIOUS level's patched-or-stored values reproduces the full
+    rebuild bit-for-bit: unaffected nodes keep stored doubles that the
+    rebuild would recompute from identical inputs through the same
+    decimal-quantized message kernel, and patched nodes aggregate over
+    ALL their in-edges with that same kernel.
+
+    100 TB shape: the ingest tier stores ``iters`` O(|V|) rank vectors
+    (~24 B × V × 3) plus the half edge list — state it already keeps
+    for the rebuild it replaces.  Per-ingest work is O(edges incident
+    to the blast radius) per level, never O(E): frontier expansion is
+    |frontier| broadcast-ish joins against the checkpointed edge list,
+    and each patch aggregates only in-edges of the frontier.  On a
+    sparse production graph (bounded degree) the blast radius stays
+    proportional to the delta; on THIS deliberately dense test graph
+    (~60 co-suppliers per node) a 3-hop ball saturates, which the
+    SCALING.md probe cell reports honestly — the bound is structural,
+    |delta blast|, not corpus size.
+    """
+    msg_sum = spark_dsum_rounded
+    directed = _directed_half
+    degrees = _out_degrees
+
+    base_li = li.filter(~delta_cond)
+    # --- STORED pre-ingest state (in production read back from storage,
+    # not recomputed): half edge list + per-ITERATION unrounded rank
+    # vectors.  Storing intermediates, not just the final rank, is what
+    # makes the restart exact — level k's patch draws boundary values
+    # from level k-1.
+    base_half = _co_supply_half(base_li)
+    base_levels: list[DataFrame] = []
+    contrib = directed(base_half).join(
+        F.broadcast(degrees(directed(base_half))), "src"
+    )
+    pr = None
+    for _ in range(iters):
+        sender = (
+            contrib.withColumn("pr", F.lit(1.0))
+            if pr is None
+            else contrib.join(
+                F.broadcast(pr.withColumnRenamed("id", "src")), "src"
+            )
+        )
+        pr = (
+            sender.groupBy("dst")
+            .agg(msg_sum(F.col("pr") / F.col("outdeg")).alias("m"))
+            .select(
+                F.col("dst").alias("id"),
+                (0.15 + PR_DAMP * F.col("m")).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        base_levels.append(pr)
+
+    # --- the ingest: merged graph, new-edge seeds, 3-hop blast radius
+    # (the factored patch kernel, shared with the streaming twin)
+    half = _co_supply_half(li)
+    _, levels = pagerank_patch_levels(
+        base_half, base_levels, half, iters=iters
+    )
 
     nodes = li.select(F.col("l_suppkey").alias("id")).distinct()
-    return nodes.join(r_prev_full, "id", "left").select(
+    return nodes.join(levels[-1], "id", "left").select(
         F.col("id").alias("supp_id"),
         F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank"),
     )
@@ -704,10 +745,7 @@ def incremental_label_propagation(li: DataFrame, delta_cond) -> DataFrame:
     longs.  Per-ingest work: the delta's co-order diff + edges incident
     to the (1-hop) blast radius."""
 
-    def directed(half: DataFrame) -> DataFrame:
-        return half.unionAll(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    directed = _directed_half
 
     base_li = li.filter(~delta_cond)
     # --- STORED pre-ingest state (read back from storage in production)
@@ -733,9 +771,34 @@ def incremental_label_propagation(li: DataFrame, delta_cond) -> DataFrame:
         .localCheckpoint()
     )
 
-    # --- the ingest: merged co-order graph, new-edge seeds
+    # --- the ingest: merged co-order graph, new-edge seeds (the
+    # factored patch kernel, shared with the streaming twin)
     half = _co_order_half_edges(li)
-    edges = directed(half).localCheckpoint()
+    _, _, l2_full = lpa_patch_levels(base_half, l1_base, l2_base, half)
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    return nodes.join(l2_full, "id", "left").select(
+        F.col("id").alias("part_id"),
+        F.coalesce("label", "id").alias("community"),
+    )
+
+
+def lpa_patch_levels(
+    base_half: DataFrame,
+    l1_base: DataFrame,
+    l2_base: DataFrame,
+    half: DataFrame,
+) -> tuple:
+    """The incremental-LPA PATCH kernel, factored from
+    :func:`incremental_label_propagation` so the streaming twin can
+    apply it once per micro-batch against parquet-backed stored state:
+    given stored (half edge list, level-1, level-2 label vectors) and
+    the MERGED half edge list, new-edge endpoints re-take their
+    min-neighbor label and their 1-hop ball re-votes the mode; composes
+    across repeated ingests by induction (each patch reproduces the
+    2-iteration rebuild on its merged graph).  With EMPTY stored state
+    it degenerates to the plain full computation.  Returns
+    (new_half, l1_full, l2_full)."""
+    edges = _directed_half(half).localCheckpoint()
     new_half = half.join(base_half, ["src", "dst"], "left_anti")
     s1 = (
         new_half.select(F.col("src").alias("id"))
@@ -773,11 +836,7 @@ def incremental_label_propagation(li: DataFrame, delta_cond) -> DataFrame:
         )
     )
     l2_full = l2_base.join(s2, "id", "left_anti").unionAll(p2)
-    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
-    return nodes.join(l2_full, "id", "left").select(
-        F.col("id").alias("part_id"),
-        F.coalesce("label", "id").alias("community"),
-    )
+    return new_half, l1_full, l2_full
 
 
 @register(

@@ -368,23 +368,27 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(target)
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # materialize the final state, then remove the per-invocation temp
-    # table + checkpoint: without the cleanup every invocation (bench
-    # loops, repeated gate runs) leaks a full parquet copy of the
-    # per-user table into /tmp.  eager checkpoint: the read must
-    # complete before its source dir is deleted.
-    result = spark.read.parquet(target).localCheckpoint()
+    # try/finally (ADVICE r12): a stream or upsert failure must not
+    # leak the temp state dir — repeated failing runs would accumulate
+    # per-invocation parquet copies + checkpoints in /tmp.
     import shutil
 
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize the final state, then remove the per-invocation
+        # temp table + checkpoint: without the cleanup every invocation
+        # (bench loops, repeated gate runs) leaks a full parquet copy of
+        # the per-user table into /tmp.  eager checkpoint: the read must
+        # complete before its source dir is deleted.
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -900,29 +904,36 @@ def incremental_tfidf_stream(
         _upsert(tf_target, tf_rows(batch_df), ["doc_id", "term"])
         _upsert(id_target, batch_df.select("doc_id"), ["doc_id"])
 
-    q = (
-        delta_stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # try/finally (ADVICE r12): an exception in the stream, the upsert,
+    # or the final re-score must not leak the temp state dir
+    try:
+        q = (
+            delta_stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
-    if os.path.exists(tf_target):
-        tf_delta = spark.read.parquet(tf_target)
-        n_delta = spark.read.parquet(id_target).agg(
-            F.count(F.lit(1)).alias("n_d")
-        )
-    else:  # empty delta: no micro-batch ever fired
-        tf_delta = spark.createDataFrame(
-            [], "doc_id long, term string, tf long"
-        )
-        n_delta = spark.range(1).select(F.lit(0).cast("long").alias("n_d"))
-    result = merge_and_rescore_tfidf(
-        base, tf_base, tf_delta, n_delta
-    ).localCheckpoint()
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+        if os.path.exists(tf_target):
+            tf_delta = spark.read.parquet(tf_target)
+            n_delta = spark.read.parquet(id_target).agg(
+                F.count(F.lit(1)).alias("n_d")
+            )
+        else:  # empty delta: no micro-batch ever fired
+            tf_delta = spark.createDataFrame(
+                [], "doc_id long, term string, tf long"
+            )
+            n_delta = spark.range(1).select(
+                F.lit(0).cast("long").alias("n_d")
+            )
+        # eager checkpoint: the merge must materialize before its
+        # source dirs are deleted in the finally block
+        return merge_and_rescore_tfidf(
+            base, tf_base, tf_delta, n_delta
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _tfidf_sql() -> str:
@@ -1007,3 +1018,302 @@ def q_stream_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_compression_ratio_{next(_MEM_SEQ)}",
         complete=True,
     )
+
+
+# --- streaming twins of the graph incremental family (VERDICT r12 #5) ------
+
+
+def incremental_pagerank_stream(
+    spark: SparkSession, delta_stream: DataFrame, base_li: DataFrame
+) -> DataFrame:
+    """Streaming incremental-PageRank maintenance: delta lineitem rows
+    arrive as micro-batches; foreachBatch upserts the batch's distinct
+    (l_partkey, l_suppkey) pairs into keyed parquet state, derives the
+    batch's NEW co-supply edges scoped to the parts it touches (a new
+    edge must share a part with a batch row — never a full-graph edge
+    rescan), and applies :func:`graph.pagerank_patch_levels` — the exact
+    batch patch kernel — against the stored half edge list +
+    per-iteration rank vectors, re-ranking only the blast radius.  The
+    stored state is seeded from the base corpus through the SAME kernel
+    (empty stored state degenerates to the plain computation), so every
+    level vector along the way is bit-identical to a full rebuild on the
+    graph seen so far.  Replay-idempotent: a replayed batch's pair
+    upsert is a keyed overwrite and its new-edge diff against the
+    already-updated half list is empty, so the patch is a no-op.  At
+    100 TB the per-batch work is the touched-parts pair join + the
+    blast-radius patch; production would commit (half, levels) as one
+    transactional snapshot instead of this single-node multi-dir
+    stand-in."""
+    import os
+    import shutil
+    import tempfile
+
+    from .graph import PR_ITERS, _co_supply_half, pagerank_patch_levels
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_pr_")
+    half_p = f"{root}/half"
+    lvl_p = [f"{root}/level_{k}" for k in range(PR_ITERS)]
+    ps_p = f"{root}/delta_ps"
+    try:
+        # seed stored pre-ingest state from the base corpus through the
+        # patch kernel itself (empty state -> plain full computation)
+        empty_half = spark.createDataFrame([], "src long, dst long")
+        empty_lvl = spark.createDataFrame([], "id long, pr double")
+        base_half = _co_supply_half(base_li)
+        _, lvls = pagerank_patch_levels(
+            empty_half, [empty_lvl] * PR_ITERS, base_half
+        )
+        base_half.write.mode("overwrite").parquet(half_p)
+        for p, lvl in zip(lvl_p, lvls):
+            lvl.write.mode("overwrite").parquet(p)
+        base_ps = (
+            base_li.select("l_partkey", "l_suppkey")
+            .distinct()
+            .localCheckpoint()
+        )
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            ss = batch_df.sparkSession
+            ps = batch_df.select("l_partkey", "l_suppkey").distinct()
+            if os.path.exists(ps_p):
+                ps = ss.read.parquet(ps_p).unionByName(ps)
+            ps = ps.dropDuplicates(
+                ["l_partkey", "l_suppkey"]
+            ).localCheckpoint()  # pin before overwriting its own input
+            ps.write.mode("overwrite").parquet(ps_p)
+            half = ss.read.parquet(half_p)
+            levels = [ss.read.parquet(p) for p in lvl_p]
+            # a new co-supply edge must share a part the batch touches
+            acc = base_ps.unionByName(ps).dropDuplicates(
+                ["l_partkey", "l_suppkey"]
+            )
+            touched = acc.join(
+                batch_df.select("l_partkey").distinct(),
+                "l_partkey",
+                "left_semi",
+            )
+            new_edges = _co_supply_half(touched).join(
+                half, ["src", "dst"], "left_anti"
+            )
+            merged_half = half.unionByName(new_edges).localCheckpoint()
+            _, patched = pagerank_patch_levels(half, levels, merged_half)
+            # patched levels are checkpointed inside the kernel, so the
+            # overwrites below never re-read their own input
+            merged_half.write.mode("overwrite").parquet(half_p)
+            for p, lvl in zip(lvl_p, patched):
+                lvl.write.mode("overwrite").parquet(p)
+
+        q = (
+            delta_stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        final = spark.read.parquet(lvl_p[-1])
+        roster = (
+            spark.read.parquet(ps_p)
+            if os.path.exists(ps_p)
+            else spark.createDataFrame([], "l_partkey long, l_suppkey long")
+        )
+        nodes = (
+            base_li.select("l_suppkey")
+            .unionByName(roster.select("l_suppkey"))
+            .select(F.col("l_suppkey").alias("id"))
+            .distinct()
+        )
+        # eager checkpoint: materialize before the finally-rmtree
+        return (
+            nodes.join(final, "id", "left")
+            .select(
+                F.col("id").alias("supp_id"),
+                F.round(F.coalesce("pr", F.lit(0.15)), 6).alias("pagerank"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _pagerank_sql() -> str:
+    from .graph import PAGERANK_SQL
+
+    return PAGERANK_SQL
+
+
+@register(
+    "q_stream_incremental_pagerank",
+    _pagerank_sql(),
+    doc="Streaming PageRank ingest gate: delta lineitem rows "
+    "(l_orderkey % 10 = 7) arrive as a file-source stream; each "
+    "micro-batch upserts its (part, supplier) pairs into keyed parquet "
+    "state, derives its NEW co-supply edges scoped to the parts it "
+    "touches, and re-ranks ONLY the blast radius via the exact batch "
+    "patch kernel (graph.pagerank_patch_levels) against stored "
+    "per-iteration rank vectors — foreachBatch, availableNow, "
+    "replay-idempotent. ORACLE is the full 3-iteration rebuild "
+    "(q_pagerank's SQL), so the gate proves per-batch maintenance ≡ "
+    "rebuild through the same decimal message kernel; pytest splits "
+    "the delta across ≥3 micro-batches and pins ≡ batch "
+    "q_incremental_pagerank. Completes the pattern that every "
+    "incremental batch path has a streaming twin, now including the "
+    "costliest (graph) family.",
+)
+def q_stream_incremental_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    base_li = li.filter(~(F.col("l_orderkey") % 10 == 7))
+    stage, schema = _stage_table_dir(spark, sf_dir, "lineitem", "lineitem")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("l_orderkey") % 10 == 7)
+        .select("l_partkey", "l_suppkey")
+    )
+    return incremental_pagerank_stream(spark, stream, base_li)
+
+
+def incremental_lpa_stream(
+    spark: SparkSession, delta_stream: DataFrame, base_li: DataFrame
+) -> DataFrame:
+    """Streaming incremental label-propagation — the integer twin of
+    :func:`incremental_pagerank_stream`.  Stored state: the weight-floor
+    co-order half edge list + both per-iteration label vectors + the
+    accumulated distinct (l_orderkey, l_partkey) roster.  Per batch, a
+    pair can cross the ≥2-order weight floor only if BOTH its parts
+    appear in a batch-touched order, so the edge diff recounts weights
+    over the roster restricted to those parts (exact for every candidate
+    pair — all of a scoped pair's order occurrences survive the part
+    restriction) and :func:`graph.lpa_patch_levels` re-votes only the
+    1-hop blast radius.  Seeding, replay-idempotence, and the
+    transactional-snapshot caveat as in the PageRank twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from .graph import _co_order_half_edges, lpa_patch_levels
+
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_lpa_")
+    half_p, l1_p, l2_p = f"{root}/half", f"{root}/l1", f"{root}/l2"
+    op_p = f"{root}/delta_op"
+    try:
+        empty_half = spark.createDataFrame([], "src long, dst long")
+        empty_lbl = spark.createDataFrame([], "id long, label long")
+        base_half = _co_order_half_edges(base_li)
+        _, l1, l2 = lpa_patch_levels(
+            empty_half, empty_lbl, empty_lbl, base_half
+        )
+        base_half.write.mode("overwrite").parquet(half_p)
+        l1.write.mode("overwrite").parquet(l1_p)
+        l2.write.mode("overwrite").parquet(l2_p)
+        base_op = (
+            base_li.select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint()
+        )
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            ss = batch_df.sparkSession
+            op = batch_df.select("l_orderkey", "l_partkey").distinct()
+            if os.path.exists(op_p):
+                op = ss.read.parquet(op_p).unionByName(op)
+            op = op.dropDuplicates(
+                ["l_orderkey", "l_partkey"]
+            ).localCheckpoint()
+            op.write.mode("overwrite").parquet(op_p)
+            half = ss.read.parquet(half_p)
+            l1s = ss.read.parquet(l1_p)
+            l2s = ss.read.parquet(l2_p)
+            acc = base_op.unionByName(op).dropDuplicates(
+                ["l_orderkey", "l_partkey"]
+            )
+            # candidate pairs co-occur in a batch-touched order; their
+            # weights recount EXACTLY over the part-scoped roster
+            parts = (
+                acc.join(
+                    batch_df.select("l_orderkey").distinct(),
+                    "l_orderkey",
+                    "left_semi",
+                )
+                .select("l_partkey")
+                .distinct()
+            )
+            op_sc = acc.join(parts, "l_partkey", "left_semi")
+            new_edges = _co_order_half_edges(op_sc).join(
+                half, ["src", "dst"], "left_anti"
+            )
+            merged_half = half.unionByName(new_edges).localCheckpoint()
+            _, l1n, l2n = lpa_patch_levels(half, l1s, l2s, merged_half)
+            l2n = l2n.localCheckpoint()  # l1n/merged pinned already
+            merged_half.write.mode("overwrite").parquet(half_p)
+            l1n.write.mode("overwrite").parquet(l1_p)
+            l2n.write.mode("overwrite").parquet(l2_p)
+
+        q = (
+            delta_stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        final = spark.read.parquet(l2_p)
+        roster = (
+            spark.read.parquet(op_p)
+            if os.path.exists(op_p)
+            else spark.createDataFrame([], "l_orderkey long, l_partkey long")
+        )
+        nodes = (
+            base_li.select("l_partkey")
+            .unionByName(roster.select("l_partkey"))
+            .select(F.col("l_partkey").alias("id"))
+            .distinct()
+        )
+        return (
+            nodes.join(final, "id", "left")
+            .select(
+                F.col("id").alias("part_id"),
+                F.coalesce("label", "id").alias("community"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _lpa_sql() -> str:
+    from .graph import LABEL_PROPAGATION_SQL
+
+    return LABEL_PROPAGATION_SQL
+
+
+@register(
+    "q_stream_incremental_label_propagation",
+    _lpa_sql(),
+    doc="Streaming label-propagation ingest gate, the integer twin of "
+    "q_stream_incremental_pagerank: delta lineitem rows arrive as a "
+    "file-source stream; each micro-batch upserts its (order, part) "
+    "pairs into keyed parquet state, recounts co-order weights ONLY "
+    "for pairs whose parts appear in a batch-touched order (the "
+    "≥2-order floor is monotone under ingest), and re-votes only the "
+    "1-hop blast radius via the exact batch patch kernel "
+    "(graph.lpa_patch_levels) against stored per-iteration label "
+    "vectors. ORACLE is the full 2-iteration rebuild "
+    "(q_label_propagation's SQL); pytest splits the delta across ≥3 "
+    "micro-batches and pins ≡ batch q_incremental_label_propagation.",
+)
+def q_stream_incremental_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    base_li = li.filter(~(F.col("l_orderkey") % 10 == 7))
+    stage, schema = _stage_table_dir(spark, sf_dir, "lineitem", "lineitem")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("l_orderkey") % 10 == 7)
+        .select("l_orderkey", "l_partkey")
+    )
+    return incremental_lpa_stream(spark, stream, base_li)
