@@ -204,6 +204,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_suite_total",
+                # schema marker (ADVICE r12): `value` is the
+                # Σ(per-query min) estimator since r12 — consumers can
+                # detect the change instead of misreading it against
+                # pre-r12 batch-order totals
+                "headline": "sum_min",
                 "value": round(sum(imins.values()), 3),
                 "unit": "sec",
                 "n_queries": len(timings),

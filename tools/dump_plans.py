@@ -198,6 +198,32 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
         ("BroadcastHashJoin", "O(vocab x k) pivoted model broadcasts to the token stream — one shuffle total"),
         ("!Window", "argmax via array_sort over (−score, class) structs — no per-doc rank window"),
     ],
+    # --- the r12 incremental-maintenance family (VERDICT r12 task #4).
+    # Their heaviest machinery (probe joins, verify, CC iterations) runs
+    # during CONSTRUCTION behind localCheckpoints, so the final-stage
+    # gates pin what a regression would surface here: a lost checkpoint
+    # inlines the whole construction (Scan ExistingRDD disappears), a
+    # broadcast regressing to sort-merge drops BroadcastHashJoin.
+    "q_minhash_clusters": [
+        ("BroadcastHashJoin", "fingerprint-map reattachment joins the O(#reps) label table without reshuffling members"),
+        ("Scan ExistingRDD", "CC labels enter as checkpointed state — a lost localCheckpoint would inline the whole LSH construction"),
+        ("!CartesianProduct", "pair generation never degenerates to all-pairs"),
+    ],
+    "q_incremental_minhash_clusters": [
+        ("BroadcastHashJoin", "rep-relabel map broadcasts over stored labels (pure label substitution, zero signature work)"),
+        ("Scan ExistingRDD", "stored base clustering + maintained capped index enter as checkpointed state, never recomputed"),
+        ("!CartesianProduct", "delta probe + contract-and-expand stay keyed — never all-pairs"),
+    ],
+    "q_incremental_pagerank": [
+        ("BroadcastHashJoin", "patched rank vector broadcasts back over the node list — O(V) rows, edges never reshuffle here"),
+        ("Scan ExistingRDD", "stored per-iteration ranks enter as checkpointed state"),
+        ("!CartesianProduct", "blast-radius patch stays keyed"),
+    ],
+    "q_incremental_label_propagation": [
+        ("partial_max_by", "re-vote modal winner partial-aggregates map-side — no per-node sort window"),
+        ("BroadcastHashJoin", "patched label vector broadcasts back over the node list"),
+        ("Scan ExistingRDD", "stored per-iteration labels enter as checkpointed state"),
+    ],
 }
 
 

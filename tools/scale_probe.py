@@ -59,6 +59,30 @@ def _pf_observed(spark, sf_dir, obs):
     return q_prefix_filter_join_observed(spark, sf_dir, obs)
 
 
+def _imc_observed(spark, sf_dir, obs):
+    """q_incremental_minhash_clusters with its scored-candidate-pair
+    count as work_rows: cluster-assignment OUTPUT is one row per doc
+    (3.3× over the decade) while the replica k-cliques grow the pair
+    workload ~k² by construction — the same intrinsic work the full
+    rebuild (the oracle) must score, so judging the wall on output
+    alone would mislabel it a deferred quadratic."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        incremental_minhash_clusters,
+    )
+
+    work: dict = {}
+    df = incremental_minhash_clusters(
+        read_parquet_table(spark, sf_dir, "documents"), work
+    )
+    # the kernel finishes its (checkpointed) candidate passes before
+    # returning, so the count is final here; ship it through the
+    # harness Observation, which resolves on any action
+    spark.range(1).observe(
+        obs, F.max(F.lit(work["n_pairs_scored"])).alias("work_rows")
+    ).collect()
+    return df
+
+
 #: intrinsic-WORK probes for emission-capped EXACT queries: the cap
 #: bounds what the query RETURNS, but an exact algorithm must still
 #: score every qualifying row to rank the cap's survivors, so wall
@@ -74,6 +98,7 @@ def _pf_observed(spark, sf_dir, obs):
 #: (ADVICE r8).
 WORK_PROBES = {
     "q_prefix_filter_join": _pf_observed,
+    "q_incremental_minhash_clusters": _imc_observed,
 }
 
 #: tables each decade-probe query reads — lets `--decade` replicate only
@@ -97,7 +122,6 @@ WORK_PROBE_TABLES = {
     # maintenance, TF-IDF stat merge, and the delta-edge PageRank
     # restart — the ops a 100 TB ingest tier runs EVERY batch, so each
     # needs its own second-decade cell (VERDICT r11 tasks #3/#5)
-    "q_incremental_clusters": ("documents",),
     "q_incremental_minhash_clusters": ("documents",),
     "q_lsh_index_upsert": ("documents",),
     "q_incremental_tfidf": ("documents",),
@@ -163,7 +187,6 @@ PROBES = [
     "q_minhash_lsh",
     "q_minhash_clusters",
     "q_incremental_minhash",
-    "q_incremental_clusters",
     "q_incremental_minhash_clusters",
     "q_incremental_embedding_neardup",
     "q_lsh_index_upsert",
@@ -757,6 +780,16 @@ def _skew_verdict(wall_ratio: float, out_ratio: float) -> str:
     )
 
 
+#: below this max-task duration (skew side, min-wall run) the straggler
+#: RATIO is noise, not a reduce-tail: a sub-5 s max task means every
+#: stage is balanced and the ratio's denominator is a sub-second
+#: uniform task — the r11/r12 q_incremental_minhash "2.8×" gauge that
+#: needed a manual appeal each round (dedicated profiling showed
+#: balanced stages, max 3.5 s tasks).  VERDICT r12 task #6 encodes the
+#: adjudication into the verdict rule itself.
+STRAGGLER_FLOOR_MS = 5000.0
+
+
 def _skew_row(label, u, s) -> str:
     """One markdown row of the skew table from (wall, rows, max_task_ms)
     uniform/skew measurements — shared by the full rewrite and the
@@ -767,7 +800,12 @@ def _skew_row(label, u, s) -> str:
     out_ratio = n_s / n_u if n_u else float("inf")
     mt_cell_u = f"{mt_u / 1000:.2f}" if mt_u else "—"
     mt_cell_s = f"{mt_s / 1000:.2f}" if mt_s else "—"
-    straggler = f"{mt_s / mt_u:.1f}×" if (mt_u and mt_s) else "—"
+    if not (mt_u and mt_s):
+        straggler = "—"
+    elif mt_s < STRAGGLER_FLOOR_MS:
+        straggler = "n/a (<5 s floor)"
+    else:
+        straggler = f"{mt_s / mt_u:.1f}×"
     return (
         f"| {label} | {t_u:.2f} | {t_s:.2f} | {wall:.1f}× | "
         f"{mt_cell_u} | {mt_cell_s} | {straggler} | "
@@ -785,6 +823,29 @@ def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
     splices them into the existing section in place (the decade probe's
     kept-row convention) — narrative, special rows, and adjudication
     paragraphs stay byte-identical."""
+    # validate the subset BEFORE the expensive dataset builds (ADVICE
+    # r12): a renamed query or reformatted table row used to SystemExit
+    # only after the uniform/skew replicas were already written
+    if subset:
+        doc0 = open("/root/repo/SCALING.md").read()
+        if SKEW_MARKER not in doc0:
+            raise SystemExit(
+                "no skew section in SCALING.md — run the full --skew "
+                "probe first"
+            )
+        sect0 = doc0[doc0.index(SKEW_MARKER):]
+        missing = [
+            n for n in subset
+            if not any(
+                line.startswith(f"| {n} |") for line in sect0.splitlines()
+            )
+        ]
+        if missing:
+            raise SystemExit(
+                f"no existing skew row for {missing} — run the full "
+                "--skew probe to add new rows"
+            )
+
     uniform_dir = build(spark, k)
     skew_dir = build_skew(spark, k)
     watch = _TaskWatch(spark)
@@ -848,7 +909,12 @@ def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
         "on l_partkey 1 — a massive-degree vertex in the part co-order "
         "graph the main overlay never touches.  min of 2 per cell; "
         "max-task = longest completed task in the min-wall run (UI REST "
-        "taskSummary) — the straggler gauge.  Verdict rule (VERDICT "
+        "taskSummary) — the straggler gauge.  A straggler ratio whose "
+        "skew-side max task is under 5 s reads `n/a (<5 s floor)`: "
+        "balanced sub-5 s stages over a sub-second uniform denominator "
+        "are noise, not a reduce-tail (the r11/r12 "
+        "q_incremental_minhash adjudication, now encoded — VERDICT r12 "
+        "task #6).  Verdict rule (VERDICT "
         "r10): skewed wall ≤ max(3× uniform wall, 1.25× output growth) "
         "⇒ handled; above ⇒ the documented salting/re-window path must "
         "actually be wired in.  The FIRST run of this probe (r11) "
@@ -953,9 +1019,13 @@ def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
     path = "/root/repo/SCALING.md"
     doc = open(path).read()
     appendix = ""
-    if AB_MARKER in doc:
-        appendix = doc[doc.index(AB_MARKER) :]
-        doc = doc[: doc.index(AB_MARKER)]
+    # the sparse-pr section (--sparse-pr) sits between this section and
+    # the A/B appendix — preserve whichever comes first
+    for m in (SPARSE_MARKER, AB_MARKER):
+        if m in doc:
+            appendix = doc[doc.index(m) :]
+            doc = doc[: doc.index(m)]
+            break
     if SKEW_MARKER in doc:
         doc = doc[: doc.index(SKEW_MARKER)]
     with open(path, "w") as f:
@@ -963,12 +1033,116 @@ def _skew_probe(spark, run, k: int, subset: list | None = None) -> None:
     print(f"skew section written to {path}")
 
 
+#: section owned by `scale_probe.py K --sparse-pr` (VERDICT r12 task
+#: #7): on the SPARSE weight-floor co-order graph, does incremental
+#: PageRank's per-ingest work actually scale with the DELTA (patched
+#: nodes, wall) rather than the graph?  The dense co-supply probe cell
+#: can't show this — its 3-hop ball saturates (SCALING.md's honest
+#: caveat).  Sits after the skew section, before the A/B appendix.
+SPARSE_MARKER = (
+    "## Sparse-graph delta-scaling probe (incremental PageRank, "
+    "tool-generated)"
+)
+
+
+def _sparse_pr_probe(spark, k: int) -> None:
+    """`--sparse-pr`: fix the graph (×k part co-order, weight-floor ≥2,
+    sparse by construction), sweep the DELTA SHARE (l_orderkey % mod ==
+    7 for mod = 10/100/1000), and time ONLY the patch phase
+    (pagerank_patch_levels: new-edge diff → frontier expansion →
+    blast-radius re-rank) against stored state built untimed through
+    the same kernel.  Reports new edges, patched nodes vs total nodes,
+    and patch wall — the delta-scaling evidence the dense co-supply
+    cell structurally cannot provide.  The per-level O(E) degree
+    aggregate over the checkpointed edge list is a shared constant
+    across the sweep (production maintains degrees incrementally), so
+    the VARYING part of the wall is the delta's blast radius."""
+    from end_to_end_datapipeline_project_spark.graph import (
+        PR_ITERS,
+        _co_order_half_edges,
+        pagerank_patch_levels,
+    )
+
+    full = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}"
+    big_dir = (
+        full
+        if os.path.exists(f"{full}/lineitem.parquet/_SUCCESS")
+        else build(spark, k, ("lineitem",))
+    )
+    li = read_parquet_table(spark, big_dir, "lineitem").localCheckpoint()
+    half_full = _co_order_half_edges(li)
+    n_nodes = li.select("l_partkey").distinct().count()
+    n_edges = half_full.count()
+    empty_half = spark.createDataFrame([], "src long, dst long")
+    empty_lvl = spark.createDataFrame([], "id long, pr double")
+
+    rows_out = [
+        SPARSE_MARKER,
+        "",
+        f"`python tools/scale_probe.py {k} --sparse-pr` — the ×{k} part "
+        f"co-order graph ({n_nodes:,} nodes, {n_edges:,} weight-floor "
+        f"edges, ~{2 * n_edges / max(n_nodes, 1):.1f} nbrs/node) held "
+        "FIXED while the ingest delta share sweeps 10% → 0.1% "
+        "(l_orderkey % mod == 7).  Timed region: the patch kernel only "
+        "(new-edge diff, 3-level frontier expansion, blast-radius "
+        "re-rank against stored per-iteration ranks built untimed "
+        "through the same kernel).  The dense co-supply decade cell "
+        "cannot evidence delta-scaling — its 3-hop ball saturates "
+        "(~60 nbrs/node); this sparse graph is where the |blast-radius| "
+        "bound binds, and the wall floor shared by all rows is the "
+        "per-level O(E) degree/edge-scan constant that production "
+        "maintains incrementally.",
+        "",
+        "| delta share | new edges | patched nodes | total nodes | "
+        "patched frac | patch wall (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for mod in (10, 100, 1000):
+        cond = F.col("l_orderkey") % mod == 7
+        base_half = _co_order_half_edges(li.filter(~cond))
+        _, base_levels = pagerank_patch_levels(
+            empty_half, [empty_lvl] * PR_ITERS, base_half
+        )
+        obs: dict = {}
+        t0 = time.time()
+        _, levels = pagerank_patch_levels(
+            base_half, base_levels, half_full, obs=obs
+        )
+        levels[-1].count()
+        dt = time.time() - t0
+        rows_out.append(
+            f"| 1/{mod} | {obs['n_new_edges']:,} | {obs['n_patched']:,} "
+            f"| {n_nodes:,} | {obs['n_patched'] / max(n_nodes, 1):.3f} "
+            f"| {dt:.2f} |"
+        )
+        print(rows_out[-1], flush=True)
+
+    path = "/root/repo/SCALING.md"
+    doc = open(path).read()
+    appendix = ""
+    if AB_MARKER in doc:
+        appendix = doc[doc.index(AB_MARKER):]
+        doc = doc[: doc.index(AB_MARKER)]
+    if SPARSE_MARKER in doc:
+        doc = doc[: doc.index(SPARSE_MARKER)]
+    with open(path, "w") as f:
+        f.write(
+            doc.rstrip() + "\n\n" + "\n".join(rows_out) + "\n\n" + appendix
+        )
+    print(f"sparse-pr section written to {path}")
+
+
 def main() -> None:
     argv = sys.argv[1:]
     tail = "--tail" in argv  # subset run that WRITES the tail section
     decade = "--decade" in argv  # work-probe decade cell (×30 vs ×K)
     skew = "--skew" in argv  # hot-key probe (uniform ×K vs skewed ×K)
-    argv = [a for a in argv if a not in ("--tail", "--decade", "--skew")]
+    sparse_pr = "--sparse-pr" in argv  # delta-scaling sweep (r12 task #7)
+    argv = [
+        a
+        for a in argv
+        if a not in ("--tail", "--decade", "--skew", "--sparse-pr")
+    ]
     if argv and argv[0].isdigit():
         k = int(argv[0])
         subset = argv[1:]  # subset run: print ratios, keep SCALING.md
@@ -1026,6 +1200,10 @@ def main() -> None:
         spark._jvm.System.gc()
         return dt, rows, work
 
+    if sparse_pr:
+        _sparse_pr_probe(spark, k)
+        return
+
     if skew:
         _skew_probe(spark, run, k, subset or None)
         return
@@ -1081,7 +1259,13 @@ def main() -> None:
         old = open("/root/repo/SCALING.md").read()
         marks = [
             old.index(m)
-            for m in (TAIL_MARKER, DECADE_MARKER, SKEW_MARKER, AB_MARKER)
+            for m in (
+                TAIL_MARKER,
+                DECADE_MARKER,
+                SKEW_MARKER,
+                SPARSE_MARKER,
+                AB_MARKER,
+            )
             if m in old
         ]
         if marks:
