@@ -235,7 +235,7 @@ NOTES = {
     "q_fuzzy_match": "(output-bound: match pairs grow ~x100 on replica k-cliques; block cap 64 + top-8 emission bound candidates and output linearly once blocks saturate) ",
     "q_minhash_lsh": "(output-bound: replica k-cliques are real near-dups, candidates and output grow ~k^2 by construction; per-(seed,minhash) occupancy cap 1024 bounds chance-collision buckets at billion-doc scale, oracle-mirrored; r11 skew-probe fixes - hot-bucket chunking, xxhash64 verify arrays, width-pinned pair dedup - cut x10 uniform 13.1s->5.2s and x10 hot-key 91.9s->14.6s; r12 exact-duplicate pre-collapse removes the remaining quadratic: identical texts sign once, so an n-copy group emits 0 pairs instead of C(n,2)) ",
     "q_minhash_clusters": "(collapse-then-cluster: LSH pairs + CC over exact-distinct reps only, members reattach via the fingerprint map - per-member cost is one digest-shuffle row + one map-join row) ",
-    "q_incremental_minhash_clusters": "(LSH-sourced cluster maintenance: rep relabels are label substitutions, only novel texts are signed and probe the maintained capped index, contract-and-expand CC on the novel blast radius; occupancy guard falls back to the exact rebuild when a bucket caps; oracle = full rebuild) ",
+    "q_incremental_minhash_clusters": "(LSH-sourced cluster maintenance: rep relabels are label substitutions, only novel texts are signed and probe the maintained capped index, contract-and-expand CC on the novel blast radius; a cap-binding ingest takes the r13 SCOPED recluster - only components containing an evicted doc re-derive from the capped index, everything else keeps stored labels; oracle = full rebuild) ",
     "q_ann_hyperplane_lsh": "(12 bands x 4 sign bits, seeded-PRNG hyperplanes, occupancy cap 128 + top-10 emission; measured recall 0.889 vs exact >=0.45 top-10 at sf0.1; 8x2 correlated-weight form measured 4.9x and recall 0.44) ",
     "q_incremental_minhash": "(output-bound like q_minhash_lsh: the delta's share of the replica k-clique pairs grows ~k^2; the probe join bounds per-bucket work at |delta members| x cap, r12 partner-chunk fan-out spreads a hot bucket's probe work over CHUNKS subkeys) ",
     "q_incremental_pagerank": "(delta-edge restart: stored per-iteration ranks + 3-hop blast-radius patch, oracle = full rebuild; on this deliberately dense co-supply graph [~60 nbrs/node] the 3-hop ball saturates, so wall ~ rebuild + frontier overhead - the bound is |blast radius| edges per level, which is what shrinks on sparse production graphs) ",
