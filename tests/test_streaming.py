@@ -673,3 +673,106 @@ def test_stream_incremental_lpa_across_micro_batches(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert got, "fixture produced no community rows"
+
+
+def test_stream_incremental_minhash_clusters_across_micro_batches(
+    spark, sf_dir, tmp_path
+):
+    """The streamed LSH cluster-maintenance gate must equal batch
+    q_incremental_minhash_clusters EXACTLY when the delta arrives split
+    across micro-batches: rep relabels, novel probes, and CC merges in
+    one batch must be visible as stored state to the next."""
+    import glob
+
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        q_incremental_minhash_clusters,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        read_parquet_table,
+    )
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        incremental_minhash_clusters_stream,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_chunks_imc")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_files >= 3, "need >=3 part files to force >=3 micro-batches"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    base = docs.filter(~(F.col("doc_id") % 10 == 7)).select("doc_id", "text")
+    got = sorted(
+        map(
+            tuple,
+            incremental_minhash_clusters_stream(spark, stream, base).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, q_incremental_minhash_clusters(spark, sf_dir).collect())
+    )
+    assert got == want
+    assert got, "fixture produced no cluster rows"
+
+
+def test_stream_imc_cap_binding_mid_stream(spark, tmp_path, monkeypatch):
+    """A cap-binding ingest arriving MID-STREAM must take the scoped
+    recluster inside its own micro-batch and still leave the stored
+    state equal to the full rebuild: delta 7 rep-churns cluster
+    {30,32}, delta 37 overflows group X's bucket at cap 2 (evicting a
+    stored row), delta 27 is a novel singleton — split across
+    micro-batches."""
+    import glob
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        incremental_minhash_clusters_stream,
+    )
+
+    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 2)
+    x = "g1 g2 g3 g1 g2 g3"
+    c_text = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (40, x),
+        (42, x + " g1"),
+        (44, x + " g1 g2"),
+        (30, c_text),
+        (32, c_text + " p9"),
+        (50, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        (7, c_text),                       # delta: EXACT copy -> churn
+        (37, x + " g1 g2 g3"),             # delta: cap-binding novel
+        (27, "totally unrelated content here alone"),  # delta singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_capbind")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 3
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    base = docs.filter(~(F.col("doc_id") % 10 == 7)).select("doc_id", "text")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in incremental_minhash_clusters_stream(
+            spark, stream, base
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.minhash_cluster_assignments(docs).collect()
+    }
+    assert got == want
+    assert len(got) == 9
+    # churn landed: cluster {30,32} re-labels under the exact copy 7
+    assert got[7] == (7, 1) and got[30] == (7, 0) and got[32] == (7, 0)
