@@ -526,6 +526,7 @@ SKEW_PROBES = [
     "q_minhash_lsh",
     "q_minhash_clusters",
     "q_incremental_minhash",
+    "q_incremental_minhash_clusters",
     "q_ann_hyperplane_lsh",
     "q_incremental_embedding_neardup",
     "q_pagerank",
