@@ -956,11 +956,16 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_cluster_assignments(docs: DataFrame) -> DataFrame:
+def minhash_cluster_assignments(
+    docs: DataFrame, obs: dict | None = None
+) -> DataFrame:
     """The full collapse → LSH → CC → reattach rebuild over any
-    (doc_id, text) corpus — q_minhash_clusters' body, factored so the
-    incremental path's occupancy-guard fallback and synthetic-corpus
-    tests can run it directly."""
+    (doc_id, text) corpus — q_minhash_clusters' body, factored so
+    synthetic-corpus tests (and the incremental path's equivalence
+    pins) can run it directly.  ``obs``: optional dict receiving
+    ``n_pairs_scored`` (the candidate pairs the exact Jaccard verify
+    must score — the decade probe's intrinsic-work gauge, same
+    rationale as incremental_minhash_clusters' obs)."""
     # (doc_id, rep_id) fingerprint map: checkpointed because it feeds
     # the rep filter, the CC node list, AND the reattachment join — the
     # md5 window must not run three times
@@ -974,7 +979,11 @@ def minhash_cluster_assignments(docs: DataFrame) -> DataFrame:
     # coalesce the few-MB join output and serialize the signature md5s)
     reps = pin_parallelism(reps, "doc_id")
     arrs = shingle_arrays(reps).localCheckpoint()
-    pairs = verify_candidates(arrs, minhash_candidates(arrs))
+    cand = minhash_candidates(arrs)
+    if obs is not None:
+        cand = cand.localCheckpoint()
+        obs["n_pairs_scored"] = cand.count()
+    pairs = verify_candidates(arrs, cand)
     edges1 = pairs.filter(
         F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -96,9 +96,29 @@ def _imc_observed(spark, sf_dir, obs):
 #: rows (signature: (spark, sf_dir, Observation) -> DataFrame), so the
 #: work count rides a TIMED run instead of re-executing the plan
 #: (ADVICE r8).
+def _mc_observed(spark, sf_dir, obs):
+    """q_minhash_clusters (the full rebuild) with its scored-pair count
+    as work_rows — same output-understates-work rationale as the
+    incremental twin: assignments are one row per doc while the replica
+    k-cliques grow the verify workload ~k²."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        minhash_cluster_assignments,
+    )
+
+    work: dict = {}
+    df = minhash_cluster_assignments(
+        read_parquet_table(spark, sf_dir, "documents"), work
+    )
+    spark.range(1).observe(
+        obs, F.max(F.lit(work["n_pairs_scored"])).alias("work_rows")
+    ).collect()
+    return df
+
+
 WORK_PROBES = {
     "q_prefix_filter_join": _pf_observed,
     "q_incremental_minhash_clusters": _imc_observed,
+    "q_minhash_clusters": _mc_observed,
 }
 
 #: tables each decade-probe query reads — lets `--decade` replicate only
@@ -123,6 +143,7 @@ WORK_PROBE_TABLES = {
     # restart — the ops a 100 TB ingest tier runs EVERY batch, so each
     # needs its own second-decade cell (VERDICT r11 tasks #3/#5)
     "q_incremental_minhash_clusters": ("documents",),
+    "q_minhash_clusters": ("documents",),
     "q_lsh_index_upsert": ("documents",),
     "q_incremental_tfidf": ("documents",),
     "q_incremental_pagerank": ("lineitem",),
