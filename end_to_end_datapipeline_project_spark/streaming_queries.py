@@ -1323,332 +1323,93 @@ def incremental_minhash_clusters_stream(
     spark: SparkSession, delta_stream: DataFrame, base_docs: DataFrame
 ) -> DataFrame:
     """Streaming LSH cluster maintenance — the flagship incremental
-    path (dedup.incremental_minhash_clusters) run ONCE PER MICRO-BATCH
-    against parquet-backed stored state, completing the pattern that
-    every incremental batch path has a streaming twin.
+    path run ONCE PER MICRO-BATCH against parquet-backed stored state.
 
-    Stored state (seeded from the base corpus through the exact batch
-    stored-state construction): the fingerprint digest table
-    (doc_id, fp), one (fp, rep_id, text) row per exact-duplicate group,
-    the capped (rep_id, seed, minhash) index, and the rep clustering
-    labels.  Per batch: already-seen doc_ids drop out (replay
-    idempotence), fingerprint groups whose minimum moves to a batch doc
-    RELABEL (pure substitution — signatures are text-keyed, zero
-    signature work), only NOVEL texts are signed and probe the
-    monotonically re-capped index, contract-and-expand CC runs on the
-    novel blast radius, and a base eviction triggers the r13 SCOPED
-    recluster of the affected components only.  Verification arrays are
-    computed only for candidate-pair endpoints (the group-text table
-    keys them), so per-batch shingling is delta-scoped.  Exactness
-    composes by induction: each batch's stored state afterwards equals
-    what the batch kernel would derive from the corpus seen so far —
-    the digest/rep tables are exact, the index equals the rebuilt
-    capped index by the monotone-survivor argument, and the labels
-    equal the full-rebuild clustering by the r13 scoped-fallback proof
-    — so the final reattachment equals the rebuild ORACLE.  Production
-    would commit the four tables as one transactional snapshot instead
-    of this single-node multi-dir stand-in."""
-    import os
+    Since r14 the per-ingest step IS :func:`dedup.lsh_maintenance_step`
+    — the same kernel the batch query runs — so correctness fixes land
+    exactly once (ADVICE r13), including the spill-re-entry guard: the
+    stored state carries the capped index's SPILL side table, and an
+    exact-duplicate batch doc that relabels a spilled rep to a smaller
+    id re-enters the re-cap exactly as the rebuild would.
+
+    State commit is ATOMIC (VERDICT r13 task #3): every table the
+    batch touches is written to a fresh versioned directory and a
+    single manifest rename publishes them together
+    (:class:`state.StateStore`).  A crash between table writes leaves
+    the previous consistent state; the replayed batch re-derives
+    against it and flips the manifest once.  A replay after the flip
+    is skipped by the watermark — the marker now genuinely means "this
+    batch was fully applied" (the r13 twin wrote digests FIRST of four
+    non-atomic overwrites, so a mid-commit crash made replay silently
+    drop the batch's docs).  The digest roster is an append-table (one
+    O(delta) segment per batch — the 100 TB shape); groups, index,
+    spill and labels are O(reps) replacements.
+
+    Exactness composes by induction: each batch's committed state
+    equals what the batch kernel derives from the corpus seen so far,
+    so the final reattachment equals the full-rebuild ORACLE."""
     import shutil
     import tempfile
 
     from .llm_ops.dedup import (
-        MINHASH_CLUSTER_JACCARD,
-        connected_components,
         fingerprint_col,
-        minhash_candidates,
-        minhash_index,
-        minhash_signatures,
-        shingle_arrays,
-        verify_candidates,
+        lsh_maintenance_step,
+        lsh_seed_state,
     )
-    from .llm_ops import dedup as _dedup
-    from .sources import pin_parallelism
+    from .state import StateStore
 
     root = tempfile.mkdtemp(prefix="spark_graft_stream_imc_")
-    dig_p, grp_p = f"{root}/digests", f"{root}/groups"
-    idx_p, lab_p = f"{root}/index", f"{root}/labels"
     try:
+        store = StateStore(f"{root}/state")
         # --- seed stored state from the base corpus (the batch
-        # kernel's stored-state section, executed once)
-        digests0 = base_docs.select(
-            "doc_id", fingerprint_col().alias("fp")
-        ).localCheckpoint()
-        gmin0 = digests0.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-        groups0 = (
-            base_docs.select(F.col("doc_id").alias("rep_id"), "text")
-            .join(gmin0, "rep_id")
-            .select("fp", "rep_id", "text")
-            .localCheckpoint()
+        # kernel's stored-state section, executed once; commit 0)
+        digests0, groups0, idx0, spill0, lab0 = lsh_seed_state(base_docs)
+        store.commit(
+            0,
+            replace={
+                "groups": groups0,
+                "index": idx0,
+                "spill": spill0,
+                "labels": lab0,
+            },
+            append={"digests": digests0},
         )
-        reps0 = groups0.select(F.col("rep_id").alias("doc_id"), "text")
-        arrs0 = shingle_arrays(
-            pin_parallelism(reps0, "doc_id")
-        ).localCheckpoint()
-        idx0 = minhash_index(arrs0)
-        edges0 = (
-            verify_candidates(arrs0, minhash_candidates(arrs0))
-            .filter(F.col("jaccard") >= MINHASH_CLUSTER_JACCARD)
-            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        )
-        lab0 = connected_components(
-            groups0.select(F.col("rep_id").alias("doc_id")), edges0, "doc_id"
-        ).select(F.col("doc_id").alias("rep_id"), "cluster_id")
-        digests0.write.mode("overwrite").parquet(dig_p)
-        groups0.write.mode("overwrite").parquet(grp_p)
-        idx0.write.mode("overwrite").parquet(idx_p)
-        lab0.write.mode("overwrite").parquet(lab_p)
 
         def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            bid = batch_id + 1  # seed owns commit 0
+            if store.last_batch() >= bid:
+                return  # fully-applied replay: the manifest IS the marker
             ss = batch_df.sparkSession
-            digests = ss.read.parquet(dig_p)
-            groups = ss.read.parquet(grp_p)
-            idx = ss.read.parquet(idx_p)
-            lab = ss.read.parquet(lab_p)
-            b = batch_df.select(
-                "doc_id", fingerprint_col().alias("fp"), "text"
-            ).dropDuplicates(["doc_id"])
-            # replay idempotence: a doc already in the digest table was
-            # fully applied by the attempt that wrote it
-            bnew = b.join(
-                digests.select("doc_id"), "doc_id", "left_anti"
-            ).localCheckpoint()
-            if not bnew.limit(1).count():
-                return
-            digests2 = digests.unionByName(
-                bnew.select("doc_id", "fp")
-            ).localCheckpoint()
-
-            # group deltas: relabels (min moved to a batch id) + novels
-            gmin = bnew.groupBy("fp").agg(F.min("doc_id").alias("bmin"))
-            gold = groups.select("fp", F.col("rep_id").alias("old"))
-            j = gmin.join(gold, "fp", "left")
-            relabel = (
-                j.filter(
-                    F.col("old").isNotNull() & (F.col("bmin") < F.col("old"))
+            digests = store.read(ss, "digests")
+            batch = (
+                batch_df.select(
+                    "doc_id", fingerprint_col().alias("fp"), "text"
                 )
-                .select("old", F.col("bmin").alias("new"))
+                .dropDuplicates(["doc_id"])
+                .join(digests.select("doc_id"), "doc_id", "left_anti")
                 .localCheckpoint()
             )
-            novel_texts = (
-                bnew.join(
-                    j.filter(F.col("old").isNull()).select(
-                        "fp", F.col("bmin").alias("doc_id")
-                    ),
-                    ["fp", "doc_id"],
-                )
-                .select("fp", "doc_id", "text")
-                .localCheckpoint()
+            _d, g2, i2, s2, l2 = lsh_maintenance_step(
+                digests,
+                store.read(ss, "groups"),
+                store.read(ss, "index"),
+                store.read(ss, "spill"),
+                store.read(ss, "labels"),
+                batch,
             )
-            groups2 = (
-                groups.join(
-                    F.broadcast(relabel), groups.rep_id == relabel.old, "left"
-                )
-                .select(
-                    "fp",
-                    F.coalesce("new", "rep_id").alias("rep_id"),
-                    "text",
-                )
-                .unionByName(
-                    novel_texts.select(
-                        "fp", F.col("doc_id").alias("rep_id"), "text"
-                    )
-                )
-                .localCheckpoint()
+            # versioned dirs: the writes below never touch the dirs the
+            # reads above came from, so no materialize-before-overwrite
+            # discipline is needed — the manifest flip swaps atomically
+            store.commit(
+                bid,
+                replace={
+                    "groups": g2,
+                    "index": i2,
+                    "spill": s2,
+                    "labels": l2,
+                },
+                append={"digests": batch.select("doc_id", "fp")},
             )
-
-            # maintained index: relabel stored rows, sign ONLY novels,
-            # monotone re-cap; track evicted BASE rows (the guard)
-            idx_rel = idx.join(
-                F.broadcast(relabel), idx.doc_id == relabel.old, "left"
-            ).select(
-                F.coalesce("new", "doc_id").alias("doc_id"), "seed", "minhash"
-            )
-            novel_arrs = shingle_arrays(
-                novel_texts.select("doc_id", "text")
-            )
-            novel_sig = minhash_signatures(novel_arrs)
-            from pyspark.sql import Window as _W
-
-            w_bucket = _W.partitionBy("seed", "minhash").orderBy("doc_id")
-            ranked = (
-                idx_rel.withColumn("__novel", F.lit(False))
-                .unionByName(novel_sig.withColumn("__novel", F.lit(True)))
-                .withColumn("__bn", F.row_number().over(w_bucket))
-                .localCheckpoint()
-            )
-            cap = _dedup.MINHASH_BUCKET_CAP
-            idx2 = ranked.filter(F.col("__bn") <= cap).drop(
-                "__bn", "__novel"
-            ).localCheckpoint()
-            evicted = (
-                ranked.filter((F.col("__bn") > cap) & ~F.col("__novel"))
-                .select("doc_id")
-                .distinct()
-                .localCheckpoint()
-            )
-
-            # fast path: relabeled stored labels, re-min, novel probe,
-            # contract-and-expand on the blast radius
-            bl = lab.join(
-                F.broadcast(relabel), lab.rep_id == relabel.old, "left"
-            ).select(
-                F.coalesce("new", "rep_id").alias("rid"), "cluster_id"
-            )
-            nlab = bl.groupBy("cluster_id").agg(F.min("rid").alias("label"))
-            old_lab = bl.join(nlab, "cluster_id").select("rid", "label")
-
-            novel_ids = novel_texts.select("doc_id")
-            n = ss.sparkContext.defaultParallelism
-            probe = idx2.join(novel_ids, "doc_id", "left_semi").select(
-                F.col("doc_id").alias("d_id"), "seed", "minhash"
-            )
-            cand = (
-                probe.join(
-                    idx2.select(
-                        F.col("doc_id").alias("i_id"), "seed", "minhash"
-                    ),
-                    ["seed", "minhash"],
-                )
-                .filter(F.col("i_id") != F.col("d_id"))
-                .select(
-                    F.least("d_id", "i_id").alias("doc_a"),
-                    F.greatest("d_id", "i_id").alias("doc_b"),
-                )
-                .repartition(n, "doc_a", "doc_b")
-                .dropDuplicates(["doc_a", "doc_b"])
-                .localCheckpoint()
-            )
-            need = (
-                cand.select(F.col("doc_a").alias("doc_id"))
-                .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
-                .distinct()
-            )
-            arrs_need = shingle_arrays(
-                groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
-                    need, "doc_id", "left_semi"
-                )
-            ).localCheckpoint()
-            new_edges = verify_candidates(arrs_need, cand).filter(
-                F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
-            )
-            lab_a = old_lab.select(
-                F.col("rid").alias("doc_a"), F.col("label").alias("la")
-            )
-            lab_b = old_lab.select(
-                F.col("rid").alias("doc_b"), F.col("label").alias("lb")
-            )
-            contracted = (
-                new_edges.join(lab_a, "doc_a", "left")
-                .join(lab_b, "doc_b", "left")
-                .select(
-                    F.coalesce("la", F.col("doc_a")).alias("u"),
-                    F.coalesce("lb", F.col("doc_b")).alias("v"),
-                )
-                .filter(F.col("u") != F.col("v"))
-                .select(
-                    F.least("u", "v").alias("src"),
-                    F.greatest("u", "v").alias("dst"),
-                )
-                .distinct()
-                .localCheckpoint()
-            )
-            cnodes = (
-                contracted.select(F.col("src").alias("id"))
-                .unionAll(contracted.select(F.col("dst").alias("id")))
-                .distinct()
-            )
-            cc2 = connected_components(cnodes, contracted, "id").select(
-                F.col("id"), F.col("cluster_id").alias("merged")
-            )
-            rep_final = (
-                old_lab.join(
-                    cc2.withColumnRenamed("id", "label"), "label", "left"
-                )
-                .select(
-                    F.col("rid").alias("rep_id"),
-                    F.coalesce("merged", "label").alias("cluster_id"),
-                )
-                .unionByName(
-                    novel_ids.join(
-                        cc2.withColumnRenamed("id", "doc_id"),
-                        "doc_id",
-                        "left",
-                    ).select(
-                        F.col("doc_id").alias("rep_id"),
-                        F.coalesce("merged", "doc_id").alias("cluster_id"),
-                    )
-                )
-                .localCheckpoint()
-            )
-
-            # scoped exactness fallback (r13): recluster only the
-            # fast-path components containing an evicted stored row
-            if evicted.limit(1).count():
-                scope_cids = (
-                    rep_final.join(
-                        evicted.withColumnRenamed("doc_id", "rep_id"),
-                        "rep_id",
-                        "left_semi",
-                    )
-                    .select("cluster_id")
-                    .distinct()
-                    .localCheckpoint()
-                )
-                scope_reps = (
-                    rep_final.join(scope_cids, "cluster_id", "left_semi")
-                    .select(F.col("rep_id").alias("doc_id"))
-                    .localCheckpoint()
-                )
-                scope_idx = idx2.join(scope_reps, "doc_id", "left_semi")
-                scope_cand = (
-                    scope_idx.select(
-                        F.col("doc_id").alias("d_a"), "seed", "minhash"
-                    )
-                    .join(
-                        scope_idx.select(
-                            F.col("doc_id").alias("d_b"), "seed", "minhash"
-                        ),
-                        ["seed", "minhash"],
-                    )
-                    .filter(F.col("d_a") < F.col("d_b"))
-                    .select(
-                        F.col("d_a").alias("doc_a"),
-                        F.col("d_b").alias("doc_b"),
-                    )
-                    .repartition(n, "doc_a", "doc_b")
-                    .dropDuplicates(["doc_a", "doc_b"])
-                    .localCheckpoint()
-                )
-                s_need = (
-                    scope_cand.select(F.col("doc_a").alias("doc_id"))
-                    .unionAll(scope_cand.select(F.col("doc_b").alias("doc_id")))
-                    .distinct()
-                )
-                s_arrs = shingle_arrays(
-                    groups2.select(
-                        F.col("rep_id").alias("doc_id"), "text"
-                    ).join(s_need, "doc_id", "left_semi")
-                ).localCheckpoint()
-                scope_edges = verify_candidates(s_arrs, scope_cand).filter(
-                    F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
-                ).select(
-                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                )
-                scope_cc = connected_components(
-                    scope_reps, scope_edges, "doc_id"
-                ).select(F.col("doc_id").alias("rep_id"), "cluster_id")
-                rep_final = (
-                    rep_final.join(scope_cids, "cluster_id", "left_anti")
-                    .select("rep_id", "cluster_id")
-                    .unionByName(scope_cc)
-                    .localCheckpoint()
-                )
-
-            digests2.write.mode("overwrite").parquet(dig_p)
-            groups2.write.mode("overwrite").parquet(grp_p)
-            idx2.write.mode("overwrite").parquet(idx_p)
-            rep_final.write.mode("overwrite").parquet(lab_p)
 
         q = (
             delta_stream.writeStream.foreachBatch(ingest)
@@ -1658,9 +1419,9 @@ def incremental_minhash_clusters_stream(
         )
         q.awaitTermination()
 
-        digests = spark.read.parquet(dig_p)
-        groups = spark.read.parquet(grp_p)
-        lab = spark.read.parquet(lab_p)
+        digests = store.read(spark, "digests")
+        groups = store.read(spark, "groups")
+        lab = store.read(spark, "labels")
         return (
             digests.join(groups.select("fp", "rep_id"), "fp")
             .join(lab, "rep_id")

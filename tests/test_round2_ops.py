@@ -438,6 +438,56 @@ def test_incremental_minhash_clusters_churn_bridge_and_fallback(
 # LSH successor in test_properties.py.)
 
 
+def test_incremental_minhash_clusters_spill_reentry(spark, monkeypatch):
+    """The ADVICE r13 HIGH corner: a fingerprint group whose rep was
+    evicted at BASE-index build time (bucket already at cap among base
+    reps) gets RELABELED to a smaller delta doc_id by an exact-dup
+    ingest.  The rebuild's capped bucket then contains the relabeled
+    row (it outranks the old survivors) and evicts a survivor, but the
+    r13 eviction-only guard never saw the row — `evicted` stayed empty,
+    no recluster fired, and the output silently diverged from the
+    rebuild.  The fix: the SPILL side table persists base-build
+    evictions; relabeled spill rows re-enter the re-cap (making the
+    maintained index provably ≡ the rebuild's) and probe the index as
+    re-entrants, so the displaced survivor shows up in `evicted` and
+    the scoped recluster restores exactness."""
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 2)
+    x = "g1 g2 g3 g1 g2 g3"  # shingle set {3 rotations} — one bucket
+    rows = [
+        (10, x),                           # base bucket {10, 20, 30}:
+        (20, x + " g1"),                   #   cap 2 stores {10, 20},
+        (30, x + " g1 g2"),                #   30's rows all SPILL
+        (7, x + " g1 g2"),                 # delta: EXACT dup of 30 →
+        #                                    relabel 30→7, spill re-entry
+        (60, "p1 p2 p3 p4 p5 p6 p7 p8"),   # untouched base cluster
+        (62, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs: dict = {}
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.incremental_minhash_clusters(docs, obs).collect()
+    }
+    want = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.minhash_cluster_assignments(docs).collect()
+    }
+    assert got == want
+    # rebuild semantics: bucket {7, 10} survives (7 outranks 20 after
+    # the relabel), so 20 loses its only meeting place with 10
+    assert got[7] == (7, 1) and got[30] == (7, 0) and got[10] == (7, 0)
+    assert got[20] == (20, 1)
+    assert got[60] == (60, 1) and got[62] == (60, 0)
+    # the displaced survivor tripped the guard, and the scoped
+    # recluster touched ONLY the affected component {7, 10, 20} —
+    # never the untouched cluster {60, 62}
+    assert obs["n_evicted"] == 1          # stored row 20
+    assert obs["n_scope_reps"] == 3       # {7, 10, 20}
+    assert obs["n_total_reps"] == 5       # reps {7, 10, 20, 60, 62}
+
+
 def test_minhash_recall_monotone(spark, sf_dir):
     from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
         q_minhash_recall,
@@ -537,6 +587,27 @@ def test_connected_components_converges_on_long_chains(spark):
     assert len(out) == n
     assert {r.cluster_id for r in out} == {0}
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_connected_components_drops_foreign_edges(spark):
+    """Edges violating the both-endpoints-in-nodes contract are DROPPED
+    (ADVICE r13): before the guard, the star-contraction pre-pass could
+    emit a foreign endpoint as a contracted node and return a
+    cluster_id that is not any input node."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(10,), (20,), (30,)], "doc_id long")
+    edges = spark.createDataFrame(
+        # (10,20) is in-contract; the rest reference foreign node 5/99
+        [(10, 20), (5, 10), (20, 99), (5, 99)], "src long, dst long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, edges, "doc_id").collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 30}
 
 
 def test_tokenizer_agrees_on_vertical_tab(spark):

@@ -776,3 +776,63 @@ def test_stream_imc_cap_binding_mid_stream(spark, tmp_path, monkeypatch):
     assert len(got) == 9
     # churn landed: cluster {30,32} re-labels under the exact copy 7
     assert got[7] == (7, 1) and got[30] == (7, 0) and got[32] == (7, 0)
+
+
+def test_stream_minhash_clusters_spill_reentry_mid_stream(
+    spark, tmp_path, monkeypatch
+):
+    """The ADVICE r13 HIGH corner through the STREAMING twin: base
+    bucket {110, 120, 130} at cap 2 stores {110, 120} and spills 130;
+    a later micro-batch's doc 107 exact-duplicates 130's text, so the
+    relabel resurrects the spilled rows under the smaller id — the
+    re-cap must admit them (evicting stored 120) and the scoped
+    recluster must leave state ≡ rebuild, across micro-batch
+    boundaries and with other batches in between."""
+    import glob
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+    from end_to_end_datapipeline_project_spark.streaming_queries import (
+        incremental_minhash_clusters_stream,
+    )
+
+    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 2)
+    x = "g1 g2 g3 g1 g2 g3"
+    rows = [
+        (110, x),                          # base bucket trio: cap 2
+        (120, x + " g1"),                  #   stores {110, 120},
+        (130, x + " g1 g2"),               #   130's rows all SPILL
+        (160, "p1 p2 p3 p4 p5 p6 p7 p8"),  # untouched base cluster
+        (162, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+        (107, x + " g1 g2"),               # delta: EXACT dup of 130 →
+        #                                    relabel + spill re-entry
+        (117, "totally unrelated content here alone"),  # delta singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_spill_reentry")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 2
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    base = docs.filter(~(F.col("doc_id") % 10 == 7)).select("doc_id", "text")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in incremental_minhash_clusters_stream(
+            spark, stream, base
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.minhash_cluster_assignments(docs).collect()
+    }
+    assert got == want
+    # rebuild semantics: the resurrected rows outrank 120, which loses
+    # its only meeting place with 110
+    assert got[107] == (107, 1) and got[130] == (107, 0)
+    assert got[110] == (107, 0) and got[120] == (120, 1)
+    assert got[160] == (160, 1) and got[162] == (160, 0)

@@ -74,9 +74,11 @@ def _imc_observed(spark, sf_dir, obs):
     df = incremental_minhash_clusters(
         read_parquet_table(spark, sf_dir, "documents"), work
     )
-    # the kernel finishes its (checkpointed) candidate passes before
-    # returning, so the count is final here; ship it through the
-    # harness Observation, which resolves on any action
+    # since r14 the kernel's gauge is CollectMetrics observations
+    # riding its own candidate-stream executions (dedup.observe_pairs)
+    # — zero extra actions or checkpoint footprint — and it resolves
+    # the summed count before returning; ship it through the harness
+    # Observation, which resolves on any action
     spark.range(1).observe(
         obs, F.max(F.lit(work["n_pairs_scored"])).alias("work_rows")
     ).collect()
@@ -109,6 +111,10 @@ def _mc_observed(spark, sf_dir, obs):
     df = minhash_cluster_assignments(
         read_parquet_table(spark, sf_dir, "documents"), work
     )
+    # r14: the count is a CollectMetrics node on the verify plan,
+    # resolved by the CC loop's own actions inside the call — observed
+    # mode no longer localCheckpoints the candidate stream (that
+    # footprint killed the r13 ×100 attempt)
     spark.range(1).observe(
         obs, F.max(F.lit(work["n_pairs_scored"])).alias("work_rows")
     ).collect()
