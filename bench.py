@@ -200,6 +200,16 @@ def main() -> None:
     # host noise.  The min-of-samples total is the quiet-host estimate
     # (the steady-state plan cost that actually scales); the batch-order
     # single-pass total stays alongside as `batch_total`.
+    # canary-normalized total (VERDICT r13 task #6): Σ(min) scaled by
+    # this host's python canary against the fixed reference canary
+    # below, so cross-round comparisons on drifting shared hosts have
+    # ONE number both the builder's and the driver's records can use
+    # (r13: the A/B appendix read "flat" while the driver record read
+    # −6%, with a 20%-apart canary doing the explaining).  The
+    # reference value is the r13 driver record's canary — normalizing
+    # every round to the same fixed host-speed unit.
+    ref_canary = 0.132  # BENCH_r13.json python_1core_sec
+    value = round(sum(imins.values()), 3)
     print(
         json.dumps(
             {
@@ -209,7 +219,11 @@ def main() -> None:
                 # detect the change instead of misreading it against
                 # pre-r12 batch-order totals
                 "headline": "sum_min",
-                "value": round(sum(imins.values()), 3),
+                "value": value,
+                "value_canary_norm": round(
+                    value * ref_canary / canary["python_1core_sec"], 3
+                ),
+                "canary_ref": ref_canary,
                 "unit": "sec",
                 "n_queries": len(timings),
                 "batch_total": total,

@@ -1680,16 +1680,19 @@ def q_lsh_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "edges touching novel reps feed contract-and-expand CC over the "
     "stored base clustering; members reattach through the fingerprint "
     "map. ORACLE = the full rebuild (q_minhash_clusters' SQL). "
-    "Exactness: when the re-cap evicts no BASE row, the merged index's "
-    "pair set is exactly (relabeled base pairs ∪ novel-touching pairs) "
-    "and contract-and-expand is the r11-proven min-label argument; a "
-    "cap-binding ingest (degenerate after the exact-duplicate collapse: "
-    "identical texts never pile into one bucket anymore) takes the "
-    "SCOPED recluster — only the fast-path components containing an "
-    "evicted doc are re-derived from the capped index's own candidate "
-    "pairs (rebuild edges are a subset of fast-path edges, so no "
-    "rebuild component crosses that boundary), every other cluster "
-    "keeps its label unrecomputed.",
+    "Exactness (r14): the maintained index is provably ≡ the "
+    "rebuild's — the cap's SPILL rows are stored state, and a "
+    "relabeled spill row re-enters the re-cap (the r13 eviction-only "
+    "guard's blind corner: a base-build-evicted rep relabeled to a "
+    "smaller delta id) and probes alongside novels; the only "
+    "remaining divergence channel is a STORED row losing its bucket "
+    "seat, which takes the SCOPED recluster — only the fast-path "
+    "components containing an evicted doc are re-derived from the "
+    "capped index's own candidate pairs (rebuild edges ⊆ fast-path "
+    "scored edges, so no rebuild component crosses that boundary), "
+    "every other cluster keeps its label unrecomputed. The per-ingest "
+    "step is lsh_maintenance_step — the SAME kernel the streaming "
+    "twin commits per micro-batch.",
 )
 def q_incremental_minhash_clusters(
     spark: SparkSession, sf_dir: str

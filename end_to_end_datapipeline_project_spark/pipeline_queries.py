@@ -372,11 +372,22 @@ _TOP_VEHICLE_SQL = f"""__src AS (SELECT * FROM __dedup),
 def top_vehicle_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of _TOP_VEHICLE_SQL: the drill-down top vehicle's
     enriched pings, shared by q_drilldown_top_vehicle and
-    q_route_map_path (broadcast semi-joins, no driver .first())."""
-    cleansed = events_cleansed(spark, sf_dir)
-    report = events_report(spark, sf_dir)
+    q_route_map_path (broadcast semi-joins, no driver .first()).
+
+    r14 (VERDICT r13 task #5): the two top-1 broadcast subqueries and
+    the final output are three jobs that each re-derived the cleansed
+    subtree (executed plan showed 4 parquet scans / 12 Windows, zero
+    ReusedExchange across the broadcast-job boundary) — checkpoint it
+    ONCE so every job reads the materialized rows, and rank the top
+    line on the ONLY report column the drill-down orders by
+    (total_cost_pln, same dsum + tiebreak as the full report) instead
+    of computing all eight aggregates.  Bench: 2.45 s → ~1.7 s."""
+    cleansed = events_cleansed(spark, sf_dir).localCheckpoint()
+    line_costs = enrich(cleansed, EVENTS_TRAJ).groupBy("event_type").agg(
+        spark_dsum_rounded(F.col("cost_pln")).alias("total_cost_pln")
+    )
     top_line = (
-        report.orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
+        line_costs.orderBy(F.desc("total_cost_pln"), F.asc("event_type"))
         .limit(1)
         .select("event_type")
     )

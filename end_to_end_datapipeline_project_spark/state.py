@@ -107,6 +107,12 @@ class StateStore:
             if schema is None:
                 raise KeyError(f"state table {name!r} has no commits")
             return spark.createDataFrame([], schema)
+        # keep partition discovery of bucketed segments on the driver
+        # (above 32 paths Spark lists via a one-task-per-dir cluster
+        # job — measured ~0.5 s per read of a 512-bucket segment)
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096"
+        )
         out = None
         for d in dirs:
             part = spark.read.parquet(d)
@@ -149,7 +155,22 @@ class StateStore:
     def _write(
         self, df: DataFrame, rel: str, partition_cols: list[str] | None
     ) -> None:
-        w = df.write.mode("overwrite")
-        if partition_cols:
-            w = w.partitionBy(*partition_cols)
+        # an EMPTY partitioned write leaves a dir with no partition
+        # directories and no footers — unreadable (schema inference
+        # fails).  Write empties unpartitioned: the partition column
+        # stays as an ordinary (empty) data column, so readers' filters
+        # and unions still resolve.
+        if partition_cols and not df.isEmpty():
+            # repartition ON the partition columns first: a partitionBy
+            # from N input partitions opens up to N files per partition
+            # directory, and every later pruned read pays one task per
+            # file; hashing rows to their bucket writes exactly one
+            # file per non-empty bucket
+            from pyspark.sql import functions as F
+
+            n = df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartition(n, *[F.col(c) for c in partition_cols])
+            w = df.write.mode("overwrite").partitionBy(*partition_cols)
+        else:
+            w = df.write.mode("overwrite")
         w.parquet(os.path.join(self.root, rel))

@@ -1072,23 +1072,44 @@ SPARSE_MARKER = (
     "tool-generated)"
 )
 
+#: section owned by `scale_probe.py K --sparse-lpa` (VERDICT r13
+#: stretch #7): the same fixed-graph delta sweep on the LPA patch
+#: kernel, whose re-vote join prunes differently.  Sits after the
+#: sparse-pr section, before the A/B appendix.
+SPARSE_LPA_MARKER = (
+    "## Sparse-graph delta-scaling probe (incremental LPA, "
+    "tool-generated)"
+)
+
 
 def _sparse_pr_probe(spark, k: int) -> None:
     """`--sparse-pr`: fix the graph (×k part co-order, weight-floor ≥2,
     sparse by construction), sweep the DELTA SHARE (l_orderkey % mod ==
-    7 for mod = 10/100/1000), and time ONLY the patch phase
-    (pagerank_patch_levels: new-edge diff → frontier expansion →
-    blast-radius re-rank) against stored state built untimed through
-    the same kernel.  Reports new edges, patched nodes vs total nodes,
-    and patch wall — the delta-scaling evidence the dense co-supply
-    cell structurally cannot provide.  The per-level O(E) degree
-    aggregate over the checkpointed edge list is a shared constant
-    across the sweep (production maintains degrees incrementally), so
-    the VARYING part of the wall is the delta's blast radius."""
+    7 for mod = 10/100/1000), and time ONLY the per-ingest patch phase
+    against stored state built untimed through the same kernels.
+
+    r14 contract (VERDICT r13 task #1): the timed region is the honest
+    production ingest — the delta's OWN pair counts
+    (_co_order_pair_counts over delta orders only), the floor-crossing
+    check against the stored pair-weight segments pruned to the
+    delta's buckets (co_order_new_edges — the r13 probe's O(E)
+    merged-vs-base anti-join is gone), and pagerank_patch_levels over
+    src-bucketed adjacency segments with partition-pruned frontier
+    scans and an incrementally-merged degree table.  The r13 row read
+    flat ~32.5 s at every delta share because every level joined the
+    full edge list; the pass criterion now is a wall that tracks the
+    delta."""
+    import shutil
+
     from end_to_end_datapipeline_project_spark.graph import (
         PR_ITERS,
-        _co_order_half_edges,
+        _co_order_pair_counts,
+        _directed_half,
+        _out_degrees,
+        co_order_new_edges,
         pagerank_patch_levels,
+        write_adj_segment,
+        write_weight_segment,
     )
 
     full = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}"
@@ -1098,43 +1119,62 @@ def _sparse_pr_probe(spark, k: int) -> None:
         else build(spark, k, ("lineitem",))
     )
     li = read_parquet_table(spark, big_dir, "lineitem").localCheckpoint()
-    half_full = _co_order_half_edges(li)
     n_nodes = li.select("l_partkey").distinct().count()
-    n_edges = half_full.count()
-    empty_half = spark.createDataFrame([], "src long, dst long")
+    state_root = f"/tmp/spark_graft_scale_{os.getuid()}/sparse_state"
+    empty_deg = spark.createDataFrame([], "src long, outdeg double")
     empty_lvl = spark.createDataFrame([], "id long, pr double")
 
     rows_out = [
         SPARSE_MARKER,
         "",
         f"`python tools/scale_probe.py {k} --sparse-pr` — the ×{k} part "
-        f"co-order graph ({n_nodes:,} nodes, {n_edges:,} weight-floor "
-        f"edges, ~{2 * n_edges / max(n_nodes, 1):.1f} nbrs/node) held "
-        "FIXED while the ingest delta share sweeps 10% → 0.1% "
-        "(l_orderkey % mod == 7).  Timed region: the patch kernel only "
-        "(new-edge diff, 3-level frontier expansion, blast-radius "
-        "re-rank against stored per-iteration ranks built untimed "
-        "through the same kernel).  The dense co-supply decade cell "
-        "cannot evidence delta-scaling — its 3-hop ball saturates "
-        "(~60 nbrs/node); this sparse graph is where the |blast-radius| "
-        "bound binds, and the wall floor shared by all rows is the "
-        "per-level O(E) degree/edge-scan constant that production "
-        "maintains incrementally.",
+        f"co-order graph ({n_nodes:,} nodes, weight-floor ≥2, sparse "
+        "by construction) held FIXED while the ingest delta share "
+        "sweeps 10% → 0.1% (l_orderkey % mod == 7).  Timed region: the "
+        "per-ingest patch only — delta pair counts, floor-crossing "
+        "check against pair-weight segments PRUNED to the delta's "
+        "buckets, and the 3-level blast-radius re-rank through "
+        "partition-pruned scans of the src-bucketed stored adjacency "
+        "with an incrementally-merged degree table.  Stored state "
+        "(weight/adjacency segments, per-iteration rank vectors, "
+        "degrees) is built untimed through the same kernels.  The r13 "
+        "row sat flat at ~32.5 s because every level joined the FULL "
+        "edge list and degrees were recomputed from E per patch "
+        "(VERDICT r13 #1); the wall must now track the delta.",
         "",
         "| delta share | new edges | patched nodes | total nodes | "
         "patched frac | patch wall (s) |",
         "|---|---|---|---|---|---|",
     ]
+    n_half = None
     for mod in (10, 100, 1000):
         cond = F.col("l_orderkey") % mod == 7
-        base_half = _co_order_half_edges(li.filter(~cond))
-        _, base_levels = pagerank_patch_levels(
-            empty_half, [empty_lvl] * PR_ITERS, base_half
+        shutil.rmtree(state_root, ignore_errors=True)
+        # --- stored pre-ingest state, untimed
+        w0 = _co_order_pair_counts(li.filter(~cond)).localCheckpoint()
+        wdir = f"{state_root}/w/seg0"
+        write_weight_segment(w0, wdir)
+        base_half = (
+            w0.filter(F.col("n_co") >= 2)
+            .select("src", "dst")
+            .localCheckpoint()
         )
+        adj = f"{state_root}/adj/seg0"
+        write_adj_segment(base_half, adj)
+        outdeg0 = _out_degrees(_directed_half(base_half)).localCheckpoint()
+        base_levels, _ = pagerank_patch_levels(
+            spark, [adj], empty_deg, [empty_lvl] * PR_ITERS, base_half
+        )
+        if n_half is None:
+            n_half = base_half.count()  # ~the fixed graph's edge count
+        delta_li = li.filter(cond).localCheckpoint()
+        # --- the timed per-ingest patch
         obs: dict = {}
         t0 = time.time()
-        _, levels = pagerank_patch_levels(
-            base_half, base_levels, half_full, obs=obs
+        dw = _co_order_pair_counts(delta_li).localCheckpoint()
+        new_half = co_order_new_edges(spark, [wdir], dw)
+        levels, _od = pagerank_patch_levels(
+            spark, [adj], outdeg0, base_levels, new_half, obs=obs
         )
         levels[-1].count()
         dt = time.time() - t0
@@ -1144,20 +1184,120 @@ def _sparse_pr_probe(spark, k: int) -> None:
             f"| {dt:.2f} |"
         )
         print(rows_out[-1], flush=True)
+    shutil.rmtree(state_root, ignore_errors=True)
 
+    _write_sparse_section(SPARSE_MARKER, rows_out)
+
+
+def _sparse_lpa_probe(spark, k: int) -> None:
+    """`--sparse-lpa` (VERDICT r13 stretch #7): the delta-scaling sweep
+    on the SECOND patch-kernel shape — incremental LPA shares the
+    pruned-adjacency layout but its re-vote join has different pruning
+    behavior (one S1-bucket read serves both level-1 and the S2
+    expansion; level 2 gathers S2's buckets once).  Same fixed ×k
+    co-order graph, same delta sweep, same timed-region contract as
+    --sparse-pr."""
+    import shutil
+
+    from end_to_end_datapipeline_project_spark.graph import (
+        _co_order_pair_counts,
+        co_order_new_edges,
+        lpa_patch_levels,
+        write_adj_segment,
+        write_weight_segment,
+    )
+
+    full = f"/tmp/spark_graft_scale_{os.getuid()}/x{k}"
+    big_dir = (
+        full
+        if os.path.exists(f"{full}/lineitem.parquet/_SUCCESS")
+        else build(spark, k, ("lineitem",))
+    )
+    li = read_parquet_table(spark, big_dir, "lineitem").localCheckpoint()
+    n_nodes = li.select("l_partkey").distinct().count()
+    state_root = f"/tmp/spark_graft_scale_{os.getuid()}/sparse_state"
+    empty_lbl = spark.createDataFrame([], "id long, label long")
+
+    rows_out = [
+        SPARSE_LPA_MARKER,
+        "",
+        f"`python tools/scale_probe.py {k} --sparse-lpa` — the ×{k} "
+        f"part co-order graph ({n_nodes:,} nodes) held FIXED while the "
+        "delta share sweeps 10% → 0.1%; timed region is the per-ingest "
+        "LPA patch (delta pair counts → pruned floor-crossing check → "
+        "lpa_patch_levels' 1-hop re-vote through partition-pruned "
+        "adjacency scans), stored state built untimed.",
+        "",
+        "| delta share | new edges | patched nodes | total nodes | "
+        "patched frac | patch wall (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for mod in (10, 100, 1000):
+        cond = F.col("l_orderkey") % mod == 7
+        shutil.rmtree(state_root, ignore_errors=True)
+        w0 = _co_order_pair_counts(li.filter(~cond)).localCheckpoint()
+        wdir = f"{state_root}/w/seg0"
+        write_weight_segment(w0, wdir)
+        base_half = (
+            w0.filter(F.col("n_co") >= 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        adj = f"{state_root}/adj/seg0"
+        write_adj_segment(base_half, adj)
+        l1b, l2b = lpa_patch_levels(
+            spark, [adj], empty_lbl, empty_lbl, base_half
+        )
+        l2b = l2b.localCheckpoint()
+        delta_li = li.filter(cond).localCheckpoint()
+        obs: dict = {}
+        t0 = time.time()
+        dw = _co_order_pair_counts(delta_li).localCheckpoint()
+        new_half = co_order_new_edges(spark, [wdir], dw)
+        l1f, l2f = lpa_patch_levels(
+            spark, [adj], l1b, l2b, new_half, obs=obs
+        )
+        l2f.localCheckpoint().count()
+        dt = time.time() - t0
+        rows_out.append(
+            f"| 1/{mod} | {obs['n_new_edges']:,} | {obs['n_patched']:,} "
+            f"| {n_nodes:,} | {obs['n_patched'] / max(n_nodes, 1):.3f} "
+            f"| {dt:.2f} |"
+        )
+        print(rows_out[-1], flush=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+
+    _write_sparse_section(SPARSE_LPA_MARKER, rows_out)
+
+
+def _write_sparse_section(marker: str, rows_out: list) -> None:
+    """Rewrite one tool-owned SCALING.md section in place, preserving
+    everything after it up to the next known marker."""
     path = "/root/repo/SCALING.md"
     doc = open(path).read()
-    appendix = ""
-    if AB_MARKER in doc:
-        appendix = doc[doc.index(AB_MARKER):]
-        doc = doc[: doc.index(AB_MARKER)]
-    if SPARSE_MARKER in doc:
-        doc = doc[: doc.index(SPARSE_MARKER)]
-    with open(path, "w") as f:
-        f.write(
-            doc.rstrip() + "\n\n" + "\n".join(rows_out) + "\n\n" + appendix
+    followers = [
+        m
+        for m in (SPARSE_MARKER, SPARSE_LPA_MARKER, AB_MARKER)
+        if m != marker and m in doc
+    ]
+    tail = ""
+    if marker in doc:
+        rest = doc[doc.index(marker):]
+        nxt = min(
+            (rest.index(m) for m in followers if m in rest[1:]),
+            default=len(rest),
         )
-    print(f"sparse-pr section written to {path}")
+        tail = rest[nxt:]
+        doc = doc[: doc.index(marker)]
+    else:
+        nxt_pos = min(
+            (doc.index(m) for m in followers), default=len(doc)
+        )
+        tail = doc[nxt_pos:]
+        doc = doc[:nxt_pos]
+    with open(path, "w") as f:
+        f.write(doc.rstrip() + "\n\n" + "\n".join(rows_out) + "\n\n" + tail)
+    print(f"section '{marker[:40]}…' written to {path}")
 
 
 def main() -> None:
@@ -1166,10 +1306,12 @@ def main() -> None:
     decade = "--decade" in argv  # work-probe decade cell (×30 vs ×K)
     skew = "--skew" in argv  # hot-key probe (uniform ×K vs skewed ×K)
     sparse_pr = "--sparse-pr" in argv  # delta-scaling sweep (r12 task #7)
+    sparse_lpa = "--sparse-lpa" in argv  # the LPA kernel's sweep (r14)
     argv = [
         a
         for a in argv
-        if a not in ("--tail", "--decade", "--skew", "--sparse-pr")
+        if a not in ("--tail", "--decade", "--skew", "--sparse-pr",
+                     "--sparse-lpa")
     ]
     if argv and argv[0].isdigit():
         k = int(argv[0])
@@ -1230,6 +1372,10 @@ def main() -> None:
 
     if sparse_pr:
         _sparse_pr_probe(spark, k)
+        return
+
+    if sparse_lpa:
+        _sparse_lpa_probe(spark, k)
         return
 
     if skew:
