@@ -752,6 +752,16 @@ def connected_components(
     iteration and was killed).
     Returns (id_col, cluster_id, is_canonical).
     """
+    # materialize the half list ONCE before doubling: the union below
+    # references the edges1 subtree twice, and whole-stage pipelines
+    # everything above the last exchange into BOTH branches — for the
+    # LSH family that re-ran the exact-Jaccard verify joins per
+    # orientation (the r13 skew table's only above-floor "straggler"
+    # readings were this uniformly-heavy doubled-verify stage: max ≈
+    # median task, 64 tasks — a duplicated stage, not a reduce-tail).
+    # Verified edge lists are tiny; already-checkpointed callers pay a
+    # scan-only no-op.
+    edges1 = edges1.localCheckpoint()
     # contract enforcement: drop edges with an endpoint outside
     # ``nodes`` BEFORE doubling (one pass, two broadcast-shaped
     # semi-joins against the O(V) id list).  The trailing select pins
@@ -1731,13 +1741,16 @@ def incremental_minhash_clusters(docs: DataFrame, obs: dict | None = None) -> Da
     )
 
     # --- STORED pre-ingest state (read back from storage in production)
-    digests0, groups0, idx0, spill0, lab0 = lsh_seed_state(
+    digests0, groups0, idx0, spill0, lab0, base_arrs = lsh_seed_state(
         docs.filter(~is_delta), obs
     )
 
-    # --- the ingest: ONE shared maintenance step, then reattachment
+    # --- the ingest: ONE shared maintenance step, then reattachment.
+    # The construction's rep arrays ride along so the verify relabels
+    # ids instead of re-shingling (arrays are text-keyed)
     digests2, groups2, _idx2, _spill2, labels2 = lsh_maintenance_step(
-        digests0, groups0, idx0, spill0, lab0, corpus.filter(is_delta), obs
+        digests0, groups0, idx0, spill0, lab0, corpus.filter(is_delta),
+        obs, rep_arrs=base_arrs,
     )
     return (
         digests2.join(groups2.select("fp", "rep_id"), "fp")
@@ -1757,9 +1770,12 @@ def lsh_seed_state(base_docs: DataFrame, obs: dict | None = None) -> tuple:
     (doc_id, text) base corpus — digests, group texts, capped index +
     SPILL side table, rep labels — shared by the batch query's
     stored-state section, the streaming twin's seed commit, and the
-    crash-replay test.  Returns (digests, groups, idx, spill, labels);
-    ``obs`` threads the scored-pair gauge through the base candidate
-    pass (resolved later by the caller's kernel step)."""
+    crash-replay test.  Returns (digests, groups, idx, spill, labels,
+    rep_arrs) — the last being the reps' checkpointed shingle arrays,
+    which the batch kernel step reuses for verify (text-keyed, so a
+    relabel is an id substitution); ``obs`` threads the scored-pair
+    gauge through the base candidate pass (resolved later by the
+    caller's kernel step)."""
     base = base_docs.select("doc_id", fingerprint_col().alias("fp"), "text")
     digests0 = base.select("doc_id", "fp").localCheckpoint()
     gmin0 = base.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
@@ -1786,7 +1802,7 @@ def lsh_seed_state(base_docs: DataFrame, obs: dict | None = None) -> tuple:
     lab0 = connected_components(
         groups0.select(F.col("rep_id").alias("doc_id")), base_edges, "doc_id"
     ).select(F.col("doc_id").alias("rep_id"), "cluster_id")
-    return digests0, groups0, idx0, spill0, lab0
+    return digests0, groups0, idx0, spill0, lab0, base_arrs
 
 
 def lsh_maintenance_step(
@@ -1797,6 +1813,7 @@ def lsh_maintenance_step(
     labels: DataFrame,
     batch: DataFrame,
     obs: dict | None = None,
+    rep_arrs: DataFrame | None = None,
 ) -> tuple:
     """One ingest step of LSH cluster maintenance — THE shared patch
     kernel behind q_incremental_minhash_clusters and its streaming twin
@@ -1836,6 +1853,14 @@ def lsh_maintenance_step(
     ``obs``: optional dict — scored-pair CollectMetrics gauges
     (resolved at exit) plus the scoped-path n_evicted / n_scope_reps /
     n_total_reps counts.
+
+    ``rep_arrs``: optional (doc_id, shs) shingle-array table for every
+    CURRENT (pre-relabel) rep.  When supplied (the batch query reuses
+    the arrays its stored-state construction already materialized),
+    verify arrays come from a broadcast id relabel of this table ∪ the
+    novel arrays — zero re-shingling and zero candidate
+    materialization.  When absent (the streaming twin stores TEXTS,
+    not arrays), endpoints are shingled on demand from ``groups``.
 
     Returns (digests2, groups2, idx2, spill2, labels2)."""
     bnew = batch.join(
@@ -1894,9 +1919,21 @@ def lsh_maintenance_step(
     spill_kept = sp.filter(F.col("new").isNull()).select(
         "doc_id", "seed", "minhash"
     )
-    novel_sig = minhash_signatures(
-        shingle_arrays(novel_texts.select("doc_id", "text"))
-    )
+    novel_arrs = shingle_arrays(novel_texts.select("doc_id", "text"))
+    if rep_arrs is not None:
+        # verify arrays for EVERY possible candidate endpoint with zero
+        # re-shingling: arrays are text-keyed, so a relabel is the same
+        # broadcast id substitution the index rows get; novel arrays
+        # are the only fresh shingling this ingest pays
+        novel_arrs = novel_arrs.localCheckpoint()
+        varrs = (
+            rep_arrs.join(
+                F.broadcast(relabel), rep_arrs.doc_id == relabel.old, "left"
+            )
+            .select(F.coalesce("new", "doc_id").alias("doc_id"), "shs")
+            .unionByName(novel_arrs)
+        )
+    novel_sig = minhash_signatures(novel_arrs)
     w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
     ranked = (
         idx_rel.withColumn("__src", F.lit("stored"))
@@ -1957,21 +1994,28 @@ def lsh_maintenance_step(
         .repartition(n, "doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # checkpoint AFTER attaching the pair gauge: the checkpoint action
-    # resolves the CollectMetrics, and the two downstream consumers
-    # (endpoint roster + verify) read the checkpoint, never recount
-    cand = observe_pairs(cand, obs).localCheckpoint()
-    need = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    arrs_need = shingle_arrays(
-        groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
-            need, "doc_id", "left_semi"
+    if rep_arrs is not None:
+        # single consumer: the pair gauge rides the verify execution,
+        # no candidate materialization at all
+        new_edges = verify_candidates(varrs, observe_pairs(cand, obs))
+    else:
+        # storage-light mode (the streaming twin keeps TEXTS, not
+        # arrays, as state): shingle only candidate endpoints — the
+        # checkpoint AFTER the gauge lets the endpoint roster and the
+        # verify read the same materialization without recounting
+        cand = observe_pairs(cand, obs).localCheckpoint()
+        need = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
         )
-    ).localCheckpoint()
-    new_edges = verify_candidates(arrs_need, cand).filter(
+        varrs_d = shingle_arrays(
+            groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
+                need, "doc_id", "left_semi"
+            )
+        ).localCheckpoint()
+        new_edges = verify_candidates(varrs_d, cand)
+    new_edges = new_edges.filter(
         F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
     )
 
@@ -2068,19 +2112,25 @@ def lsh_maintenance_step(
             .repartition(n, "doc_a", "doc_b")
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        scope_cand = observe_pairs(scope_cand, obs).localCheckpoint()
-        s_need = (
-            scope_cand.select(F.col("doc_a").alias("doc_id"))
-            .unionAll(scope_cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        s_arrs = shingle_arrays(
-            groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
-                s_need, "doc_id", "left_semi"
+        if rep_arrs is not None:
+            scope_edges = verify_candidates(
+                varrs, observe_pairs(scope_cand, obs)
             )
-        ).localCheckpoint()
+        else:
+            scope_cand = observe_pairs(scope_cand, obs).localCheckpoint()
+            s_need = (
+                scope_cand.select(F.col("doc_a").alias("doc_id"))
+                .unionAll(scope_cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            s_arrs = shingle_arrays(
+                groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
+                    s_need, "doc_id", "left_semi"
+                )
+            ).localCheckpoint()
+            scope_edges = verify_candidates(s_arrs, scope_cand)
         scope_edges = (
-            verify_candidates(s_arrs, scope_cand)
+            scope_edges
             .filter(F.col("jaccard") >= MINHASH_CLUSTER_JACCARD)
             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         )

@@ -1454,7 +1454,9 @@ def incremental_minhash_clusters_stream(
         store = StateStore(f"{root}/state")
         # --- seed stored state from the base corpus (the batch
         # kernel's stored-state section, executed once; commit 0)
-        digests0, groups0, idx0, spill0, lab0 = lsh_seed_state(base_docs)
+        digests0, groups0, idx0, spill0, lab0, _arrs0 = lsh_seed_state(
+            base_docs
+        )
         store.commit(
             0,
             replace={
