@@ -1805,6 +1805,99 @@ def lsh_seed_state(base_docs: DataFrame, obs: dict | None = None) -> tuple:
     return digests0, groups0, idx0, spill0, lab0, base_arrs
 
 
+def _chunk_annotated(idx: DataFrame, chunk_min: int) -> DataFrame:
+    """Annotate capped-index rows with the hot-bucket partner-chunk
+    columns (__ck = member's chunk, __fan = chunks to fan out over) —
+    the q_minhash_lsh / q_incremental_minhash skew discipline, factored
+    so the maintenance kernel's joins can reuse it."""
+    w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    w_size = Window.partitionBy("seed", "minhash")
+    hot = F.col("__sz") > chunk_min
+    return (
+        idx.withColumn("__bn", F.row_number().over(w_bucket))
+        .withColumn("__sz", F.count(F.lit(1)).over(w_size))
+        .select(
+            "doc_id",
+            "seed",
+            "minhash",
+            F.when(hot, (F.col("__bn") - 1) % MINHASH_CHUNKS)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("__ck"),
+            F.when(hot, F.sequence(F.lit(0), F.lit(MINHASH_CHUNKS - 1)))
+            .otherwise(F.array(F.lit(0)))
+            .alias("__fan"),
+        )
+    )
+
+
+def _chunked_probe_pairs(
+    idx: DataFrame, probe_ids: DataFrame, n: int
+) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from PROBE docs against a capped
+    index with hot-bucket partner-chunk fan-out: the index member keeps
+    its chunk, the probe row fans out over all chunks, so a pair meets
+    exactly once (in the member's chunk; both-probe pairs meet twice
+    and collapse in the keyed dedup) and one near-cap bucket's
+    |probe ∩ bucket| × cap work spreads over CHUNKS shuffle subkeys
+    instead of one task.  Emitted pairs are IDENTICAL to the plain
+    join (the oracle keeps the plain form).  The r13 kernel had no
+    chunking here — the ×100 replica corpus's near-cap clique buckets
+    were the decade cell's reduce tail."""
+    sig = _chunk_annotated(idx, INCREMENTAL_CHUNK_MIN)
+    delta = sig.join(probe_ids, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("d_id"),
+        "seed",
+        "minhash",
+        F.explode("__fan").alias("__ck"),
+    )
+    return (
+        delta.join(
+            sig.select(
+                F.col("doc_id").alias("i_id"), "seed", "minhash", "__ck"
+            ),
+            ["seed", "minhash", "__ck"],
+        )
+        .filter(F.col("i_id") != F.col("d_id"))
+        .select(
+            F.least("d_id", "i_id").alias("doc_a"),
+            F.greatest("d_id", "i_id").alias("doc_b"),
+        )
+        .repartition(n, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _chunked_self_pairs(idx: DataFrame, n: int) -> DataFrame:
+    """(doc_a < doc_b) pairs from a capped-index SELF-join with
+    minhash_candidates' chunk fan-out (a-side fans over the partner
+    chunk, b-side over its own — pair (i, j) meets once in cell
+    (ck_i, ck_j)); one mega-bucket's C(cap, 2) cartesian spreads over
+    CHUNKS² shuffle cells.  Pairs identical to the plain join."""
+    sig = _chunk_annotated(idx, MINHASH_CHUNK_MIN)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        "seed",
+        "minhash",
+        F.col("__ck").alias("__ca"),
+        F.explode("__fan").alias("__cb"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        "seed",
+        "minhash",
+        F.explode("__fan").alias("__ca"),
+        F.col("__ck").alias("__cb"),
+    )
+    return (
+        a.join(b, ["seed", "minhash", "__ca", "__cb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .repartition(n, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def lsh_maintenance_step(
     digests: DataFrame,
     groups: DataFrame,
@@ -1978,22 +2071,7 @@ def lsh_maintenance_step(
         .distinct()
     )
     n = batch.sparkSession.sparkContext.defaultParallelism
-    probe = idx2.join(probe_ids, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("d_id"), "seed", "minhash"
-    )
-    cand = (
-        probe.join(
-            idx2.select(F.col("doc_id").alias("i_id"), "seed", "minhash"),
-            ["seed", "minhash"],
-        )
-        .filter(F.col("i_id") != F.col("d_id"))
-        .select(
-            F.least("d_id", "i_id").alias("doc_a"),
-            F.greatest("d_id", "i_id").alias("doc_b"),
-        )
-        .repartition(n, "doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _chunked_probe_pairs(idx2, probe_ids, n)
     if rep_arrs is not None:
         # single consumer: the pair gauge rides the verify execution,
         # no candidate materialization at all
@@ -2099,19 +2177,7 @@ def lsh_maintenance_step(
             .localCheckpoint()
         )
         scope_idx = idx2.join(scope_reps, "doc_id", "left_semi")
-        scope_cand = (
-            scope_idx.select(F.col("doc_id").alias("d_a"), "seed", "minhash")
-            .join(
-                scope_idx.select(
-                    F.col("doc_id").alias("d_b"), "seed", "minhash"
-                ),
-                ["seed", "minhash"],
-            )
-            .filter(F.col("d_a") < F.col("d_b"))
-            .select(F.col("d_a").alias("doc_a"), F.col("d_b").alias("doc_b"))
-            .repartition(n, "doc_a", "doc_b")
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
+        scope_cand = _chunked_self_pairs(scope_idx, n)
         if rep_arrs is not None:
             scope_edges = verify_candidates(
                 varrs, observe_pairs(scope_cand, obs)
