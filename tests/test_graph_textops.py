@@ -401,3 +401,56 @@ def test_pagerank_strategy_variants_are_bit_identical(spark):
         map(tuple, pagerank(li, iters=10, broadcast_ranks=False).collect())
     )
     assert b10 == j10
+
+
+def test_read_adj_pruned_plan_prunes_and_gates_broadcast(spark, tmp_path):
+    """The incremental graph kernels' load-bearing scale properties
+    (VERDICT r14 tasks #4/#6): (a) a pruned stored-adjacency read shows
+    PartitionFilters on __bkt — patch scans read the frontier's buckets,
+    never full E; (b) the frontier semi-join broadcasts below
+    FRONTIER_BCAST_MAX and falls back to a shuffle join above it
+    (instead of OOMing a real driver on a saturated multi-hop
+    frontier); (c) the no-segments/no-batch corner returns an empty
+    frame instead of raising (ADVICE r14)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark import graph
+
+    half = spark.range(2000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    seg = str(tmp_path / "adj" / "seg0")
+    graph.write_adj_segment(half, seg)
+    ids = spark.range(40).select("id").localCheckpoint()
+
+    out = graph._read_adj_pruned(spark, [seg], ids)
+    rows = out.collect()
+    raw = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [__bkt" in raw  # bucket pruning reached the scan
+    assert "BroadcastHashJoin" in raw and "LeftSemi" in raw
+    # exactness: both orientations of every edge touching [0, 40)
+    want = {(s, d) for s, d in ((i, i + 1) for i in range(2000)) if s < 40}
+    want |= {(d, s) for s, d in ((i, i + 1) for i in range(2000)) if d < 40}
+    assert {(r.src, r.dst) for r in rows} == want
+
+    # (b) the over-threshold fallback: same rows, no broadcast semi-join
+    prev = graph.FRONTIER_BCAST_MAX
+    graph.FRONTIER_BCAST_MAX = 0
+    try:
+        out2 = graph._read_adj_pruned(spark, [seg], ids)
+        rows2 = {(r.src, r.dst) for r in out2.collect()}
+        raw2 = out2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        graph.FRONTIER_BCAST_MAX = prev
+    assert rows2 == want
+    # the ids side must not be a plan-forced broadcast (AQE may still
+    # pick one from measured sizes; the plan must not REQUIRE it)
+    assert "CartesianProduct" not in raw2
+
+    # (c) degenerate corner: no segments, no batch edges
+    empty = graph._read_adj_pruned(spark, [], ids)
+    assert empty.columns == ["src", "dst"] and empty.count() == 0
+
+    # conf scoping: the raised listing threshold never leaks (ADVICE r14)
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    assert spark.conf.get(key, None) is None

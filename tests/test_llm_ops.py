@@ -443,3 +443,52 @@ def test_compression_ratio_null_text_yields_null_ratio(spark):
     assert out[1].keep is False
     assert out[2].n_bytes == 0 and out[2].zlib_ratio is None
     assert out[3].zlib_ratio is not None
+
+
+def test_verify_candidates_broadcast_and_shuffle_forms_agree(spark):
+    """verify_candidates picks its join strategy from the measured
+    array-table size (VERDICT r14 #1: the shuffle form's fat pair+array
+    sort-merge was the ×100 throughput cliff; below VERIFY_BCAST_MAX
+    the arrays broadcast and pair rows never carry an array across an
+    exchange).  Both forms must emit identical jaccards, and the
+    small-scale plan must actually take the broadcast shape."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i x"),
+        (3, "a b c d e f g z z z"),
+        (4, "q r s t u v w x y z"),
+        (5, "q r s t u v w x y a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrs = dedup.shingle_arrays(docs).localCheckpoint()
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (1, 4)],
+        "doc_a long, doc_b long",
+    )
+
+    bcast = dedup.verify_candidates(arrs, cand)
+    raw = bcast._jdf.queryExecution().executedPlan().toString()
+    got_b = sorted(map(tuple, bcast.collect()))
+
+    prev = dedup.VERIFY_BCAST_MAX
+    dedup.VERIFY_BCAST_MAX = 0
+    try:
+        shuf = dedup.verify_candidates(arrs, cand)
+        raw_s = shuf._jdf.queryExecution().executedPlan().toString()
+        got_s = sorted(map(tuple, shuf.collect()))
+    finally:
+        dedup.VERIFY_BCAST_MAX = prev
+
+    assert got_b == got_s
+    # hand-checked corner: disjoint docs share nothing
+    by_pair = {(a, b): j for a, b, j in got_b}
+    assert by_pair[(1, 4)] == 0.0
+    assert by_pair[(1, 2)] > by_pair[(1, 3)] > 0.0
+    # the small-scale plan took the broadcast shape (doc_b side) and
+    # the pinned-width shuffle-hash a-side; the fallback took neither
+    assert "BroadcastHashJoin" in raw and "ShuffledHashJoin" in raw
+    assert "ShuffledHashJoin" not in raw_s

@@ -502,7 +502,7 @@ def _decade_probe(spark, run, k: int, subset: list | None = None) -> None:
     path = "/root/repo/SCALING.md"
     doc = open(path).read()
     appendix = ""
-    for m in (SKEW_MARKER, AB_MARKER):
+    for m in (LSH_INGEST_MARKER, SKEW_MARKER, AB_MARKER):
         if m in doc:
             appendix = doc[doc.index(m) :]
             doc = doc[: doc.index(m)]
@@ -1162,8 +1162,12 @@ def _sparse_pr_probe(spark, k: int) -> None:
         adj = f"{state_root}/adj/seg0"
         write_adj_segment(base_half, adj)
         outdeg0 = _out_degrees(_directed_half(base_half)).localCheckpoint()
+        # seed with adj_dirs=[] (the documented degenerate mode): the
+        # segment above already holds base_half, and the kernel requires
+        # dirs and new_half edge-disjoint — passing both doubled every
+        # seeded message sum vs a true rebuild (ADVICE r14)
         base_levels, _ = pagerank_patch_levels(
-            spark, [adj], empty_deg, [empty_lvl] * PR_ITERS, base_half
+            spark, [], empty_deg, [empty_lvl] * PR_ITERS, base_half
         )
         if n_half is None:
             n_half = base_half.count()  # ~the fixed graph's edge count
@@ -1245,8 +1249,10 @@ def _sparse_lpa_probe(spark, k: int) -> None:
         )
         adj = f"{state_root}/adj/seg0"
         write_adj_segment(base_half, adj)
+        # adj_dirs=[] for the seed: dirs and new_half must be
+        # edge-disjoint (ADVICE r14; see the --sparse-pr seed note)
         l1b, l2b = lpa_patch_levels(
-            spark, [adj], empty_lbl, empty_lbl, base_half
+            spark, [], empty_lbl, empty_lbl, base_half
         )
         l2b = l2b.localCheckpoint()
         delta_li = li.filter(cond).localCheckpoint()
@@ -1270,6 +1276,124 @@ def _sparse_lpa_probe(spark, k: int) -> None:
     _write_sparse_section(SPARSE_LPA_MARKER, rows_out)
 
 
+#: section owned by `scale_probe.py K --lsh-ingest` (VERDICT r14
+#: missing #1 / task #2): the number the decade cell for
+#: q_incremental_minhash_clusters conflates — what does ONE delta
+#: ingest cost against EXISTING stored state?  The registered query
+#: builds the pre-ingest state (≈90% of a rebuild) INSIDE the timed
+#: cell; here the state seeds UNTIMED (the graph family's --sparse-pr
+#: discipline) and only lsh_maintenance_step + reattachment is timed.
+#: Sits between the decade cell and the skew probe.
+LSH_INGEST_MARKER = (
+    "## LSH maintenance ingest-only decade cell (tool-generated)"
+)
+
+
+def _lsh_ingest_probe(spark, k: int) -> None:
+    """`--lsh-ingest`: seed the LSH cluster-maintenance state from the
+    base corpus (doc_id % 10 != 7) UNTIMED, then time ONE
+    lsh_maintenance_step ingesting the delta (doc_id % 10 == 7) plus
+    the member reattachment — at ×30 and ×K.  min of 2 on the timed
+    step against the SAME seeded state (the kernel is pure — it
+    derives new state, never mutates the old).  The pass criterion a
+    100 TB operator needs: the ×K ingest wall must sit BELOW the full
+    rebuild's decade-cell wall, else maintaining the clustering loses
+    to rebuilding it."""
+    import gc
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    rows_out = [
+        LSH_INGEST_MARKER,
+        "",
+        f"`python tools/scale_probe.py {k} --lsh-ingest` — stored "
+        "pre-ingest state (digests, group texts, capped index + spill, "
+        "labels, rep shingle arrays) seeded UNTIMED from the base "
+        "corpus (doc_id % 10 != 7) via lsh_seed_state; timed region is "
+        "ONE lsh_maintenance_step over the delta (doc_id % 10 == 7) "
+        "plus member reattachment — the per-ingest cost the registered "
+        "decade cell conflates with state construction (VERDICT r14 "
+        "missing #1).  min of 2 per cell against the same seeded "
+        "state; pairs = the ingest's own scored-pair CollectMetrics "
+        "gauge.  Compare the ingest wall to q_minhash_clusters' "
+        "decade-cell rebuild wall at the same scale: maintenance only "
+        "earns its keep below it.",
+        "",
+        "| scale | docs | delta docs | seed (s, untimed) | "
+        "ingest wall (s) | ingest pairs scored | out rows |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for scale in (30, k):
+        full = f"/tmp/spark_graft_scale_{os.getuid()}/x{scale}"
+        sf_dir = (
+            full
+            if os.path.exists(f"{full}/documents.parquet/_SUCCESS")
+            else build(spark, scale, ("documents",))
+        )
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        is_delta = F.col("doc_id") % 10 == 7
+        n_docs = docs.count()
+        corpus = docs.select(
+            "doc_id", dedup.fingerprint_col().alias("fp"), "text"
+        )
+        delta = corpus.filter(is_delta).localCheckpoint()
+        n_delta = delta.count()
+        # --- stored pre-ingest state, untimed (the --sparse-pr
+        # discipline); labels are materialized so the timed step reads
+        # state, never re-derives it
+        t0 = time.time()
+        d0, g0, i0, s0, l0, base_arrs = dedup.lsh_seed_state(
+            docs.filter(~is_delta)
+        )
+        i0, s0, l0 = (
+            i0.localCheckpoint(),
+            s0.localCheckpoint(),
+            l0.localCheckpoint(),
+        )
+        t_seed = time.time() - t0
+        best, pairs, out_rows = None, None, None
+        for _rep in range(2):
+            from pyspark.sql import Observation
+
+            ro = Observation()
+            obs: dict = {}
+            t0 = time.time()
+            d2, g2, _i2, _s2, l2 = dedup.lsh_maintenance_step(
+                d0, g0, i0, s0, l0, delta, obs, rep_arrs=base_arrs
+            )
+            out = (
+                d2.join(g2.select("fp", "rep_id"), "fp")
+                .join(l2, "rep_id")
+                .select(
+                    "doc_id",
+                    "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .cast("int")
+                    .alias("is_canonical"),
+                )
+            )
+            out.observe(ro, F.count(F.lit(1)).alias("rows")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, pairs = dt, obs.get("n_pairs_scored", 0)
+            out_rows = ro.get["rows"]
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
+        rows_out.append(
+            f"| ×{scale} | {n_docs:,} | {n_delta:,} | {t_seed:.1f} "
+            f"| {best:.2f} | {pairs:,} | {out_rows:,} |"
+        )
+        print(rows_out[-1], flush=True)
+        # free the seeded state's checkpoint blocks before the next scale
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+    _write_sparse_section(LSH_INGEST_MARKER, rows_out)
+
+
 def _write_sparse_section(marker: str, rows_out: list) -> None:
     """Rewrite one tool-owned SCALING.md section in place, preserving
     everything after it up to the next known marker."""
@@ -1277,7 +1401,7 @@ def _write_sparse_section(marker: str, rows_out: list) -> None:
     doc = open(path).read()
     followers = [
         m
-        for m in (SPARSE_MARKER, SPARSE_LPA_MARKER, AB_MARKER)
+        for m in (SKEW_MARKER, SPARSE_MARKER, SPARSE_LPA_MARKER, AB_MARKER)
         if m != marker and m in doc
     ]
     tail = ""
@@ -1307,17 +1431,18 @@ def main() -> None:
     skew = "--skew" in argv  # hot-key probe (uniform ×K vs skewed ×K)
     sparse_pr = "--sparse-pr" in argv  # delta-scaling sweep (r12 task #7)
     sparse_lpa = "--sparse-lpa" in argv  # the LPA kernel's sweep (r14)
+    lsh_ingest = "--lsh-ingest" in argv  # seeded-state ingest cell (r15)
     argv = [
         a
         for a in argv
         if a not in ("--tail", "--decade", "--skew", "--sparse-pr",
-                     "--sparse-lpa")
+                     "--sparse-lpa", "--lsh-ingest")
     ]
     if argv and argv[0].isdigit():
         k = int(argv[0])
         subset = argv[1:]  # subset run: print ratios, keep SCALING.md
     else:
-        k = 100 if decade else 10
+        k = 100 if (decade or lsh_ingest) else 10
         subset = argv
     if tail and not subset:
         # bare `--tail` defaults to the output-bound probe set rather
@@ -1369,6 +1494,10 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
         return dt, rows, work
+
+    if lsh_ingest:
+        _lsh_ingest_probe(spark, k)
+        return
 
     if sparse_pr:
         _sparse_pr_probe(spark, k)
