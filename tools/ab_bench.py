@@ -95,6 +95,63 @@ def _timeit(fn) -> float:
     return time.time() - t0
 
 
+def _cross_round_rows() -> list[str]:
+    """Mechanical cross-round paragraph citing bench.py's
+    host-normalized `value_canary_norm` (VERDICT r13 task #6 second
+    half / r14 task #5 — the hand-written paragraph went stale the
+    round after it was written): read the BENCH_r*.json driver records,
+    normalize each round's Σ(min) by its fixed-work python canary
+    against the pinned reference canary, and compare the two newest
+    rounds on the one host-comparable number."""
+    import glob
+    import json
+    import re
+
+    recs = []
+    for p in sorted(
+        glob.glob("/root/repo/BENCH_r*.json"),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    ):
+        try:
+            d = json.load(open(p)).get("parsed") or {}
+            n = int(re.search(r"BENCH_r(\d+)", p).group(1))
+        except Exception:
+            continue
+        if d.get("value") and d.get("canary", {}).get("python_1core_sec"):
+            recs.append((n, d))
+    if len(recs) < 2:
+        return []
+    ref = next(
+        (
+            d["canary_ref"]
+            for _, d in reversed(recs)
+            if d.get("canary_ref")
+        ),
+        recs[-1][1]["canary"]["python_1core_sec"],
+    )
+
+    def norm(d: dict) -> float:
+        if d.get("value_canary_norm"):
+            return d["value_canary_norm"]
+        return d["value"] * ref / d["canary"]["python_1core_sec"]
+
+    (na, a), (nb, b) = recs[-2], recs[-1]
+    return [
+        "",
+        f"Cross-round (mechanical, canary-normalized): r{nb} Σ(min) "
+        f"normalizes to **{norm(b):.2f} s** vs r{na} "
+        f"**{norm(a):.2f} s** ({norm(b) / norm(a):.3f}×) over "
+        f"{b['n_queries']} headline queries — each round's driver "
+        f"Σ(min) × (reference canary {ref:.3f} s / that round's "
+        "fixed-work python canary), i.e. bench.py's "
+        "`value_canary_norm`, the one per-round number comparable "
+        "across host-speed shifts.  Raw driver records: "
+        f"r{nb} {b['value']:.2f} s @ canary "
+        f"{b['canary']['python_1core_sec']:.3f} s, r{na} "
+        f"{a['value']:.2f} s @ {a['canary']['python_1core_sec']:.3f} s.",
+    ]
+
+
 def write_appendix(rows: list[str]) -> None:
     path = "/root/repo/SCALING.md"
     try:
@@ -141,6 +198,7 @@ def main() -> None:
         f"(fixed work, min of 3): python 1-core {cpy:.2f}s, spark "
         f"all-cores {cjvm:.2f}s — divide Σ(min) deltas across rounds by "
         "the canary ratio before reading them as regressions.",
+        *_cross_round_rows(),
         "",
         "| query | min (s) | median (s) | spread | reps (s) |",
         "|---|---|---|---|---|",

@@ -227,6 +227,80 @@ AUDIT: dict[str, list[tuple[str, str]]] = {
 }
 
 
+def _adj_pruned_probe(spark, sf_dir):
+    """A pruned stored-adjacency read exactly as the incremental
+    PR/LPA patch kernels issue one per level (graph._read_adj_pruned
+    over a write_adj_segment layout) — synthesized here because the
+    kernels run it during CONSTRUCTION behind localCheckpoints, so the
+    registered queries' FINAL plans can never exhibit it."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.graph import (
+        _read_adj_pruned,
+        write_adj_segment,
+    )
+
+    half = spark.range(5000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    seg = tempfile.mkdtemp(prefix="spark_graft_plans_adj_") + "/seg0"
+    write_adj_segment(half, seg)
+    return _read_adj_pruned(spark, [seg], spark.range(64).select("id"))
+
+
+def _verify_bcast_probe(spark, sf_dir):
+    """The r15 broadcast-form exact-Jaccard verify (dedup.
+    verify_candidates below VERIFY_BCAST_MAX) on the sf documents
+    corpus — the ×100 decade fix whose property is that candidate
+    pairs never cross an exchange carrying a shingle array; audited
+    directly because every registered consumer checkpoints the verify
+    output during construction."""
+    from end_to_end_datapipeline_project_spark.llm_ops.dedup import (
+        minhash_candidates,
+        shingle_arrays,
+        verify_candidates,
+    )
+    from end_to_end_datapipeline_project_spark.sources import (
+        pin_parallelism,
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    arrs = shingle_arrays(
+        pin_parallelism(docs, "doc_id")
+    ).localCheckpoint()
+    return verify_candidates(arrs, minhash_candidates(arrs))
+
+
+#: construction-time kernel plans that never surface in a registered
+#: query's FINAL plan (the kernels checkpoint them mid-construction):
+#: audited through direct builders so PLANS.md pins the load-bearing
+#: scale shapes anyway (VERDICT r14 task #4).
+KERNEL_AUDIT: dict[str, tuple] = {
+    "kernel: pruned adjacency scan (q_incremental_pagerank / "
+    "q_incremental_label_propagation patch levels)": (
+        _adj_pruned_probe,
+        [
+            ("PartitionFilters: [__bkt", "the frontier's bucket set prunes the stored segment at plan time — patch scans read touched buckets, never full E"),
+            ("BroadcastHashJoin", "frontier id semi-join broadcasts (size-gated in code: shuffle fallback above FRONTIER_BCAST_MAX)"),
+            ("LeftSemi", "membership probe only — adjacency rows never duplicate per frontier match"),
+        ],
+    ),
+    "kernel: broadcast-form Jaccard verify (dedup.verify_candidates "
+    "below VERIFY_BCAST_MAX — the LSH family's scoring stage)": (
+        _verify_bcast_probe,
+        [
+            ("ShuffledHashJoin", "doc_a join: two-long pair rows exchange, NOTHING sorts, arrays build per-partition maps"),
+            ("BroadcastHashJoin", "doc_b join: array table broadcasts — fat pair+array rows live only inside one pipeline and collapse to jaccard map-side"),
+            ("REPARTITION_BY_NUM", "verify width pinned against AQE byte-based coalescing of two-long pair rows"),
+            ("!SortMergeJoin", "the ×100 cliff shape (sort-merge over ~10⁹ pair rows each carrying a ~500-byte array) is gone below the gate"),
+        ],
+    ),
+}
+
+
 #: single-child wrapper operators whose POSITION in the tree moves with
 #: the AQE-chosen broadcast build side (the broadcast chain wraps
 #: whichever child AQE decides to build at runtime — a choice that can
@@ -307,8 +381,12 @@ def main() -> None:
         "",
     ]
     failures = []
-    for name, checks in AUDIT.items():
-        df = REGISTRY[name].spark_fn(spark, sf_dir)
+    audited = [
+        *((n, REGISTRY[n].spark_fn, c) for n, c in AUDIT.items()),
+        *((n, fn, c) for n, (fn, c) in KERNEL_AUDIT.items()),
+    ]
+    for name, spark_fn, checks in audited:
+        df = spark_fn(spark, sf_dir)
         # collect() drives the DataFrame's OWN QueryExecution (a write
         # would wrap the plan in a command with a fresh QE), so AQE
         # finalizes it and WholeStageCodegen spans / chosen join
