@@ -2078,12 +2078,17 @@ def lsh_maintenance_step(
         # broadcast id substitution the index rows get; novel arrays
         # are the only fresh shingling this ingest pays
         novel_arrs = novel_arrs.localCheckpoint()
+        # checkpointed: the verify consumes this table 3× per call
+        # (size-gate stats + both join sides, r15 broadcast verify) and
+        # the scoped recluster may verify again — one materialization
+        # beats re-running the relabel union per consumer
         varrs = (
             rep_arrs.join(
                 F.broadcast(relabel), rep_arrs.doc_id == relabel.old, "left"
             )
             .select(F.coalesce("new", "doc_id").alias("doc_id"), "shs")
             .unionByName(novel_arrs)
+            .localCheckpoint()
         )
     novel_sig = minhash_signatures(novel_arrs)
     w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
