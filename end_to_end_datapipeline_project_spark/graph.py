@@ -129,8 +129,25 @@ def _co_supply_half(li: DataFrame) -> DataFrame:
     Pairs dedup on ONE packed long (src << 32 | dst) instead of a
     two-long struct: ~40% less shuffle payload through the dedup
     exchange (valid while supplier keys < 2^31, which holds at any
-    TPC-H scale factor; partkey-sized graphs keep the struct form)."""
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    TPC-H scale factor; partkey-sized graphs keep the struct form).
+
+    The deduped (part, supplier) table is re-spread to a PINNED width
+    before the self-join (r15): the distinct output is ~10 MB at sf0.1,
+    so AQE's byte-based coalescing ran the C(suppliers-per-part, 2)
+    pair-explosion join on ~10 of 32 cores — the _fanout_repartition
+    pathology in join form.  An explicit REPARTITION_BY_NUM on the join
+    key costs one exchange of the small deduped table and restores full
+    fan-out parallelism; keeping ``.distinct()`` (not a repartition-
+    keyed dropDuplicates) preserves its map-side partial dedup, which
+    the ×10 A/B showed matters more than saving that exchange
+    (interleaved min-of-3: pinned+distinct 7.4 s vs 9.4 s current vs
+    9.2 s single-exchange form; sf0.1 2.2 s vs 2.9 s)."""
+    n = li.sparkSession.sparkContext.defaultParallelism
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .repartition(n, "l_partkey")
+    )
     return (
         ps.alias("a")
         .join(
@@ -1056,10 +1073,15 @@ LABEL_PROPAGATION_SQL = f"""
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    half = _co_order_half_edges(li)
+    # checkpoint the HALF list and derive both directions per pass
+    # (r15, the q_pagerank layout): materializing the doubled list
+    # stored 2× the rows for zero per-iteration saving — each pass
+    # scans the same row count either way, and the checkpoint write
+    # itself halves
+    half = _co_order_half_edges(li).localCheckpoint()
     edges = half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     # undirected graph ⇒ every label-sender also receives, so the loop
     # carries labels for edge-touching nodes only; isolated nodes keep

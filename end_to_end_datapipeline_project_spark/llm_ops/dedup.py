@@ -429,6 +429,19 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
 #: maintenance kernel cost 2.2× the rebuild it exists to beat.
 VERIFY_BCAST_MAX = 512 << 20
 
+#: raw-bytes FLOOR for the broadcast verify form (r15).  Below it the
+#: original pair-keyed shuffle form is strictly faster: the broadcast
+#: build + the extra one-row stats job cost more than the small
+#: shuffle they avoid.  Interleaved same-process A/B of q_minhash_lsh
+#: (min of 4 / 3): sf0.1 (~2 MB of arrays) shuffle 2.61 s vs broadcast
+#: 3.61 s; ×10 (~21 MB) shuffle 6.32 s vs broadcast 7.15 s.  The
+#: broadcast form's regime — the ×30/×100 maintenance-kernel verify
+#: whose shuffle form sort-merges ~10⁹ array-carrying pair rows —
+#: starts above ~60 MB of arrays, so the floor sits at 32 MB: every
+#: sf≤1 bench/oracle run keeps the r14 shuffle shape, every decade-
+#: probe regime (×30 ≈ 62 MB, ×100 ≈ 208 MB) gets the broadcast fix.
+VERIFY_BCAST_MIN = 32 << 20
+
 
 def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs by per-doc
@@ -468,7 +481,7 @@ def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     # one-row stats job — callers pass checkpointed array tables, so
     # this costs a scan of (doc_id, shs) only, never re-shingling
     total_shingles = arrs.agg(F.sum(F.size("shs"))).first()[0] or 0
-    if total_shingles * 8 <= VERIFY_BCAST_MAX:
+    if VERIFY_BCAST_MIN <= total_shingles * 8 <= VERIFY_BCAST_MAX:
         n = arrs.sparkSession.sparkContext.defaultParallelism
         joined = (
             cand.repartition(n, "doc_a")

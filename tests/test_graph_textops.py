@@ -454,3 +454,27 @@ def test_read_adj_pruned_plan_prunes_and_gates_broadcast(spark, tmp_path):
     # conf scoping: the raised listing threshold never leaks (ADVICE r14)
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
     assert spark.conf.get(key, None) is None
+
+
+def test_co_supply_half_pins_fanout_width(spark, monkeypatch):
+    """r15: the (l_partkey, l_suppkey) distinct output is small enough
+    that AQE's byte-based coalescing ran the C(k,2) pair-explosion
+    self-join on a handful of cores; _co_supply_half must pin the join
+    input width with a user REPARTITION_BY_NUM (which AQE respects).
+    The localCheckpoint hides the construction plan, so bypass it for
+    the shape assertion; row-level equivalence stays covered by the
+    pagerank mass/strategy/incremental-rebuild pins."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from end_to_end_datapipeline_project_spark import graph
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self: self)
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12)],
+        "l_partkey long, l_suppkey long",
+    )
+    half = graph._co_supply_half(li)
+    plan = half._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    rows = {(r.src, r.dst) for r in half.collect()}
+    assert rows == {(10, 11), (10, 12), (11, 12)}

@@ -470,9 +470,18 @@ def test_verify_candidates_broadcast_and_shuffle_forms_agree(spark):
         "doc_a long, doc_b long",
     )
 
-    bcast = dedup.verify_candidates(arrs, cand)
-    raw = bcast._jdf.queryExecution().executedPlan().toString()
-    got_b = sorted(map(tuple, bcast.collect()))
+    # the broadcast arm must be forced below the r15 size floor
+    # (VERIFY_BCAST_MIN): at bench/test scale the gate deliberately
+    # keeps the shuffle form (the A/B at sf0.1 and ×10 measured the
+    # broadcast build as a net loss there)
+    prev_min = dedup.VERIFY_BCAST_MIN
+    dedup.VERIFY_BCAST_MIN = 0
+    try:
+        bcast = dedup.verify_candidates(arrs, cand)
+        raw = bcast._jdf.queryExecution().executedPlan().toString()
+        got_b = sorted(map(tuple, bcast.collect()))
+    finally:
+        dedup.VERIFY_BCAST_MIN = prev_min
 
     prev = dedup.VERIFY_BCAST_MAX
     dedup.VERIFY_BCAST_MAX = 0
