@@ -2,12 +2,17 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Output contract (the driver tails stdout and parses the LAST line):
-the bulky per-query dicts are printed as their own earlier JSON lines
-(`"detail": "batch_queries"` / `"detail": "interleaved_min"`), and the
-FINAL stdout line is a SHORT JSON carrying only the suite totals, the
-host-speed canary, and sf — round 7 lost its machine-readable total
-because the one-line-everything format outgrew the driver's tail
-capture.  Since round 12 the headline ``value`` is the noise-robust
+the FINAL stdout line is a JSON object carrying the suite total, the
+per-query ``queries`` map (interleaved min — the noise-robust
+estimator), the host-speed canaries, and sf.  MEASUREMENT-CONTRACT FIX
+(round 16, VERDICT r15 task #2): through r15 the per-query map rode an
+EARLIER NDJSON line (``"detail": "interleaved_min"``) and the final
+line carried totals only, which left the driver's PERF machinery blind
+(PERF_r15: ``per_query: {}``, ``n_common: 0``, geomean null).  The map
+is ~1.5 KB — well within a tail capture — so it now ALSO rides the
+final line as ``queries``; the earlier NDJSON detail lines are kept
+unchanged for human/NDJSON consumers and for continuity with r12-r15
+logs.  Since round 12 the headline ``value`` is the noise-robust
 Σ(per-query min over all passes); the single-pass batch-order total
 rides alongside as ``batch_total`` (rationale at the emit site).
 
@@ -209,6 +214,7 @@ def main() -> None:
     # reference value is the r13 driver record's canary — normalizing
     # every round to the same fixed host-speed unit.
     ref_canary = 0.132  # BENCH_r13.json python_1core_sec
+    ref_spark_canary = 0.113  # BENCH_r14.json spark_allcores_sec
     value = round(sum(imins.values()), 3)
     print(
         json.dumps(
@@ -223,11 +229,29 @@ def main() -> None:
                 "value_canary_norm": round(
                     value * ref_canary / canary["python_1core_sec"], 3
                 ),
+                # spark-canary-normalized total (VERDICT r15 "what's
+                # wrong" #4): in r15 the 1-core python canary and the
+                # all-core spark canary DISAGREED (python said host 32%
+                # faster, spark said 25% slower) — single-core and
+                # multicore host speed decouple under CPU steal, and the
+                # suite is multicore work, so the spark canary is the
+                # honest deflator for Σ(min).  Both are emitted; prefer
+                # this one for cross-round suite comparisons.
+                "value_canary_norm_spark": round(
+                    value * ref_spark_canary / canary["spark_allcores_sec"], 3
+                ),
+                "canary_ref_spark": ref_spark_canary,
                 "canary_ref": ref_canary,
                 "unit": "sec",
                 "n_queries": len(timings),
                 "batch_total": total,
                 "canary": canary,
+                # per-query interleaved-min map — the driver's PERF
+                # contract parses THIS line only (round-16 fix, see
+                # module docstring); keys here are a superset-stable
+                # set: entries may be added round-over-round, never
+                # removed or renamed
+                "queries": imins,
                 "sf": sf_val,
             }
         )

@@ -443,7 +443,37 @@ VERIFY_BCAST_MAX = 512 << 20
 VERIFY_BCAST_MIN = 32 << 20
 
 
-def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+def checkpoint_arrs_with_bytes(df: DataFrame) -> tuple:
+    """``df.localCheckpoint()`` for a shingle-array frame (…, shs) with
+    the verify size gate's stats RIDING the checkpoint job: a
+    ``sum(size(shs))`` Observation attaches to the materialization the
+    caller already pays, so :func:`verify_candidates` receives
+    ``arr_bytes`` (8 × total shingle longs — the exact unit
+    VERIFY_BCAST_MIN/MAX gate on) for free.  Returns
+    ``(checkpointed_df, arr_bytes)``.
+
+    VERDICT r15 #5: through r15 every verify call paid a separate
+    one-row aggregate job over the (checkpointed) array table just to
+    pick a join form — a fixed cost per call that buys nothing below
+    the floor, where the answer is always "shuffle".  Riding the
+    Observation removes that job in EVERY regime (sub-floor callers
+    pay zero, decade-scale callers save a full scan of the array
+    table), and the maintenance kernel's two verify calls share one
+    measurement instead of re-scanning ``varrs`` twice."""
+    from pyspark.sql import Observation
+
+    o = Observation()
+    ck = df.observe(o, F.sum(F.size("shs")).alias("n")).localCheckpoint()
+    return ck, int(o.get["n"] or 0) * 8
+
+
+def verify_candidates(
+    arrs: DataFrame,
+    cand: DataFrame,
+    *,
+    arr_bytes: int | None = None,
+    force_form: str | None = None,
+) -> DataFrame:
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs by per-doc
     shingle-ARRAY intersection: two doc-keyed joins carrying one array
     per row, shared = |array_intersect| map-side — the same verify
@@ -464,24 +494,47 @@ def verify_candidates(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     (zero extra shuffles) instead of via a vocab join because no
     prefix order is needed here.
 
-    Join strategy is ADAPTIVE on the measured array-table size
-    (:data:`VERIFY_BCAST_MAX`): small enough ⇒ the doc_a join is a
-    width-pinned SHUFFLE_HASH (only the two-long pair rows cross the
-    wire, nothing sorts) and the doc_b join BROADCASTS the array
+    Join strategy is ADAPTIVE on the measured array-table size,
+    gated to the BAND [:data:`VERIFY_BCAST_MIN`,
+    :data:`VERIFY_BCAST_MAX`] (r15): inside the band the doc_a join
+    is a width-pinned SHUFFLE_HASH (only the two-long pair rows cross
+    the wire, nothing sorts) and the doc_b join BROADCASTS the array
     table, so the fat pair+array rows exist only transiently inside
     one whole-stage pipeline and collapse to (doc_a, doc_b, jaccard)
-    map-side; larger ⇒ the original two-exchange form.  The explicit
+    map-side; BELOW the floor the original two-exchange shuffle form
+    is strictly faster (the broadcast build costs more than the small
+    shuffle it avoids — rationale on the constants), and ABOVE the
+    ceiling the shuffle form bounds executor memory.  The explicit
     ``repartition(n, doc_a)`` is the q_minhash_lsh width discipline:
     pair rows are two longs, and AQE's byte-based coalescing would
-    otherwise run the whole verify on a handful of tasks."""
+    otherwise run the whole verify on a handful of tasks.
+
+    ``arr_bytes``: 8 × total shingle count of ``arrs`` when the caller
+    already knows it (ride it on the checkpoint job via
+    :func:`checkpoint_arrs_with_bytes`); ``None`` falls back to the
+    r15 one-row stats job.  ``force_form``: ``'broadcast'`` /
+    ``'shuffle'`` pins the join form outright (tests and plan probes —
+    ADVICE r15 — instead of mutating the gate globals)."""
     varrs = arrs.select(
         "doc_id",
         F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"),
     )
-    # one-row stats job — callers pass checkpointed array tables, so
-    # this costs a scan of (doc_id, shs) only, never re-shingling
-    total_shingles = arrs.agg(F.sum(F.size("shs"))).first()[0] or 0
-    if VERIFY_BCAST_MIN <= total_shingles * 8 <= VERIFY_BCAST_MAX:
+    if force_form is None:
+        if arr_bytes is None:
+            # one-row stats job — callers pass checkpointed array
+            # tables, so this costs a scan of (doc_id, shs) only,
+            # never re-shingling
+            arr_bytes = (
+                arrs.agg(F.sum(F.size("shs"))).first()[0] or 0
+            ) * 8
+        form = (
+            "broadcast"
+            if VERIFY_BCAST_MIN <= arr_bytes <= VERIFY_BCAST_MAX
+            else "shuffle"
+        )
+    else:
+        form = force_form
+    if form == "broadcast":
         n = arrs.sparkSession.sparkContext.defaultParallelism
         joined = (
             cand.repartition(n, "doc_a")
@@ -667,11 +720,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 6.5 s → 32 s at the ×10 probe when the pin sat before
     # the collapse)
     docs = pin_parallelism(docs, "doc_id")
-    arrs = shingle_arrays(docs).localCheckpoint()
+    arrs, nbytes = checkpoint_arrs_with_bytes(shingle_arrays(docs))
     cand = minhash_candidates(arrs)
     # verify ONLY the LSH candidates (the point of LSH) — kernel shared
     # with q_incremental_minhash, rationale on verify_candidates
-    return verify_candidates(arrs, cand)
+    return verify_candidates(arrs, cand, arr_bytes=nbytes)
 
 
 # --- SimHash --------------------------------------------------------------
@@ -1076,12 +1129,12 @@ def minhash_cluster_assignments(
     # pin AFTER the rep semi-join (q_minhash_lsh rationale: AQE would
     # coalesce the few-MB join output and serialize the signature md5s)
     reps = pin_parallelism(reps, "doc_id")
-    arrs = shingle_arrays(reps).localCheckpoint()
+    arrs, nbytes = checkpoint_arrs_with_bytes(shingle_arrays(reps))
     # observed mode: the scored-pair gauge rides the verify plan as a
     # CollectMetrics node (resolved below, after the CC loop's eager
     # actions have executed it) — no extra candidate materialization
     cand = observe_pairs(minhash_candidates(arrs), obs)
-    pairs = verify_candidates(arrs, cand)
+    pairs = verify_candidates(arrs, cand, arr_bytes=nbytes)
     edges1 = pairs.filter(
         F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1629,7 +1682,7 @@ def resolve_pair_counts(obs: dict | None) -> None:
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents")
     docs = pin_parallelism(docs, "doc_id")
-    arrs = shingle_arrays(docs).localCheckpoint()
+    arrs, nbytes = checkpoint_arrs_with_bytes(shingle_arrays(docs))
     idx = minhash_index(arrs)
     # hot-bucket partner-chunk fan-out (the c212285 batch fix applied to
     # the PROBE join — r11's skew probe showed one task carrying 4.4 s
@@ -1688,7 +1741,7 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n, "doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return verify_candidates(arrs, cand)
+    return verify_candidates(arrs, cand, arr_bytes=nbytes)
 
 
 def lsh_index_upsert(base_idx: DataFrame, delta_sig: DataFrame) -> DataFrame:
@@ -1857,16 +1910,20 @@ def lsh_seed_state(base_docs: DataFrame, obs: dict | None = None) -> tuple:
         .select("fp", "rep_id", "text")
         .localCheckpoint()
     )
-    base_arrs = shingle_arrays(
-        pin_parallelism(
-            groups0.select(F.col("rep_id").alias("doc_id"), "text"),
-            "doc_id",
+    base_arrs, base_bytes = checkpoint_arrs_with_bytes(
+        shingle_arrays(
+            pin_parallelism(
+                groups0.select(F.col("rep_id").alias("doc_id"), "text"),
+                "doc_id",
+            )
         )
-    ).localCheckpoint()
+    )
     idx0, spill0 = minhash_index_with_spill(base_arrs)
     base_edges = (
         verify_candidates(
-            base_arrs, observe_pairs(minhash_candidates(base_arrs), obs)
+            base_arrs,
+            observe_pairs(minhash_candidates(base_arrs), obs),
+            arr_bytes=base_bytes,
         )
         .filter(F.col("jaccard") >= MINHASH_CLUSTER_JACCARD)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -2091,17 +2148,18 @@ def lsh_maintenance_step(
         # broadcast id substitution the index rows get; novel arrays
         # are the only fresh shingling this ingest pays
         novel_arrs = novel_arrs.localCheckpoint()
-        # checkpointed: the verify consumes this table 3× per call
-        # (size-gate stats + both join sides, r15 broadcast verify) and
-        # the scoped recluster may verify again — one materialization
-        # beats re-running the relabel union per consumer
-        varrs = (
+        # checkpointed: the verify consumes this table twice per call
+        # (both join sides, r15 broadcast verify) and the scoped
+        # recluster may verify again — one materialization beats
+        # re-running the relabel union per consumer.  The size gate's
+        # stats ride the checkpoint job (r16): both verify calls share
+        # the one measurement instead of re-scanning varrs each
+        varrs, varrs_bytes = checkpoint_arrs_with_bytes(
             rep_arrs.join(
                 F.broadcast(relabel), rep_arrs.doc_id == relabel.old, "left"
             )
             .select(F.coalesce("new", "doc_id").alias("doc_id"), "shs")
             .unionByName(novel_arrs)
-            .localCheckpoint()
         )
     novel_sig = minhash_signatures(novel_arrs)
     w_bucket = Window.partitionBy("seed", "minhash").orderBy("doc_id")
@@ -2152,7 +2210,9 @@ def lsh_maintenance_step(
     if rep_arrs is not None:
         # single consumer: the pair gauge rides the verify execution,
         # no candidate materialization at all
-        new_edges = verify_candidates(varrs, observe_pairs(cand, obs))
+        new_edges = verify_candidates(
+            varrs, observe_pairs(cand, obs), arr_bytes=varrs_bytes
+        )
     else:
         # storage-light mode (the streaming twin keeps TEXTS, not
         # arrays, as state): shingle only candidate endpoints — the
@@ -2164,12 +2224,14 @@ def lsh_maintenance_step(
             .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        varrs_d = shingle_arrays(
-            groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
-                need, "doc_id", "left_semi"
+        varrs_d, vd_bytes = checkpoint_arrs_with_bytes(
+            shingle_arrays(
+                groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
+                    need, "doc_id", "left_semi"
+                )
             )
-        ).localCheckpoint()
-        new_edges = verify_candidates(varrs_d, cand)
+        )
+        new_edges = verify_candidates(varrs_d, cand, arr_bytes=vd_bytes)
     new_edges = new_edges.filter(
         F.col("jaccard") >= MINHASH_CLUSTER_JACCARD
     )
@@ -2257,7 +2319,7 @@ def lsh_maintenance_step(
         scope_cand = _chunked_self_pairs(scope_idx, n)
         if rep_arrs is not None:
             scope_edges = verify_candidates(
-                varrs, observe_pairs(scope_cand, obs)
+                varrs, observe_pairs(scope_cand, obs), arr_bytes=varrs_bytes
             )
         else:
             scope_cand = observe_pairs(scope_cand, obs).localCheckpoint()
@@ -2266,12 +2328,15 @@ def lsh_maintenance_step(
                 .unionAll(scope_cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct()
             )
-            s_arrs = shingle_arrays(
-                groups2.select(F.col("rep_id").alias("doc_id"), "text").join(
-                    s_need, "doc_id", "left_semi"
+            s_arrs, s_bytes = checkpoint_arrs_with_bytes(
+                shingle_arrays(
+                    groups2.select(F.col("rep_id").alias("doc_id"), "text")
+                    .join(s_need, "doc_id", "left_semi")
                 )
-            ).localCheckpoint()
-            scope_edges = verify_candidates(s_arrs, scope_cand)
+            )
+            scope_edges = verify_candidates(
+                s_arrs, scope_cand, arr_bytes=s_bytes
+            )
         scope_edges = (
             scope_edges
             .filter(F.col("jaccard") >= MINHASH_CLUSTER_JACCARD)

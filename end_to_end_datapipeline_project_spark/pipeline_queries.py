@@ -392,7 +392,16 @@ def top_vehicle_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type")
     )
     line_rows = cleansed.join(F.broadcast(top_line), "event_type", "left_semi")
-    enr = enrich(line_rows, EVENTS_TRAJ)
+    # r16 (VERDICT r15 task #6): checkpoint the re-enriched line rows —
+    # the executed plan otherwise computes this window subtree TWICE
+    # (once inside the top_vehicle broadcast subquery's job, once in
+    # the main output stage; broadcast-subquery jobs share no
+    # ReusedExchange with the main plan, the same pathology the r14
+    # cleansed checkpoint fixed one level up).  With the checkpoint the
+    # heavy passes are exactly two: enrich(cleansed) for the top-line
+    # ranking and enrich(line_rows) here; the top-vehicle agg and the
+    # final semi-join both read the materialized rows.
+    enr = enrich(line_rows, EVENTS_TRAJ).localCheckpoint()
     per_vehicle = enr.groupBy("user_id").agg(
         spark_dsum(F.col("dist_km")).alias("total_v_dist")
     )

@@ -750,6 +750,7 @@ def incremental_minhash_stream(
     with an explicitly multi-file source (maxFilesPerTrigger=1) and pin
     cross-micro-batch behavior."""
     from .llm_ops.dedup import (
+        checkpoint_arrs_with_bytes,
         minhash_index,
         minhash_signatures,
         pin_parallelism,
@@ -758,8 +759,9 @@ def incremental_minhash_stream(
     )
 
     # static side: corpus shingle arrays + the capped signature index
+    # (the verify size gate's stats ride the checkpoint job — r16)
     docs = pin_parallelism(docs, "doc_id")
-    arrs = shingle_arrays(docs).localCheckpoint()
+    arrs, nbytes = checkpoint_arrs_with_bytes(shingle_arrays(docs))
     idx = minhash_index(arrs)
 
     # stream side: in-batch signatures → cap semi-join → probe join
@@ -779,7 +781,7 @@ def incremental_minhash_stream(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return verify_candidates(arrs, cand)
+    return verify_candidates(arrs, cand, arr_bytes=nbytes)
 
 
 @register(

@@ -473,24 +473,16 @@ def test_verify_candidates_broadcast_and_shuffle_forms_agree(spark):
     # the broadcast arm must be forced below the r15 size floor
     # (VERIFY_BCAST_MIN): at bench/test scale the gate deliberately
     # keeps the shuffle form (the A/B at sf0.1 and ×10 measured the
-    # broadcast build as a net loss there)
-    prev_min = dedup.VERIFY_BCAST_MIN
-    dedup.VERIFY_BCAST_MIN = 0
-    try:
-        bcast = dedup.verify_candidates(arrs, cand)
-        raw = bcast._jdf.queryExecution().executedPlan().toString()
-        got_b = sorted(map(tuple, bcast.collect()))
-    finally:
-        dedup.VERIFY_BCAST_MIN = prev_min
+    # broadcast build as a net loss there).  force_form (r16, ADVICE
+    # r15) pins each arm explicitly instead of mutating the gate
+    # globals.
+    bcast = dedup.verify_candidates(arrs, cand, force_form="broadcast")
+    raw = bcast._jdf.queryExecution().executedPlan().toString()
+    got_b = sorted(map(tuple, bcast.collect()))
 
-    prev = dedup.VERIFY_BCAST_MAX
-    dedup.VERIFY_BCAST_MAX = 0
-    try:
-        shuf = dedup.verify_candidates(arrs, cand)
-        raw_s = shuf._jdf.queryExecution().executedPlan().toString()
-        got_s = sorted(map(tuple, shuf.collect()))
-    finally:
-        dedup.VERIFY_BCAST_MAX = prev
+    shuf = dedup.verify_candidates(arrs, cand, force_form="shuffle")
+    raw_s = shuf._jdf.queryExecution().executedPlan().toString()
+    got_s = sorted(map(tuple, shuf.collect()))
 
     assert got_b == got_s
     # hand-checked corner: disjoint docs share nothing
@@ -501,3 +493,40 @@ def test_verify_candidates_broadcast_and_shuffle_forms_agree(spark):
     # the pinned-width shuffle-hash a-side; the fallback took neither
     assert "BroadcastHashJoin" in raw and "ShuffledHashJoin" in raw
     assert "ShuffledHashJoin" not in raw_s
+
+
+def test_checkpoint_arrs_with_bytes_matches_stats_job(spark):
+    """The r16 ridden-stats checkpoint (VERDICT r15 #5) must hand
+    verify_candidates the SAME byte figure the old one-row stats job
+    computed — the gate's regime decisions may not move — and the
+    checkpointed frame must carry the same rows."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u t"), (3, "k l m n o p")],
+        "doc_id long, text string",
+    )
+    arrs0 = dedup.shingle_arrays(docs)
+    ck, nbytes = dedup.checkpoint_arrs_with_bytes(arrs0)
+    expect = (arrs0.agg(F.sum(F.size("shs"))).first()[0] or 0) * 8
+    assert nbytes == expect and nbytes > 0
+    assert sorted(
+        (r.doc_id, tuple(r.shs)) for r in ck.collect()
+    ) == sorted((r.doc_id, tuple(r.shs)) for r in arrs0.collect())
+    # passing the ridden bytes must give the same jaccards as the
+    # stats-job fallback on the same candidates
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    with_hint = sorted(
+        map(
+            tuple,
+            dedup.verify_candidates(ck, cand, arr_bytes=nbytes).collect(),
+        )
+    )
+    fallback = sorted(
+        map(tuple, dedup.verify_candidates(ck, cand).collect())
+    )
+    assert with_hint == fallback

@@ -274,14 +274,10 @@ def _verify_bcast_probe(spark, sf_dir):
     # force the broadcast form: the sf0.1 array table sits below the
     # r15 VERIFY_BCAST_MIN floor (bench scale keeps the shuffle form —
     # measured faster there), but THIS audit pins the ×30/×100 shape
-    from end_to_end_datapipeline_project_spark.llm_ops import dedup as _d
-
-    prev_min = _d.VERIFY_BCAST_MIN
-    _d.VERIFY_BCAST_MIN = 0
-    try:
-        return verify_candidates(arrs, minhash_candidates(arrs))
-    finally:
-        _d.VERIFY_BCAST_MIN = prev_min
+    # (explicit force_form kwarg per ADVICE r15 — no global mutation)
+    return verify_candidates(
+        arrs, minhash_candidates(arrs), force_form="broadcast"
+    )
 
 
 #: construction-time kernel plans that never surface in a registered
