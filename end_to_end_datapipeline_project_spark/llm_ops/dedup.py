@@ -346,7 +346,19 @@ def minhash_candidates(arrs: DataFrame) -> DataFrame:
     join (the DuckDB oracle keeps the plain form); only the shuffle
     layout changes.  Measured on the ×10 hot-key probe (5% of docs
     sharing one bucket): max task 72 s → seconds, wall within the
-    output-growth bound."""
+    output-growth bound.
+
+    KEPT over a bucket-SET rewrite (r16, measured negative result):
+    collapsing buckets to sorted member arrays, ``distinct``-ing the
+    sets and expanding pairs in-row (no join, fewer pre-dedup rows
+    when member sets repeat across seeds) LOST the interleaved A/B at
+    every probe scale — sf0.1 min 3.56 vs 3.04 s, ×10 10.15 vs 5.78 s,
+    ×30 first-pass 247.8 vs 78.4 s — because near-dup cliques are NOT
+    exact-dup cliques: each seed's minhash samples different shingles,
+    bucket membership differs slightly per seed, the cross-seed
+    ``distinct`` collapses almost nothing, and the in-row
+    struct-array expansion costs more per pair than the codegen join
+    it replaced.  The self-join + width-pinned dedup stays."""
     # checkpoint the O(docs × seeds) signature table: both sides of the
     # bucket self-join reference it, and without the checkpoint each
     # side re-runs the md5-per-shingle signature pass (measured 2×

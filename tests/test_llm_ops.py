@@ -495,6 +495,55 @@ def test_verify_candidates_broadcast_and_shuffle_forms_agree(spark):
     assert "ShuffledHashJoin" not in raw_s
 
 
+def test_bucket_set_pairs_equal_plain_bucket_self_join(spark, monkeypatch):
+    """The r16 bucket-SET candidate kernel must emit EXACTLY the plain
+    bucket self-join's pairs — including when the occupancy cap binds
+    (survivors = lowest doc_ids) and when identical member sets repeat
+    across seeds (the clique shape whose duplicate pre-dedup pairs the
+    set form exists to collapse)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from end_to_end_datapipeline_project_spark.llm_ops import dedup
+
+    # 3 near-identical cliques of 4 + singletons; cap forced to 3 so
+    # one member of each full bucket is evicted
+    rows = [(i, f"alpha beta gamma delta epsilon z{i % 4 // 3}") for i in range(12)]
+    rows += [(100, "totally different text one two three")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dedup, "MINHASH_BUCKET_CAP", 3)
+    arrs = dedup.shingle_arrays(docs).localCheckpoint()
+    got = sorted(
+        map(tuple, dedup.minhash_candidates(arrs).collect())
+    )
+
+    # oracle form: plain capped bucket self-join, no chunking, no sets
+    mh = dedup.minhash_signatures(arrs)
+    w = Window.partitionBy("seed", "minhash").orderBy("doc_id")
+    capped = (
+        mh.withColumn("__bn", F.row_number().over(w))
+        .filter(F.col("__bn") <= dedup.MINHASH_BUCKET_CAP)
+        .drop("__bn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), "seed", "minhash"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), "seed", "minhash"
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, ["seed", "minhash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_checkpoint_arrs_with_bytes_matches_stats_job(spark):
     """The r16 ridden-stats checkpoint (VERDICT r15 #5) must hand
     verify_candidates the SAME byte figure the old one-row stats job
