@@ -141,7 +141,18 @@ def _co_supply_half(li: DataFrame) -> DataFrame:
     keyed dropDuplicates) preserves its map-side partial dedup, which
     the ×10 A/B showed matters more than saving that exchange
     (interleaved min-of-3: pinned+distinct 7.4 s vs 9.4 s current vs
-    9.2 s single-exchange form; sf0.1 2.2 s vs 2.9 s)."""
+    9.2 s single-exchange form; sf0.1 2.2 s vs 2.9 s).
+
+    Because BOTH self-join aliases read this one repartitioned ``ps``,
+    the broadcast-regime plan (small scales) carries a second
+    REPARTITION_BY_NUM exchange inside the BroadcastExchange on the
+    build side — deliberate (ADVICE r15 #2 A/B'd the alternative):
+    pinning only the probe side saves that small exchange at sf0.1
+    (2.43 vs 2.72 s interleaved min-of-4) but LOSES 1.7× at ×10
+    (9.53 vs 5.52 s), where the join leaves the broadcast regime and
+    the shared pinned exchange is what lets both sort/hash sides reuse
+    ONE shuffle at full width.  The small-scale build-side exchange is
+    the price of the at-scale shape."""
     n = li.sparkSession.sparkContext.defaultParallelism
     ps = (
         li.select("l_partkey", "l_suppkey")

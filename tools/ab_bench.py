@@ -96,25 +96,33 @@ def _timeit(fn) -> float:
 
 
 def _cross_round_rows() -> list[str]:
-    """Mechanical cross-round paragraph citing bench.py's
-    host-normalized `value_canary_norm` (VERDICT r13 task #6 second
+    """Mechanical cross-round paragraph (VERDICT r13 task #6 second
     half / r14 task #5 — the hand-written paragraph went stale the
     round after it was written): read the BENCH_r*.json driver records,
-    normalize each round's Σ(min) by its fixed-work python canary
-    against the pinned reference canary, and compare the two newest
-    rounds on the one host-comparable number."""
+    normalize each round's Σ(min) by its fixed-work SPARK all-cores
+    canary (r16 — see the inline comment; python canary is the
+    pre-r15 fallback) against the pinned reference, and compare the
+    two newest rounds on the one host-comparable number."""
     import glob
     import json
     import re
 
     recs = []
+    # BENCH_r<N>.json ONLY — suffixed control runs (e.g. BENCH_r15_c8,
+    # the driver's low-core-count control) are not round records and
+    # made the paragraph compare r15 against itself (r16 fix)
+    paths = [
+        p
+        for p in glob.glob("/root/repo/BENCH_r*.json")
+        if re.search(r"BENCH_r(\d+)\.json$", p)
+    ]
     for p in sorted(
-        glob.glob("/root/repo/BENCH_r*.json"),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        paths,
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
     ):
         try:
             d = json.load(open(p)).get("parsed") or {}
-            n = int(re.search(r"BENCH_r(\d+)", p).group(1))
+            n = int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
         except Exception:
             continue
         if d.get("value") and d.get("canary", {}).get("python_1core_sec"):
@@ -129,26 +137,40 @@ def _cross_round_rows() -> list[str]:
         ),
         recs[-1][1]["canary"]["python_1core_sec"],
     )
+    # r16 (VERDICT r15 "what's wrong" #4): normalize by the SPARK
+    # all-cores canary, not the python 1-core one — in r15 the two
+    # decoupled (python said the host got 32% faster while spark said
+    # 25% slower under CPU steal), and the suite is multicore work, so
+    # the python-normalized number pointed the wrong way.  Python
+    # canary stays as the fallback for records predating the spark one.
+    ref_spark = 0.113  # BENCH_r14.json spark_allcores_sec (bench.py pin)
 
-    def norm(d: dict) -> float:
+    def norm(d: dict) -> tuple:
+        sc = d.get("canary", {}).get("spark_allcores_sec")
+        if sc:
+            return d["value"] * ref_spark / sc, "spark"
         if d.get("value_canary_norm"):
-            return d["value_canary_norm"]
-        return d["value"] * ref / d["canary"]["python_1core_sec"]
+            return d["value_canary_norm"], "python"
+        return d["value"] * ref / d["canary"]["python_1core_sec"], "python"
 
     (na, a), (nb, b) = recs[-2], recs[-1]
+    nb_v, nb_c = norm(b)
+    na_v, na_c = norm(a)
     return [
         "",
         f"Cross-round (mechanical, canary-normalized): r{nb} Σ(min) "
-        f"normalizes to **{norm(b):.2f} s** vs r{na} "
-        f"**{norm(a):.2f} s** ({norm(b) / norm(a):.3f}×) over "
+        f"normalizes to **{nb_v:.2f} s** ({nb_c} canary) vs r{na} "
+        f"**{na_v:.2f} s** ({na_c} canary) ({nb_v / na_v:.3f}×) over "
         f"{b['n_queries']} headline queries — each round's driver "
-        f"Σ(min) × (reference canary {ref:.3f} s / that round's "
-        "fixed-work python canary), i.e. bench.py's "
-        "`value_canary_norm`, the one per-round number comparable "
-        "across host-speed shifts.  Raw driver records: "
-        f"r{nb} {b['value']:.2f} s @ canary "
-        f"{b['canary']['python_1core_sec']:.3f} s, r{na} "
-        f"{a['value']:.2f} s @ {a['canary']['python_1core_sec']:.3f} s.",
+        f"Σ(min) × (reference spark-allcores canary {ref_spark:.3f} s "
+        "/ that round's measured spark canary): the multicore-work "
+        "deflator (VERDICT r15 #4 — the 1-core python canary decoupled "
+        "from multicore host speed in r15 and mis-normalized the "
+        "suite total).  Raw driver records: "
+        f"r{nb} {b['value']:.2f} s @ spark canary "
+        f"{b['canary'].get('spark_allcores_sec', float('nan')):.3f} s, "
+        f"r{na} {a['value']:.2f} s @ "
+        f"{a['canary'].get('spark_allcores_sec', float('nan')):.3f} s.",
     ]
 
 
